@@ -1,0 +1,525 @@
+"""Typed job-config sections.
+
+Schema parity with the reference's ``toolkit/config_modules.py`` (the YAML keys a
+user writes are the same), implemented as plain dataclasses with tolerant
+``from_dict`` constructors: unknown keys are preserved in ``extras`` rather than
+crashing, so configs written for the reference load here unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _build(cls, data: dict[str, Any] | None):
+    data = dict(data or {})
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in data.items() if k in names}
+    extras = {k: v for k, v in data.items() if k not in names and k != "extras"}
+    obj = cls(**known)
+    obj.extras = extras
+    return obj
+
+
+@dataclass
+class SaveConfig:
+    """Mirrors reference SaveConfig (toolkit/config_modules.py)."""
+
+    dtype: str = "float16"
+    save_every: int = 250
+    max_step_saves_to_keep: int = 4
+    save_format: str = "safetensors"
+    push_to_hub: bool = False
+    hf_repo_id: str | None = None
+    hf_private: bool = True
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "SaveConfig":
+        return _build(cls, d)
+
+
+@dataclass
+class LoggingConfig:
+    log_every: int = 100
+    verbose: bool = False
+    use_wandb: bool = False
+    use_tensorboard: bool = True
+    project_name: str = "ai-toolkit-tpu"
+    run_name: str | None = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "LoggingConfig":
+        return _build(cls, d)
+
+
+@dataclass
+class SampleItem:
+    prompt: str = ""
+    negative_prompt: str = ""
+    width: int | None = None
+    height: int | None = None
+    seed: int | None = None
+    guidance_scale: float | None = None
+    sample_steps: int | None = None
+    network_multiplier: float = 1.0
+    num_frames: int | None = None
+    fps: int | None = None
+    ctrl_img: str | None = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_any(cls, item: "str | dict[str, Any] | SampleItem") -> "SampleItem":
+        if isinstance(item, SampleItem):
+            return item
+        if isinstance(item, str):
+            return cls._from_prompt_string(item)
+        return _build(cls, item)
+
+    @classmethod
+    def _from_prompt_string(cls, prompt: str) -> "SampleItem":
+        """Parse the reference's inline ``--flag value`` prompt syntax.
+
+        e.g. ``"a cat --w 768 --h 512 --seed 7 --cfg 3.5 --steps 12 --n bad"``
+        (cf. GenerateImageConfig._process_prompt_string,
+        /root/reference/toolkit/config_modules.py:1363).
+        """
+        out = cls()
+        if "--" not in prompt:
+            out.prompt = prompt.strip()
+            return out
+        parts = prompt.split("--")
+        out.prompt = parts[0].strip()
+        for chunk in parts[1:]:
+            chunk = chunk.strip()
+            if not chunk:
+                continue
+            key, _, val = chunk.partition(" ")
+            val = val.strip()
+            if key == "w":
+                out.width = int(val)
+            elif key == "h":
+                out.height = int(val)
+            elif key == "seed":
+                out.seed = int(val)
+            elif key in ("cfg", "gs"):
+                out.guidance_scale = float(val)
+            elif key == "steps":
+                out.sample_steps = int(val)
+            elif key == "n":
+                out.negative_prompt = val
+            elif key == "m":
+                out.network_multiplier = float(val)
+            elif key == "frames":
+                out.num_frames = int(val)
+            elif key == "fps":
+                out.fps = int(val)
+            elif key == "ctrl_img":
+                out.ctrl_img = val
+            else:
+                out.extras[key] = val
+        return out
+
+
+@dataclass
+class SampleConfig:
+    sampler: str = "flowmatch"
+    sample_every: int = 250
+    sample_start_step: int = 0
+    width: int = 512
+    height: int = 512
+    prompts: list[Any] = field(default_factory=list)
+    neg: str = ""
+    seed: int = 42
+    walk_seed: bool = True
+    guidance_scale: float = 4.0
+    sample_steps: int = 20
+    network_multiplier: float = 1.0
+    num_frames: int = 1
+    fps: int = 16
+    format: str = "png"
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "SampleConfig":
+        obj = _build(cls, d)
+        obj.prompts = [SampleItem.from_any(p) for p in obj.prompts]
+        return obj
+
+
+@dataclass
+class NetworkConfig:
+    """LoRA / LyCORIS / full-tune network settings (reference NetworkConfig)."""
+
+    type: str = "lora"
+    linear: int = 16  # rank
+    linear_alpha: float = 16.0
+    conv: int | None = None
+    conv_alpha: float | None = None
+    dropout: float | None = None
+    network_kwargs: dict[str, Any] = field(default_factory=dict)
+    # targeting (reference: only_if_contains / ignore_if_contains in network_kwargs)
+    only_if_contains: list[str] | None = None
+    ignore_if_contains: list[str] | None = None
+    transformer_only: bool = False
+    lokr_full_rank: bool = False
+    lokr_factor: int = -1
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "NetworkConfig | None":
+        if d is None:
+            return None
+        obj = _build(cls, d)
+        kw = obj.network_kwargs or {}
+        if obj.only_if_contains is None:
+            obj.only_if_contains = kw.get("only_if_contains")
+        if obj.ignore_if_contains is None:
+            obj.ignore_if_contains = kw.get("ignore_if_contains")
+        return obj
+
+    @property
+    def rank(self) -> int:
+        return int(self.linear)
+
+    @property
+    def alpha(self) -> float:
+        return float(self.linear_alpha)
+
+
+@dataclass
+class EMAConfig:
+    use_ema: bool = False
+    ema_decay: float = 0.99
+    use_feedback: bool = False
+    param_multiplier: float = 1.0
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "EMAConfig":
+        return _build(cls, d)
+
+
+@dataclass
+class MeshConfig:
+    """TPU-native addition: named-mesh layout for the train step.
+
+    No reference equivalent — replaces Accelerate DP + the flux GPU splitter
+    (/root/reference/toolkit/models/flux.py:121) with jax.sharding.
+    ``axes`` maps axis name -> size; -1 means "fill with remaining devices".
+    """
+
+    axes: dict[str, int] = field(default_factory=lambda: {"dp": 1, "fsdp": -1, "tp": 1})
+    axis_order: tuple[str, ...] = ("dp", "fsdp", "tp")
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "MeshConfig":
+        obj = _build(cls, d)
+        if isinstance(obj.axes, dict):
+            obj.axis_order = tuple(obj.axes.keys())
+        return obj
+
+
+@dataclass
+class TrainConfig:
+    """Training loop knobs (reference TrainConfig, ~120 keys)."""
+
+    batch_size: int = 1
+    steps: int = 1000
+    start_step: int | None = None
+    gradient_accumulation_steps: int = 1
+    gradient_accumulation: int = 1  # alias used by some reference configs
+    train_unet: bool = True
+    train_text_encoder: bool = False
+    gradient_checkpointing: bool = True
+    noise_scheduler: str = "flowmatch"
+    timestep_type: str = "sigmoid"  # sigmoid | linear | shift | flux_shift | weighted | lognorm_blend | one_step
+    timestep_bias: float = 1.0
+    content_or_style: str = "balanced"
+    optimizer: str = "adamw"
+    optimizer_params: dict[str, Any] = field(default_factory=dict)
+    lr: float = 1e-4
+    unet_lr: float | None = None
+    text_encoder_lr: float | None = None
+    embedding_lr: float | None = None
+    lr_scheduler: str = "constant"
+    lr_scheduler_params: dict[str, Any] = field(default_factory=dict)
+    max_grad_norm: float = 1.0
+    dtype: str = "bf16"
+    weight_dtype: str | None = None
+    noise_offset: float = 0.0
+    noise_multiplier: float = 1.0
+    min_snr_gamma: float | None = None
+    snr_gamma: float | None = None
+    loss_type: str = "mse"  # mse | mae | pseudo_huber | wavelet | stepped | mean_flow
+    loss_target: str | None = None
+    pseudo_huber_c: float = 0.001
+    ema_config: EMAConfig = field(default_factory=EMAConfig)
+    skip_first_sample: bool = False
+    disable_sampling: bool = False
+    force_first_sample: bool = False
+    linear_timesteps: bool = False
+    linear_timesteps2: bool = False
+    do_cfg: bool = False
+    cfg_scale: float = 1.0
+    max_negative_prompts: int = 1
+    unload_text_encoder: bool = False
+    cache_text_embeddings: bool = False
+    diff_output_preservation: bool = False
+    diff_output_preservation_multiplier: float = 1.0
+    diff_output_preservation_class: str = ""
+    prior_divergence_loss: bool = False
+    mask_loss_multiplier: float = 1.0  # masked-loss weighting
+    inverted_mask_prior: bool = False
+    inverted_mask_prior_multiplier: float = 0.5
+    do_prior_divergence: bool = False
+    random_scale: bool = False
+    match_noise_norm: bool = False
+    loss_multiplier: float = 1.0
+    blended_blur_noise: bool = False
+    do_guidance_loss: bool = False
+    guidance_loss_target: float = 1.0
+    performance_log_every: int = 0
+    dynamic_timestep_shifting: bool = False
+    bypass_guidance_embedding: bool = False
+    seed: int | None = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "TrainConfig":
+        d = dict(d or {})
+        ema = d.pop("ema_config", None)
+        obj = _build(cls, d)
+        obj.ema_config = EMAConfig.from_dict(ema)
+        if obj.gradient_accumulation_steps == 1 and obj.gradient_accumulation > 1:
+            obj.gradient_accumulation_steps = obj.gradient_accumulation
+        if obj.min_snr_gamma is None and obj.snr_gamma is not None:
+            obj.min_snr_gamma = obj.snr_gamma
+        return obj
+
+
+@dataclass
+class ModelConfig:
+    """Model selection + load-time options (reference ModelConfig, ~60 keys)."""
+
+    name_or_path: str = ""
+    arch: str | None = None
+    # reference legacy arch flags
+    is_flux: bool = False
+    is_xl: bool = False
+    is_v2: bool = False
+    is_v3: bool = False
+    is_pixart: bool = False
+    is_lumina2: bool = False
+    quantize: bool = False
+    quantize_te: bool = False
+    qtype: str = "qfloat8"
+    qtype_te: str = "qfloat8"
+    low_vram: bool = False
+    attn_masking: bool = False
+    model_kwargs: dict[str, Any] = field(default_factory=dict)
+    vae_path: str | None = None
+    refiner_name_or_path: str | None = None
+    text_encoder_path: str | None = None
+    # TPU-native additions
+    param_dtype: str = "bf16"
+    remat_policy: str = "block"  # none | block | full
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "ModelConfig":
+        obj = _build(cls, d)
+        if obj.arch is None:
+            # map legacy flags to arch ids (reference toolkit/config_modules.py:623-821)
+            if obj.is_flux:
+                obj.arch = "flux"
+            elif obj.is_xl:
+                obj.arch = "sdxl"
+            elif obj.is_v3:
+                obj.arch = "sd3"
+            elif obj.is_lumina2:
+                obj.arch = "lumina2"
+            elif obj.is_v2:
+                obj.arch = "sd2"
+            else:
+                obj.arch = "sd1"
+        return obj
+
+
+@dataclass
+class ValidationConfig:
+    validate_every: int = 0
+    num_samples: int = 8
+    seed: int = 123
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "ValidationConfig":
+        return _build(cls, d)
+
+
+@dataclass
+class DatasetConfig:
+    """One dataset entry (reference DatasetConfig, ~70 keys)."""
+
+    folder_path: str = ""
+    dataset_path: str | None = None
+    caption_ext: str = "txt"
+    caption_dropout_rate: float = 0.0
+    caption_shuffle: bool = False
+    shuffle_tokens: bool = False
+    keep_tokens: int = 0
+    token_dropout_rate: float = 0.0
+    trigger_word: str | None = None
+    default_caption: str = ""
+    resolution: Any = 512  # int or list[int]
+    bucket_tolerance: int = 64
+    enable_bucketing: bool = True
+    cache_latents: bool = True
+    cache_latents_to_disk: bool = True
+    cache_clip_vision_to_disk: bool = False
+    is_reg: bool = False
+    network_weight: float = 1.0
+    loss_multiplier: float = 1.0
+    flip_x: bool = False
+    flip_y: bool = False
+    random_crop: bool = False
+    random_scale: bool = False
+    alpha_mask: bool = False
+    mask_path: str | None = None
+    mask_min_value: float = 0.0
+    control_path: Any = None
+    num_repeats: int = 1
+    num_workers: int = 4
+    buckets: bool = True
+    # video
+    num_frames: int = 1
+    fps: int | None = None
+    shrink_video_to_frames: bool = True
+    do_i2v: bool = False
+    # audio
+    audio_sample_rate: int = 44100
+    audio_duration: float | None = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "DatasetConfig":
+        obj = _build(cls, d)
+        if not obj.folder_path and obj.dataset_path:
+            obj.folder_path = obj.dataset_path
+        if isinstance(obj.resolution, (int, float)):
+            obj.resolution = [int(obj.resolution)]
+        else:
+            obj.resolution = [int(r) for r in obj.resolution]
+        return obj
+
+
+@dataclass
+class GenerateImageConfig:
+    """One generation request resolved against SampleConfig defaults."""
+
+    prompt: str = ""
+    negative_prompt: str = ""
+    width: int = 512
+    height: int = 512
+    seed: int = 42
+    guidance_scale: float = 4.0
+    sample_steps: int = 20
+    network_multiplier: float = 1.0
+    num_frames: int = 1
+    fps: int = 16
+    output_path: str | None = None
+    output_ext: str = "png"
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_sample(
+        cls, sample: SampleConfig, item: SampleItem, seed: int, output_path: str | None = None
+    ) -> "GenerateImageConfig":
+        return cls(
+            prompt=item.prompt,
+            negative_prompt=item.negative_prompt or sample.neg,
+            width=item.width or sample.width,
+            height=item.height or sample.height,
+            seed=item.seed if item.seed is not None else seed,
+            guidance_scale=(
+                item.guidance_scale if item.guidance_scale is not None else sample.guidance_scale
+            ),
+            sample_steps=(
+                item.sample_steps if item.sample_steps is not None else sample.sample_steps
+            ),
+            network_multiplier=item.network_multiplier,
+            num_frames=item.num_frames or sample.num_frames,
+            fps=item.fps or sample.fps,
+            output_path=output_path,
+            output_ext=sample.format,
+        )
+
+
+@dataclass
+class ProcessConfig:
+    """One ``config.process[]`` entry, fully typed."""
+
+    type: str = "sd_trainer"
+    training_folder: str = "output"
+    device: str = "tpu"
+    trigger_word: str | None = None
+    performance_log_every: int = 0
+    network: NetworkConfig | None = None
+    save: SaveConfig = field(default_factory=SaveConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    sample: SampleConfig = field(default_factory=SampleConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    validation: ValidationConfig = field(default_factory=ValidationConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    datasets: list[DatasetConfig] = field(default_factory=list)
+    embedding: dict[str, Any] | None = None
+    adapter: dict[str, Any] | None = None
+    slider: dict[str, Any] | None = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ProcessConfig":
+        d = dict(d)
+        sub = {
+            "network": NetworkConfig.from_dict(d.pop("network", None)),
+            "save": SaveConfig.from_dict(d.pop("save", None)),
+            "train": TrainConfig.from_dict(d.pop("train", None)),
+            "model": ModelConfig.from_dict(d.pop("model", None)),
+            "sample": SampleConfig.from_dict(d.pop("sample", None)),
+            "logging": LoggingConfig.from_dict(d.pop("logging", None)),
+            "validation": ValidationConfig.from_dict(d.pop("validation", None)),
+            "mesh": MeshConfig.from_dict(d.pop("mesh", None)),
+            "datasets": [DatasetConfig.from_dict(x) for x in (d.pop("datasets", None) or [])],
+        }
+        obj = _build(cls, d)
+        for k, v in sub.items():
+            setattr(obj, k, v)
+        return obj
+
+
+@dataclass
+class JobConfig:
+    """The whole parsed job file."""
+
+    job: str = "extension"
+    name: str = "unnamed"
+    processes: list[ProcessConfig] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_raw(cls, raw: dict[str, Any]) -> "JobConfig":
+        cfg = raw.get("config", {})
+        return cls(
+            job=str(raw.get("job", "extension")),
+            name=str(cfg.get("name", "unnamed")),
+            processes=[ProcessConfig.from_dict(p) for p in cfg.get("process", [])],
+            meta=dict(raw.get("meta", {}) or {}),
+            raw=raw,
+        )

@@ -1,0 +1,118 @@
+import os
+
+import pytest
+
+from ai_toolkit_tpu.config import get_config, replace_env_vars
+from ai_toolkit_tpu.config.modules import JobConfig, SampleItem
+
+EXAMPLE = """
+---
+job: extension
+config:
+  name: "my_lora_v1"
+  process:
+    - type: 'sd_trainer'
+      training_folder: "output"
+      trigger_word: "p3r5on"
+      network:
+        type: "lora"
+        linear: 16
+        linear_alpha: 16
+      save:
+        dtype: float16
+        save_every: 250
+        max_step_saves_to_keep: 4
+      datasets:
+        - folder_path: "/tmp/images"
+          caption_ext: "txt"
+          caption_dropout_rate: 0.05
+          resolution: [ 512, 768, 1024 ]
+      train:
+        batch_size: 1
+        steps: 2000
+        noise_scheduler: "flowmatch"
+        optimizer: "adamw8bit"
+        lr: 1e-4
+        ema_config:
+          use_ema: true
+          ema_decay: 0.99
+        dtype: bf16
+      model:
+        name_or_path: "black-forest-labs/FLUX.1-dev"
+        is_flux: true
+        quantize: true
+      sample:
+        sampler: "flowmatch"
+        sample_every: 250
+        width: 1024
+        height: 1024
+        prompts:
+          - "[trigger] holding a sign --w 768 --h 512 --seed 7"
+        guidance_scale: 4
+        sample_steps: 20
+meta:
+  name: "[name]"
+  version: '1.0'
+"""
+
+
+def test_load_reference_style_yaml(tmp_path):
+    p = tmp_path / "job.yaml"
+    p.write_text(EXAMPLE)
+    raw = get_config(p)
+    assert raw["job"] == "extension"
+    assert raw["meta"]["name"] == "my_lora_v1"  # [name] tag replaced
+    job = JobConfig.from_raw(raw)
+    assert job.name == "my_lora_v1"
+    proc = job.processes[0]
+    assert proc.type == "sd_trainer"
+    assert proc.network.rank == 16 and proc.network.alpha == 16.0
+    assert proc.train.steps == 2000
+    assert proc.train.lr == pytest.approx(1e-4)
+    assert proc.train.ema_config.use_ema is True
+    assert proc.model.arch == "flux"
+    assert proc.model.quantize is True
+    assert proc.datasets[0].resolution == [512, 768, 1024]
+    assert proc.sample.prompts[0].width == 768
+    assert proc.sample.prompts[0].seed == 7
+
+
+def test_env_var_substitution(tmp_path, monkeypatch):
+    monkeypatch.setenv("MY_DATA", "/data/imgs")
+    assert replace_env_vars("path: ${MY_DATA}/x") == "path: /data/imgs/x"
+    with pytest.raises(KeyError):
+        replace_env_vars("${DOES_NOT_EXIST_XYZ}")
+
+
+def test_jsonc_config(tmp_path):
+    p = tmp_path / "job.jsonc"
+    p.write_text(
+        '{\n  // a comment\n  "job": "extension",\n  "config": {"name": "j", '
+        '"process": [{"type": "sd_trainer"}]}\n}\n'
+    )
+    raw = get_config(p)
+    assert raw["config"]["name"] == "j"
+
+
+def test_unknown_keys_preserved(tmp_path):
+    job = JobConfig.from_raw(
+        {
+            "job": "extension",
+            "config": {
+                "name": "x",
+                "process": [{"type": "sd_trainer", "train": {"batch_size": 2, "frobnicate": 1}}],
+            },
+        }
+    )
+    assert job.processes[0].train.batch_size == 2
+    assert job.processes[0].train.extras["frobnicate"] == 1
+
+
+def test_prompt_flag_parsing():
+    it = SampleItem.from_any("a cat --w 640 --h 384 --cfg 3.5 --steps 12 --n blurry --m 0.8")
+    assert it.prompt == "a cat"
+    assert (it.width, it.height) == (640, 384)
+    assert it.guidance_scale == 3.5
+    assert it.sample_steps == 12
+    assert it.negative_prompt == "blurry"
+    assert it.network_multiplier == 0.8
