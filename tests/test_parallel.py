@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ai_toolkit_tpu.config.modules import MeshConfig
+from ai_toolkit_tpu.parallel.mesh import make_mesh, mesh_shape_for_devices
+from ai_toolkit_tpu.parallel.sharding import (
+    PartitionRule,
+    apply_rules,
+    fsdp_partition,
+    shard_batch_spec,
+    shard_pytree,
+)
+
+
+def test_mesh_shape_resolution():
+    assert mesh_shape_for_devices(MeshConfig(axes={"dp": 2, "fsdp": -1, "tp": 1}), 8) == {
+        "dp": 2,
+        "fsdp": 4,
+        "tp": 1,
+    }
+    assert mesh_shape_for_devices(MeshConfig(axes={"fsdp": -1}), 8) == {"fsdp": 8}
+    with pytest.raises(ValueError):
+        mesh_shape_for_devices(MeshConfig(axes={"dp": 3, "fsdp": 1, "tp": 1}), 8)
+
+
+def test_make_mesh_8dev(mesh8):
+    assert mesh8.devices.shape == (2, 4, 1)
+    assert mesh8.axis_names == ("dp", "fsdp", "tp")
+
+
+def test_fsdp_partition_heuristic(mesh8):
+    # big 2D param: largest divisible dim sharded over fsdp(4)
+    assert fsdp_partition((3072, 768), mesh8) == P("fsdp", None)
+    assert fsdp_partition((768, 3072), mesh8) == P(None, "fsdp")
+    # small params replicated
+    assert fsdp_partition((768,), mesh8) == P()
+    # indivisible dims -> falls to the next largest divisible dim
+    assert fsdp_partition((1234567, 4), mesh8) == P(None, "fsdp")
+
+
+def test_apply_rules_and_shard(mesh8):
+    params = {
+        "blocks_0": {"attn": {"qkv": {"kernel": jnp.zeros((512, 1536))}}},
+        "norm": {"scale": jnp.ones((512,))},
+        "embed": {"kernel": jnp.zeros((1000, 512))},
+    }
+    rules = [PartitionRule(r"attn/qkv/kernel", P(None, "tp"))]
+    specs = apply_rules(params, mesh8, rules)
+    # tp has size 1 but rule still validates fine
+    assert specs["blocks_0"]["attn"]["qkv"]["kernel"] == P(None, "tp")
+    assert specs["norm"]["scale"] == P()
+    assert specs["embed"]["kernel"] == P("fsdp", None)
+
+    sharded = shard_pytree(params, mesh8, rules)
+    emb = sharded["embed"]["kernel"]
+    assert emb.sharding.spec == P("fsdp", None)
+    # each fsdp shard holds 1000/4 = 250 rows
+    shard_shapes = {s.data.shape for s in emb.addressable_shards}
+    assert shard_shapes == {(250, 512)}
+
+
+def test_indivisible_rule_falls_back(mesh8):
+    params = {"w": jnp.zeros((10, 6))}
+    rules = [PartitionRule(r"w", P("fsdp", None))]  # 10 % 4 != 0 -> replicate that dim
+    specs = apply_rules(params, mesh8, rules)
+    assert specs["w"] == P(None, None)
+
+
+def test_batch_spec(mesh8):
+    assert shard_batch_spec(mesh8) == P(("dp", "fsdp"))
+
+
+def test_sharded_matmul_runs(mesh8):
+    """End-to-end: jit a matmul with fsdp-sharded weight + batch-sharded input."""
+    from jax.sharding import NamedSharding
+
+    w = jax.device_put(np.ones((64, 128), np.float32), NamedSharding(mesh8, P("fsdp", None)))
+    x = jax.device_put(np.ones((16, 64), np.float32), NamedSharding(mesh8, P(("dp", "fsdp"), None)))
+
+    @jax.jit
+    def f(x, w):
+        return x @ w
+
+    out = f(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.full((16, 128), 64.0))
