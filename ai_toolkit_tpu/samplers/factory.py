@@ -1,0 +1,30 @@
+"""Schedule factory (reference ``toolkit/sampler.py:get_sampler``)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .ddpm import DDPMSchedule
+from .flowmatch import FlowMatchSchedule
+
+
+def get_schedule(name: str, arch: str | None = None, **overrides: Any):
+    """name: 'flowmatch' | 'ddpm' | 'ddim' (+ per-arch defaults)."""
+    name = (name or "flowmatch").lower()
+    if name in ("flowmatch", "flowmatch_euler", "mean_flow"):
+        defaults: dict[str, Any] = {}
+        if arch in ("sd3",):
+            defaults = {"shift": 3.0, "use_dynamic_shifting": False}
+        elif arch in ("lumina2",):
+            defaults = {"shift": 6.0, "use_dynamic_shifting": False}
+        elif arch in ("flux", "flex1", "flex2", "flux_kontext", "chroma"):
+            defaults = {"use_dynamic_shifting": True}
+        defaults.update(overrides)
+        return FlowMatchSchedule(**defaults)
+    if name in ("ddpm", "ddim", "euler", "euler_a", "dpm", "pndm", "lms", "heun", "lcm"):
+        defaults = {}
+        if arch in ("sd2", "sd2_v"):
+            defaults = {"prediction_type": "v_prediction"}
+        defaults.update(overrides)
+        return DDPMSchedule(**defaults)
+    raise ValueError(f"unknown noise scheduler '{name}'")

@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_toolkit_tpu.samplers import DDPMSchedule, FlowMatchSchedule, calculate_flux_shift, get_schedule
+
+
+def test_flowmatch_add_noise_endpoints():
+    s = FlowMatchSchedule()
+    x0 = jnp.ones((2, 4, 4, 3))
+    eps = jnp.zeros_like(x0) + 5.0
+    np.testing.assert_allclose(s.add_noise(x0, eps, jnp.array([0.0, 0.0])), np.asarray(x0))
+    np.testing.assert_allclose(s.add_noise(x0, eps, jnp.array([1.0, 1.0])), np.asarray(eps))
+    # velocity target steps x_t to x0 exactly
+    t = jnp.array([0.3, 0.7])
+    xt = s.add_noise(x0, eps, t)
+    v = s.target(x0, eps, t)
+    np.testing.assert_allclose(np.asarray(s.pred_to_x0(v, xt, t)), np.asarray(x0), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "tt", ["linear", "sigmoid", "shift", "flux_shift", "lognorm_blend", "weighted"]
+)
+def test_timestep_distributions_in_range(tt):
+    s = FlowMatchSchedule()
+    t = s.sample_timesteps(jax.random.key(0), 4096, timestep_type=tt, image_seq_len=1024)
+    t = np.asarray(t)
+    assert t.shape == (4096,)
+    assert (t > 0).all() and (t <= 1).all()
+    if tt == "sigmoid":
+        # biased to the middle
+        assert 0.4 < t.mean() < 0.6
+    if tt in ("shift", "flux_shift"):
+        # shifted toward noise (higher t)
+        assert t.mean() > 0.55
+
+
+def test_flux_shift_value():
+    # seq 256 -> base_shift, seq 4096 -> max_shift
+    assert calculate_flux_shift(256) == pytest.approx(0.5)
+    assert calculate_flux_shift(4096) == pytest.approx(1.16)
+
+
+def test_bell_loss_weights_mean_one():
+    s = FlowMatchSchedule()
+    t = jnp.linspace(1e-3, 1.0, 1000)
+    w = s.loss_weights(t)
+    assert np.asarray(w).mean() == pytest.approx(1.0, rel=0.02)
+    # center weighted higher than edges
+    assert w[500] > w[10] and w[500] > w[990]
+
+
+def test_ddpm_snr_and_targets():
+    s = DDPMSchedule()
+    assert s.betas.shape == (1000,)
+    t = jnp.array([10, 500, 990])
+    snr = np.asarray(s.snr(t))
+    assert snr[0] > snr[1] > snr[2]
+    # min-snr weight capped at gamma/snr <= 1 for eps pred
+    w = np.asarray(s.min_snr_weight(t, gamma=5.0))
+    assert (w <= 1.0 + 1e-6).all()
+
+    x0 = jax.random.normal(jax.random.key(0), (3, 8, 8, 4))
+    eps = jax.random.normal(jax.random.key(1), (3, 8, 8, 4))
+    xt = s.add_noise(x0, eps, t)
+    np.testing.assert_allclose(np.asarray(s.pred_to_x0(eps, xt, t)), np.asarray(x0), atol=1e-4)
+
+    sv = DDPMSchedule(prediction_type="v_prediction")
+    v = sv.target(x0, eps, t)
+    np.testing.assert_allclose(np.asarray(sv.pred_to_x0(v, xt, t)), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_denoises_linear_model():
+    """DDIM with a perfect eps-oracle recovers x0."""
+    s = DDPMSchedule()
+    x0 = jax.random.normal(jax.random.key(0), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(1), x0.shape)
+    ts = s.ddim_timesteps(50)
+    x = s.add_noise(x0, eps, jnp.array([int(ts[0])]))
+    for i in range(len(ts)):
+        t = jnp.array([int(ts[i])])
+        t_prev = jnp.array([int(ts[i + 1])]) if i + 1 < len(ts) else jnp.array([-1])
+        # oracle eps prediction
+        acp = s.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        eps_hat = (x - jnp.sqrt(acp) * x0) / jnp.sqrt(1 - acp)
+        x = s.ddim_step(x, eps_hat, t, t_prev)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-2)
+
+
+def test_flowmatch_euler_integrates_to_x0():
+    """Euler over inference sigmas with a perfect velocity oracle lands on x0."""
+    s = FlowMatchSchedule(use_dynamic_shifting=False, shift=1.0)
+    x0 = jax.random.normal(jax.random.key(0), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(1), x0.shape)
+    sigmas = s.inference_sigmas(20)
+    x = eps  # start at pure noise
+    for i in range(20):
+        v = eps - x0  # constant true velocity
+        x = s.euler_step(x, v, sigmas[i], sigmas[i + 1])
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_factory():
+    assert isinstance(get_schedule("flowmatch", "flux"), FlowMatchSchedule)
+    assert get_schedule("flowmatch", "sd3").shift == 3.0
+    assert isinstance(get_schedule("ddim", "sd1"), DDPMSchedule)
+    assert get_schedule("ddpm", "sd2").prediction_type == "v_prediction"
