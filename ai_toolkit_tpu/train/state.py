@@ -1,0 +1,81 @@
+"""TrainState: the single pytree the jitted train step maps over.
+
+Replaces the mutable object soup of the reference's train lifecycle
+(network/optimizer/EMA spread across ``BaseSDTrainProcess`` attributes) with
+one immutable struct: ``(state, batch, rng) -> (state, metrics)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    # frozen base variables: {'params': ..., optionally 'quant': ...}
+    model_variables: Any
+    # the thing being trained: {'lora': tree} and/or {'params': tree}, {'emb': tree}
+    trainable: Any
+    opt_state: Any
+    ema: Any = None  # EMA copy of `trainable` (None if disabled)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, model_variables, trainable, tx, use_ema: bool = False):
+        import jax.numpy as jnp
+
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            model_variables=model_variables,
+            trainable=trainable,
+            opt_state=tx.init(trainable),
+            ema=jax.tree.map(lambda x: x, trainable) if use_ema else None,
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads, ema_decay: float | None = None) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.trainable)
+        new_trainable = optax.apply_updates(self.trainable, updates)
+        new_ema = self.ema
+        if self.ema is not None and ema_decay is not None:
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                self.ema,
+                new_trainable,
+            )
+        return self.replace(
+            step=self.step + 1,
+            trainable=new_trainable,
+            opt_state=new_opt_state,
+            ema=new_ema,
+        )
+
+
+def merge_variables(model_variables: dict, trainable: dict) -> dict:
+    """Compose frozen base collections with trainable overlays for apply().
+
+    trainable keys map to collections: 'lora' -> lora collection; 'params'
+    (full fine-tune) overrides base params subtree-wise.
+    """
+    out = dict(model_variables)
+    for key, tree in trainable.items():
+        if key == "params" and "params" in out:
+            out["params"] = _deep_merge(out["params"], tree)
+        else:
+            out[key] = tree
+    return out
+
+
+def _deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out

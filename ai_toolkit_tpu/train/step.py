@@ -1,0 +1,176 @@
+"""The jitted train step — the heart of the framework.
+
+The reference's per-step call chain (preprocess -> encode -> noise ->
+forward -> loss -> backward -> clip -> step -> EMA,
+``/root/reference/extensions_built_in/sd_trainer/SDTrainer.py:1345-2265``)
+collapses here into one pure function ``(state, batch, rng) -> (state,
+metrics)`` built by ``make_train_step`` and compiled once under jit/pjit with
+mesh shardings. Gradient accumulation is a ``lax.scan`` over a leading
+microbatch axis — no Python-side loop, no optimizer no-op steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ai_toolkit_tpu.config.modules import TrainConfig
+from ai_toolkit_tpu.train.losses import compute_loss, diff_output_preservation_loss
+from ai_toolkit_tpu.train.state import TrainState, merge_variables
+
+
+@dataclass(frozen=True)
+class TrainStepConfig:
+    timestep_type: str = "sigmoid"
+    timestep_bias: float = 1.0
+    loss_type: str = "mse"
+    huber_c: float = 0.001
+    min_snr_gamma: float | None = None
+    use_timestep_weights: bool = False  # linear_timesteps / weighted
+    timestep_weights_v2: bool = False
+    noise_offset: float = 0.0
+    noise_multiplier: float = 1.0
+    ema_decay: float | None = None
+    grad_accum: int = 1
+    diff_output_preservation: bool = False
+    dop_multiplier: float = 1.0
+    inverted_mask_prior: bool = False
+    inverted_mask_prior_multiplier: float = 0.5
+    do_prior_pred: bool = False  # run an adapter-off forward (DOP / prior losses)
+
+    @classmethod
+    def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
+        return cls(
+            timestep_type="linear" if tc.linear_timesteps or tc.linear_timesteps2 else tc.timestep_type,
+            timestep_bias=tc.timestep_bias,
+            loss_type=tc.loss_type if tc.loss_type in ("mse", "mae", "pseudo_huber") else "mse",
+            huber_c=tc.pseudo_huber_c,
+            min_snr_gamma=tc.min_snr_gamma,
+            use_timestep_weights=bool(
+                tc.linear_timesteps or tc.linear_timesteps2 or tc.timestep_type == "weighted"
+            ),
+            timestep_weights_v2=bool(tc.linear_timesteps2),
+            noise_offset=tc.noise_offset,
+            noise_multiplier=tc.noise_multiplier,
+            ema_decay=tc.ema_config.ema_decay if tc.ema_config.use_ema else None,
+            grad_accum=max(1, tc.gradient_accumulation_steps),
+            diff_output_preservation=tc.diff_output_preservation,
+            dop_multiplier=tc.diff_output_preservation_multiplier,
+            inverted_mask_prior=tc.inverted_mask_prior,
+            inverted_mask_prior_multiplier=tc.inverted_mask_prior_multiplier,
+            do_prior_pred=tc.diff_output_preservation or tc.inverted_mask_prior,
+        )
+
+
+def make_train_step(
+    predict_fn: Callable[..., jax.Array],
+    schedule: Any,
+    cfg: TrainStepConfig,
+) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
+    """Build the train step.
+
+    predict_fn(variables, noisy_latents, t, cond) -> model prediction, where
+    ``cond`` is the model-specific conditioning dict from the batch
+    (prompt embeds, pooled embeds, position ids, ...). ``variables`` carries
+    the 'lora' collection when training an adapter — predict_fn must pass it
+    through to apply().
+    """
+
+    is_flow = hasattr(schedule, "euler_step")
+
+    def microbatch_loss(trainable, model_variables, batch, rng):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        rng_t, rng_n, rng_o = jax.random.split(rng, 3)
+
+        if is_flow:
+            seq_len = batch.get("image_seq_len")
+            t = schedule.sample_timesteps(
+                rng_t, b, timestep_type=cfg.timestep_type,
+                image_seq_len=seq_len, timestep_bias=cfg.timestep_bias,
+            )
+        else:
+            t = schedule.sample_timesteps(rng_t, b)
+
+        noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+        if cfg.noise_multiplier != 1.0:
+            noise = noise * cfg.noise_multiplier
+        if cfg.noise_offset:
+            # per-channel offset noise (reference get_noise, BaseSDTrainProcess.py:992)
+            offs = jax.random.normal(rng_o, latents.shape[:1] + (1,) * (latents.ndim - 2) + latents.shape[-1:])
+            noise = noise + cfg.noise_offset * offs.astype(latents.dtype)
+
+        noisy = schedule.add_noise(latents, noise, t)
+        target = schedule.target(latents, noise, t)
+
+        variables = merge_variables(model_variables, trainable)
+        cond = batch.get("cond", {})
+        pred = predict_fn(variables, noisy, t, cond)
+
+        prior_pred = None
+        if cfg.do_prior_pred:
+            base_vars = {k: v for k, v in variables.items() if k != "lora"}
+            prior_pred = jax.lax.stop_gradient(predict_fn(base_vars, noisy, t, cond))
+
+        tw = None
+        if cfg.use_timestep_weights and is_flow:
+            tw = schedule.loss_weights(
+                t, timestep_type=cfg.timestep_type, v2=cfg.timestep_weights_v2
+            )
+        elif cfg.min_snr_gamma and not is_flow:
+            tw = schedule.min_snr_weight(t, cfg.min_snr_gamma)
+
+        loss, aux = compute_loss(
+            pred,
+            target,
+            loss_type=cfg.loss_type,
+            huber_c=cfg.huber_c,
+            timestep_weights=tw,
+            loss_multiplier=batch.get("loss_multiplier"),
+            mask=batch.get("mask"),
+            prior_pred=prior_pred if cfg.inverted_mask_prior else None,
+            inverted_mask_prior_multiplier=cfg.inverted_mask_prior_multiplier,
+        )
+        if cfg.diff_output_preservation and prior_pred is not None:
+            loss = loss + diff_output_preservation_loss(pred, prior_pred, cfg.dop_multiplier)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array) -> tuple[TrainState, dict]:
+        rng = jax.random.fold_in(rng, state.step)
+
+        if cfg.grad_accum <= 1:
+            (loss, aux), grads = grad_fn(state.trainable, state.model_variables, batch, rng)
+        else:
+            # batch leaves have a leading [accum, micro_b, ...] axis
+            def scan_body(carry, xs):
+                g_acc, loss_acc = carry
+                micro, r = xs
+                (l, _), g = grad_fn(state.trainable, state.model_variables, micro, r)
+                return (
+                    jax.tree.map(lambda a, b: a + b, g_acc, g),
+                    loss_acc + l,
+                ), None
+
+            zero = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable)
+            rngs = jax.random.split(rng, cfg.grad_accum)
+            (grads, loss_sum), _ = jax.lax.scan(scan_body, (zero, 0.0), (batch, rngs))
+            grads = jax.tree.map(lambda g: g / cfg.grad_accum, grads)
+            loss = loss_sum / cfg.grad_accum
+            aux = {}
+
+        new_state = state.apply_gradients(grads, ema_decay=cfg.ema_decay)
+        metrics = {"loss": loss, "grad_norm": optax_global_norm(grads), **aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))

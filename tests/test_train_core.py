@@ -1,0 +1,144 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+from ai_toolkit_tpu.ops.layers import Linear
+from ai_toolkit_tpu.samplers import DDPMSchedule, FlowMatchSchedule
+from ai_toolkit_tpu.train.optimizers import get_optimizer, adamw8bit, _quantize_blockwise, _dequantize_blockwise
+from ai_toolkit_tpu.train.state import TrainState, merge_variables
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+
+
+def test_blockwise_quant_roundtrip():
+    x = jax.random.normal(jax.random.key(0), (37, 13)) * 3.0
+    q = _quantize_blockwise(x)
+    y = _dequantize_blockwise(q, x.shape)
+    assert np.max(np.abs(np.asarray(x) - np.asarray(y))) < np.max(np.abs(np.asarray(x))) / 100
+
+
+def _optimize(tx, steps=200):
+    params = {"w": jnp.array([3.0, -2.0, 5.0])}
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(lambda p: jnp.sum(jnp.square(p["w"])))(params)
+        updates, state = tx.update(grads, state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(steps):
+        params, state = step(params, state)
+    return float(jnp.sum(jnp.square(params["w"])))
+
+
+def test_adamw8bit_optimizes():
+    assert _optimize(adamw8bit(1e-1)) < 1e-3
+
+
+@pytest.mark.parametrize("name", ["adamw", "adamw8bit", "lion", "adafactor", "prodigy", "automagic"])
+def test_optimizer_factory_runs(name):
+    tx = get_optimizer(name, 1e-2, max_grad_norm=1.0)
+    final = _optimize(tx, steps=100)
+    assert np.isfinite(final)
+    if name in ("adamw", "adamw8bit", "lion"):
+        assert final < 38.0  # initial value
+
+
+class TinyDiT(nn.Module):
+    """Stand-in model: predicts velocity from noisy latents + t."""
+
+    @nn.compact
+    def __call__(self, x, t, cond):
+        b, h, w, c = x.shape
+        emb = jnp.concatenate([x.reshape(b, -1), t[:, None]], axis=-1)
+        y = Linear(64, dtype=jnp.float32, param_dtype=jnp.float32, name="fc1")(emb)
+        y = nn.silu(y)
+        y = Linear(h * w * c, dtype=jnp.float32, param_dtype=jnp.float32, name="fc2")(y)
+        return y.reshape(x.shape)
+
+
+def _make_state_and_step(cfg=None, use_ema=False, schedule=None):
+    model = TinyDiT()
+    x = jnp.zeros((2, 4, 4, 2))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)), {})
+    params = variables["params"]
+    lora = build_lora(params, LoRASpec(rank=4, alpha=4.0), jax.random.key(1))
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": params}, {"lora": lora}, tx, use_ema=use_ema)
+
+    def predict_fn(variables, noisy, t, cond):
+        return model.apply(variables, noisy, t, cond)
+
+    schedule = schedule or FlowMatchSchedule()
+    cfg = cfg or TrainStepConfig(timestep_type="sigmoid", ema_decay=0.9 if use_ema else None)
+    step = jax.jit(make_train_step(predict_fn, schedule, cfg))
+    return state, step
+
+
+def test_train_step_reduces_loss():
+    state, step = _make_state_and_step()
+    batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
+    losses = []
+    for i in range(60):
+        state, metrics = step(state, batch, jax.random.key(42))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 60
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert np.isfinite(metrics["grad_norm"])
+
+
+def test_train_step_ema_tracks():
+    state, step = _make_state_and_step(use_ema=True)
+    batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
+    state2, _ = step(state, batch, jax.random.key(0))
+    # ema moved toward new trainable but not equal to it
+    a0 = np.asarray(state.ema["lora"]["fc2"]["b"])
+    a1 = np.asarray(state2.ema["lora"]["fc2"]["b"])
+    at = np.asarray(state2.trainable["lora"]["fc2"]["b"])
+    assert not np.array_equal(a0, a1)
+    assert not np.allclose(a1, at)
+    # ema = 0.9*old + 0.1*new exactly
+    np.testing.assert_allclose(a1, 0.9 * a0 + 0.1 * at, rtol=1e-5, atol=1e-8)
+
+
+def test_grad_accum_matches_big_batch():
+    schedule = FlowMatchSchedule()
+    state, step1 = _make_state_and_step(
+        cfg=TrainStepConfig(timestep_type="linear", grad_accum=1), schedule=schedule
+    )
+    _, step4 = _make_state_and_step(
+        cfg=TrainStepConfig(timestep_type="linear", grad_accum=4), schedule=schedule
+    )
+    lat = jax.random.normal(jax.random.key(7), (4, 2, 4, 4, 2))
+    out_accum, m_accum = step4(state, {"latents": lat}, jax.random.key(3))
+    assert np.isfinite(float(m_accum["loss"]))
+    assert int(out_accum.step) == 1
+
+
+def test_masked_and_weighted_paths_execute():
+    cfg = TrainStepConfig(
+        timestep_type="linear", use_timestep_weights=True, inverted_mask_prior=True,
+        do_prior_pred=True,
+    )
+    state, step = _make_state_and_step(cfg=cfg)
+    batch = {
+        "latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2)),
+        "mask": jnp.ones((2, 4, 4, 1)).at[:, :2].set(0.0),
+        "loss_multiplier": jnp.array([1.0, 0.5]),
+    }
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "prior_loss" in metrics
+
+
+def test_eps_schedule_min_snr_path():
+    cfg = TrainStepConfig(timestep_type="linear", min_snr_gamma=5.0)
+    state, step = _make_state_and_step(cfg=cfg, schedule=DDPMSchedule())
+    batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
