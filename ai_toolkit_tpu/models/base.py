@@ -1,0 +1,80 @@
+"""BaseModel protocol — the per-arch interface contract.
+
+Mirror of the reference's ``BaseModel`` API surface
+(``/root/reference/toolkit/models/base_model.py:98-1631``: arch,
+is_flow_matching, load_model, get_prompt_embeds, get_noise_prediction,
+encode_images/decode_latents, bucket divisibility, LoRA key conversion),
+reshaped for JAX: models hold *no tensors* — they build modules, init/load
+variable pytrees, and expose pure functions over them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+
+
+class BaseTpuModel:
+    arch: str = "base"
+    archs: list[str] = []
+    is_flow_matching: bool = True
+    bucket_divisibility: int = 16  # pixel divisibility for bucketed resolutions
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+
+    # ---- construction ----
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        """Random-init the full variable tree (test/bench path)."""
+        raise NotImplementedError
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        """Load from ``config.name_or_path`` if it exists locally, else random init."""
+        raise NotImplementedError
+
+    # ---- pure functions ----
+
+    def predict(self, variables: dict, noisy_latents: jax.Array, t: jax.Array, cond: dict) -> jax.Array:
+        """The model forward used by the train step and samplers."""
+        raise NotImplementedError
+
+    def encode_prompt(self, te_variables: dict, prompts: list[str]) -> dict:
+        """Text -> conditioning dict (host-callable; jit inside)."""
+        raise NotImplementedError
+
+    def encode_images(self, vae_variables: dict, images: jax.Array, rng=None) -> jax.Array:
+        raise NotImplementedError
+
+    def decode_latents(self, vae_variables: dict, latents: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    # ---- adapter wiring ----
+
+    def lora_targets(self) -> list[str]:
+        """Regex patterns for default LoRA targeting."""
+        return []
+
+    def partition_rules(self) -> list:
+        return []
+
+    # ---- geometry ----
+
+    def latent_shape(self, height: int, width: int) -> tuple[int, int, int]:
+        raise NotImplementedError
+
+    def image_seq_len(self, height: int, width: int) -> int:
+        """Token count for dynamic timestep shifting."""
+        h, w, _ = self.latent_shape(height, width)
+        return h * w
+
+    # ---- persistence ----
+
+    def lora_key_layout(self) -> str:
+        """'kohya' | 'comfy' | arch-specific — used by io/lora_file."""
+        return "kohya"

@@ -1,0 +1,172 @@
+"""SD1.x / SD2.x / SDXL model wrappers (eps/v-pred UNet family).
+
+Parity target: the reference's legacy ``StableDiffusion`` monolith
+(``/root/reference/toolkit/stable_diffusion_model.py:127``) for the sd1, sd2,
+sdxl archs: CLIP conditioning (dual TE + pooled + time_ids for SDXL), 4-ch
+VAE, DDPM-family schedules.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+from ai_toolkit_tpu.models.base import BaseTpuModel
+from ai_toolkit_tpu.models.registry import register_model
+from ai_toolkit_tpu.models.text_encoders import CLIPTextConfig, CLIPTextModel
+from ai_toolkit_tpu.models.unet import UNet2DCondition, UNetConfig, unet_lora_targets, unet_partition_rules
+from ai_toolkit_tpu.models.vae import AutoencoderKL, VAEConfig
+from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
+
+
+@register_model
+class SDModel(BaseTpuModel):
+    arch = "sd1"
+    archs = ["sd1", "sd15", "sd2", "ssd", "vega"]
+    is_flow_matching = False
+    bucket_divisibility = 8
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        size = config.model_kwargs.get("size", "full")
+        if size == "tiny":
+            self.unet_config = UNetConfig.tiny()
+            self.vae_config = VAEConfig.tiny()
+            self.clip_config = CLIPTextConfig.tiny()
+        else:
+            self.unet_config = UNetConfig.sd21() if config.arch == "sd2" else UNetConfig.sd15()
+            self.vae_config = VAEConfig.sd()
+            self.clip_config = CLIPTextConfig.clip_l()
+        self.unet = UNet2DCondition(self.unet_config)
+        self.vae = AutoencoderKL(self.vae_config)
+        self.clip = CLIPTextModel(self.clip_config)
+        self.tokenizer = load_tokenizer(
+            config.name_or_path, "tokenizer", vocab_size=self.clip_config.vocab_size,
+            eos_id=self.clip_config.eos_token_id, max_len=77,
+        )
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        r_unet, r_vae, r_clip = jax.random.split(rng, 3)
+        d = 8 * 2 ** (len(self.unet_config.block_out_channels) - 1)
+        added = None
+        if self.unet_config.addition_time_embed_dim:
+            pooled_dim = (
+                self.unet_config.projection_class_embeddings_dim
+                - 6 * self.unet_config.addition_time_embed_dim
+            )
+            added = {
+                "time_ids": jnp.zeros((1, 6), jnp.float32),
+                "text_embeds": jnp.zeros((1, pooled_dim), self.unet_config.dtype),
+            }
+        unet_vars = self.unet.init(
+            r_unet,
+            jnp.zeros((1, d // 8, d // 8, self.unet_config.in_channels), self.unet_config.dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 8, self.unet_config.cross_attention_dim), self.unet_config.dtype),
+            added,
+        )
+        vae_vars = self.vae.init(
+            r_vae, jnp.zeros((1, 2 * self.vae_config.downscale, 2 * self.vae_config.downscale, 3)),
+        )
+        clip_vars = self.clip.init(r_clip, jnp.zeros((1, 77), jnp.int32))
+        return {
+            "unet": unet_vars["params"],
+            "vae": vae_vars["params"],
+            "clip": clip_vars["params"],
+        }
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        path = self.config.name_or_path
+        if path and os.path.isdir(path):
+            from ai_toolkit_tpu.io.sd_import import load_sd_checkpoint
+
+            return load_sd_checkpoint(path, self)
+        return self.init_variables(rng)
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        ids = np.stack([self.tokenizer.encode(p) for p in prompts])
+        out = jax.jit(self.clip.apply)({"params": variables["clip"]}, jnp.asarray(ids))
+        return {"context": out["last_hidden_state"]}
+
+    def predict(self, variables, noisy_latents, t, cond):
+        collections = {"params": variables["unet"]}
+        for k in ("lora", "quant"):
+            if k in variables:
+                collections[k] = variables[k]
+        return self.unet.apply(collections, noisy_latents, t, cond["context"], cond.get("added_cond"))
+
+    def encode_images(self, variables, images, rng=None):
+        return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
+
+    def decode_latents(self, variables, latents):
+        return self.vae.apply({"params": variables["vae"]}, latents, method=AutoencoderKL.decode)
+
+    def latent_shape(self, height: int, width: int):
+        d = self.vae_config.downscale
+        return height // d, width // d, self.vae_config.latent_channels
+
+    def lora_targets(self):
+        return unet_lora_targets()
+
+    def partition_rules(self):
+        return unet_partition_rules()
+
+
+@register_model
+class SDXLModel(SDModel):
+    arch = "sdxl"
+    archs = ["sdxl"]
+    bucket_divisibility = 8
+
+    def __init__(self, config: ModelConfig):
+        BaseTpuModel.__init__(self, config)
+        size = config.model_kwargs.get("size", "full")
+        if size == "tiny":
+            self.unet_config = UNetConfig(
+                block_out_channels=(32, 64), layers_per_block=1, transformer_layers=(0, 1),
+                num_heads=2, cross_attention_dim=128, addition_time_embed_dim=32,
+                projection_class_embeddings_dim=64 + 32 * 6, dtype=jnp.float32,
+                param_dtype=jnp.float32, remat=False,
+            )
+            self.vae_config = VAEConfig.tiny()
+            self.clip_config = CLIPTextConfig.tiny()
+            self.clip2_config = CLIPTextConfig.tiny()
+        else:
+            self.unet_config = UNetConfig.sdxl()
+            self.vae_config = VAEConfig.sdxl()
+            self.clip_config = CLIPTextConfig.clip_l()
+            self.clip2_config = CLIPTextConfig.open_clip_g()
+        self.unet = UNet2DCondition(self.unet_config)
+        self.vae = AutoencoderKL(self.vae_config)
+        self.clip = CLIPTextModel(self.clip_config)
+        self.clip2 = CLIPTextModel(self.clip2_config)
+        self.tokenizer = load_tokenizer(
+            config.name_or_path, "tokenizer", vocab_size=self.clip_config.vocab_size,
+            eos_id=self.clip_config.eos_token_id, max_len=77,
+        )
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        r1, r2 = jax.random.split(rng)
+        out = super().init_variables(r1)
+        out["clip2"] = self.clip2.init(r2, jnp.zeros((1, 77), jnp.int32))["params"]
+        return out
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        """SDXL: concat penultimate states of both TEs; pooled from TE2."""
+        ids = np.stack([self.tokenizer.encode(p) for p in prompts])
+        ids = jnp.asarray(ids)
+        o1 = jax.jit(self.clip.apply, static_argnums=2)({"params": variables["clip"]}, ids, 1)
+        o2 = jax.jit(self.clip2.apply, static_argnums=2)({"params": variables["clip2"]}, ids, 1)
+        context = jnp.concatenate([o1["last_hidden_state"], o2["last_hidden_state"]], axis=-1)
+        return {"context": context, "pooled": o2["pooled_output"]}
+
+    def added_cond(self, pooled: jax.Array, height: int, width: int) -> dict:
+        b = pooled.shape[0]
+        time_ids = jnp.tile(
+            jnp.asarray([height, width, 0, 0, height, width], jnp.float32)[None], (b, 1)
+        )
+        return {"time_ids": time_ids, "text_embeds": pooled}

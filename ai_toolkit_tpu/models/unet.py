@@ -1,0 +1,226 @@
+"""Conditional UNet (SD1.x / SD2.x / SDXL) in Flax, NHWC.
+
+One configurable implementation of the diffusers-style UNet2DConditionModel
+the reference trains for the sd/sdxl archs
+(``/root/reference/toolkit/stable_diffusion_model.py``): resnet blocks with
+timestep injection, transformer blocks with self+cross attention and GEGLU
+FF, optional SDXL additional embeddings (time_ids + pooled text).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import PartitionSpec as P
+
+from ai_toolkit_tpu.ops.attention import dot_product_attention
+from ai_toolkit_tpu.ops.embeddings import timestep_embedding
+from ai_toolkit_tpu.ops.layers import Conv, GroupNorm, LayerNorm, Linear
+from ai_toolkit_tpu.parallel.sharding import PartitionRule
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # per down-level transformer depth; 0 = plain resnet level
+    transformer_layers: tuple[int, ...] = (1, 1, 1, 0)
+    num_heads: int = 8
+    cross_attention_dim: int = 768
+    # SDXL extras
+    addition_time_embed_dim: int | None = None  # 256 for sdxl
+    projection_class_embeddings_dim: int | None = None  # 2816 for sdxl
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True
+
+    @classmethod
+    def sd15(cls) -> "UNetConfig":
+        return cls()
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        return cls(cross_attention_dim=1024, num_heads=10)
+
+    @classmethod
+    def sdxl(cls) -> "UNetConfig":
+        return cls(
+            block_out_channels=(320, 640, 1280),
+            transformer_layers=(0, 2, 10),
+            cross_attention_dim=2048,
+            num_heads=20,
+            addition_time_embed_dim=256,
+            projection_class_embeddings_dim=2816,
+        )
+
+    @classmethod
+    def tiny(cls) -> "UNetConfig":
+        return cls(
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            transformer_layers=(1, 1),
+            num_heads=2,
+            cross_attention_dim=64,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            remat=False,
+        )
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+class ResnetBlock(nn.Module):
+    out_ch: int
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, temb):
+        dt, pdt = self.cfg.dtype, self.cfg.param_dtype
+        h = GroupNorm(32, dtype=dt, name="norm1")(x)
+        h = nn.silu(h)
+        h = Conv(self.out_ch, (3, 3), dtype=dt, param_dtype=pdt, name="conv1")(h)
+        t = Linear(self.out_ch, dtype=dt, param_dtype=pdt, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = GroupNorm(32, dtype=dt, name="norm2")(h)
+        h = nn.silu(h)
+        h = Conv(self.out_ch, (3, 3), dtype=dt, param_dtype=pdt, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = Conv(self.out_ch, (1, 1), dtype=dt, param_dtype=pdt, name="conv_shortcut")(x)
+        return x + h
+
+
+class TransformerBlock(nn.Module):
+    cfg: UNetConfig
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        cfg = self.cfg
+        dt, pdt = cfg.dtype, cfg.param_dtype
+        nh = cfg.num_heads
+        hd = self.dim // nh
+        b, s, _ = x.shape
+
+        def attn(h, ctx, prefix):
+            q = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name=f"{prefix}_q")(h)
+            k = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name=f"{prefix}_k")(ctx)
+            v = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name=f"{prefix}_v")(ctx)
+            q = q.reshape(b, s, nh, hd)
+            k = k.reshape(b, ctx.shape[1], nh, hd)
+            v = v.reshape(b, ctx.shape[1], nh, hd)
+            o = dot_product_attention(q, k, v).reshape(b, s, self.dim)
+            return Linear(self.dim, dtype=dt, param_dtype=pdt, name=f"{prefix}_out")(o)
+
+        h = LayerNorm(dtype=dt, name="norm1")(x)
+        x = x + attn(h, h, "attn1")
+        h = LayerNorm(dtype=dt, name="norm2")(x)
+        x = x + attn(h, context, "attn2")
+        h = LayerNorm(dtype=dt, name="norm3")(x)
+        gate = Linear(self.dim * 8, dtype=dt, param_dtype=pdt, name="ff_in")(h)
+        a, g = jnp.split(gate, 2, axis=-1)
+        h = a * jax.nn.gelu(g)
+        return x + Linear(self.dim, dtype=dt, param_dtype=pdt, name="ff_out")(h)
+
+
+class SpatialTransformer(nn.Module):
+    cfg: UNetConfig
+    depth: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        cfg = self.cfg
+        dt, pdt = cfg.dtype, cfg.param_dtype
+        b, hh, ww, c = x.shape
+        h = GroupNorm(32, dtype=dt, name="norm")(x)
+        h = h.reshape(b, hh * ww, c)
+        h = Linear(c, dtype=dt, param_dtype=pdt, name="proj_in")(h)
+        for i in range(self.depth):
+            h = TransformerBlock(cfg, c, name=f"block_{i}")(h, context)
+        h = Linear(c, dtype=dt, param_dtype=pdt, name="proj_out")(h)
+        return x + h.reshape(b, hh, ww, c)
+
+
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, H, W, C] noisy latents
+        t: jax.Array,  # [B] integer timesteps (or [0,1] flow times * 1000)
+        context: jax.Array,  # [B, S, cross_dim] text states
+        added_cond: dict | None = None,  # sdxl: {"time_ids": [B,6], "text_embeds": [B,1280]}
+    ) -> jax.Array:
+        cfg = self.cfg
+        dt, pdt = cfg.dtype, cfg.param_dtype
+        ted = cfg.time_embed_dim
+
+        temb = timestep_embedding(t, cfg.block_out_channels[0], time_factor=1.0)
+        temb = Linear(ted, dtype=dt, param_dtype=pdt, name="time_fc1")(temb.astype(dt))
+        temb = Linear(ted, dtype=dt, param_dtype=pdt, name="time_fc2")(nn.silu(temb))
+
+        if cfg.addition_time_embed_dim and added_cond is not None:
+            tid = timestep_embedding(
+                added_cond["time_ids"].reshape(-1), cfg.addition_time_embed_dim, time_factor=1.0
+            ).reshape(x.shape[0], -1)
+            add = jnp.concatenate([added_cond["text_embeds"], tid.astype(dt)], axis=-1)
+            add = Linear(ted, dtype=dt, param_dtype=pdt, name="add_fc1")(add.astype(dt))
+            add = Linear(ted, dtype=dt, param_dtype=pdt, name="add_fc2")(nn.silu(add))
+            temb = temb + add
+
+        Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        Attn = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
+
+        h = Conv(cfg.block_out_channels[0], (3, 3), dtype=dt, param_dtype=pdt, name="conv_in")(x)
+        skips = [h]
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                h = Res(ch, cfg, name=f"down_{i}_res_{j}")(h, temb)
+                if cfg.transformer_layers[i] > 0:
+                    h = Attn(cfg, cfg.transformer_layers[i], name=f"down_{i}_attn_{j}")(h, context)
+                skips.append(h)
+            if i < len(cfg.block_out_channels) - 1:
+                h = Conv(ch, (3, 3), strides=(2, 2), dtype=dt, param_dtype=pdt,
+                         name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        mid_ch = cfg.block_out_channels[-1]
+        h = Res(mid_ch, cfg, name="mid_res_0")(h, temb)
+        h = Attn(cfg, max(cfg.transformer_layers[-1], 1), name="mid_attn")(h, context)
+        h = Res(mid_ch, cfg, name="mid_res_1")(h, temb)
+
+        for i, ch in reversed(list(enumerate(cfg.block_out_channels))):
+            for j in range(cfg.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = Res(ch, cfg, name=f"up_{i}_res_{j}")(h, temb)
+                if cfg.transformer_layers[i] > 0:
+                    h = Attn(cfg, cfg.transformer_layers[i], name=f"up_{i}_attn_{j}")(h, context)
+            if i > 0:
+                b, hh, ww, cc = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
+                h = Conv(cc, (3, 3), dtype=dt, param_dtype=pdt, name=f"up_{i}_upsample")(h)
+
+        h = GroupNorm(32, dtype=dt, name="norm_out")(h)
+        h = nn.silu(h)
+        return Conv(cfg.out_channels, (3, 3), dtype=dt, param_dtype=pdt, name="conv_out")(h)
+
+
+def unet_partition_rules() -> list[PartitionRule]:
+    return [
+        PartitionRule(r"(attn1|attn2)_(q|k|v)/kernel", P("fsdp", "tp")),
+        PartitionRule(r"(attn1|attn2)_out/kernel", P("tp", "fsdp")),
+        PartitionRule(r"ff_in/kernel", P("fsdp", "tp")),
+        PartitionRule(r"ff_out/kernel", P("tp", "fsdp")),
+    ]
+
+
+def unet_lora_targets() -> list[str]:
+    """Default: attention + ff linears (kohya-style UNet LoRA targeting)."""
+    return [r"attn\d_(q|k|v|out)$", r"ff_(in|out)$", r"proj_(in|out)$"]

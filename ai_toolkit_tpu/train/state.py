@@ -59,13 +59,14 @@ class TrainState:
 def merge_variables(model_variables: dict, trainable: dict) -> dict:
     """Compose frozen base collections with trainable overlays for apply().
 
-    trainable keys map to collections: 'lora' -> lora collection; 'params'
-    (full fine-tune) overrides base params subtree-wise.
+    New collections (e.g. 'lora') are attached as-is; keys that already exist
+    in the base tree (e.g. 'params' or a component like 'dit' under full
+    fine-tune) are deep-merged so the trainable subtree shadows the frozen one.
     """
     out = dict(model_variables)
     for key, tree in trainable.items():
-        if key == "params" and "params" in out:
-            out["params"] = _deep_merge(out["params"], tree)
+        if key in out and isinstance(out[key], dict) and isinstance(tree, dict):
+            out[key] = _deep_merge(out[key], tree)
         else:
             out[key] = tree
     return out
