@@ -1,0 +1,100 @@
+"""Latent & text-embed caching.
+
+TPU-first version of the reference's caching mixins
+(``/root/reference/toolkit/dataloader_mixins.py:1692-2177``): VAE-encode each
+file once (batched per bucket so the encode itself is one big jitted op),
+store one safetensors file per item keyed by content+bucket+encoder-version
+hash, and memoize text embeddings per processed caption. On TPU this is the
+default path — it keeps the input pipeline entirely off the train-step
+critical path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ai_toolkit_tpu.data.dataset import FileItem
+
+
+def _cache_key(item: FileItem, version: str) -> str:
+    st = os.stat(item.path)
+    raw = f"{item.path}|{st.st_mtime_ns}|{st.st_size}|{item.bucket}|{item.flip}|{version}"
+    return hashlib.md5(raw.encode()).hexdigest()
+
+
+def latent_cache_path(item: FileItem, cache_dir: str, version: str = "v1") -> str:
+    return os.path.join(cache_dir, f"{_cache_key(item, version)}.safetensors")
+
+
+def cache_latents(
+    items: Iterable[FileItem],
+    encode_fn: Callable[[np.ndarray], np.ndarray],
+    cache_dir: str,
+    batch_size: int = 8,
+    version: str = "v1",
+    to_disk: bool = True,
+) -> dict[str, np.ndarray]:
+    """Encode all uncached items; returns {cache_path_or_key: latent [h,w,c]}.
+
+    Items are grouped by bucket so every encode_fn call has one static shape.
+    """
+    from safetensors.numpy import save_file, load_file
+
+    os.makedirs(cache_dir, exist_ok=True)
+    memory: dict[str, np.ndarray] = {}
+    by_bucket: dict[tuple[int, int], list[FileItem]] = {}
+    for it in items:
+        by_bucket.setdefault(it.bucket, []).append(it)
+
+    for bucket, bucket_items in sorted(by_bucket.items()):
+        pending: list[FileItem] = []
+        for it in bucket_items:
+            p = latent_cache_path(it, cache_dir, version)
+            if to_disk and os.path.isfile(p):
+                continue
+            pending.append(it)
+        for i in range(0, len(pending), batch_size):
+            chunk = pending[i : i + batch_size]
+            imgs = np.stack([it.load_image() for it in chunk])
+            lats = np.asarray(encode_fn(imgs))
+            for it, lat in zip(chunk, lats):
+                p = latent_cache_path(it, cache_dir, version)
+                if to_disk:
+                    save_file({"latent": lat.astype(np.float16)}, p)
+                memory[p] = lat
+    return memory
+
+
+def load_cached_latent(item: FileItem, cache_dir: str, version: str = "v1") -> np.ndarray:
+    from safetensors.numpy import load_file
+
+    p = latent_cache_path(item, cache_dir, version)
+    return load_file(p)["latent"].astype(np.float32)
+
+
+class TextEmbedCache:
+    """Memoized prompt -> conditioning dict (reference TextEmbeddingCachingMixin)."""
+
+    def __init__(self, encode_fn: Callable[[list[str]], dict], max_items: int = 100_000):
+        self.encode_fn = encode_fn
+        self.cache: dict[str, dict] = {}
+        self.max_items = max_items
+
+    def get(self, prompts: list[str]) -> dict:
+        missing = [p for p in prompts if p not in self.cache]
+        if missing:
+            uniq = list(dict.fromkeys(missing))
+            out = self.encode_fn(uniq)
+            for i, p in enumerate(uniq):
+                if len(self.cache) < self.max_items:
+                    self.cache[p] = {
+                        k: np.asarray(v[i]) for k, v in out.items() if v is not None
+                    }
+        first = self.cache[prompts[0]]
+        return {
+            k: np.stack([self.cache[p][k] for p in prompts]) for k in first
+        }

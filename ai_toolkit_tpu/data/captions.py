@@ -1,0 +1,60 @@
+"""Caption processing: triggers, dropout, shuffle, keep_tokens.
+
+Behavior parity with the reference's CaptionMixin / CaptionProcessingDTOMixin
+(``/root/reference/toolkit/dataloader_mixins.py:128,313``): ``[trigger]`` tag
+replacement, trigger injection when absent, comma-split token shuffle and
+dropout with ``keep_tokens`` pinned, full-caption dropout to "".
+"""
+
+from __future__ import annotations
+
+import random
+
+
+def load_caption_for(path: str, caption_ext: str = "txt", default: str = "") -> str:
+    import os
+
+    base, _ = os.path.splitext(path)
+    cap_path = f"{base}.{caption_ext}"
+    if os.path.isfile(cap_path):
+        text = open(cap_path, encoding="utf-8").read().strip()
+        if caption_ext == "json":
+            import json
+
+            try:
+                data = json.loads(text)
+                text = data.get("caption", data.get("text", ""))
+            except Exception:
+                pass
+        return text
+    return default
+
+
+def process_caption(
+    caption: str,
+    *,
+    trigger_word: str | None = None,
+    caption_dropout_rate: float = 0.0,
+    token_dropout_rate: float = 0.0,
+    shuffle_tokens: bool = False,
+    keep_tokens: int = 0,
+    rng: random.Random | None = None,
+) -> str:
+    rng = rng or random
+    if trigger_word:
+        if "[trigger]" in caption:
+            caption = caption.replace("[trigger]", trigger_word)
+        elif trigger_word not in caption:
+            caption = f"{trigger_word}, {caption}" if caption else trigger_word
+    if caption_dropout_rate > 0 and rng.random() < caption_dropout_rate:
+        return ""
+    if shuffle_tokens or token_dropout_rate > 0:
+        tokens = [t.strip() for t in caption.split(",") if t.strip()]
+        head, tail = tokens[:keep_tokens], tokens[keep_tokens:]
+        if token_dropout_rate > 0:
+            tail = [t for t in tail if rng.random() >= token_dropout_rate]
+        if shuffle_tokens:
+            tail = list(tail)
+            rng.shuffle(tail)
+        caption = ", ".join(head + tail)
+    return caption

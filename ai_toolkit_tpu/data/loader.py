@@ -1,0 +1,123 @@
+"""DataLoader: epochs of bucket-batches with background prefetch.
+
+Replaces the reference's torch DataLoader + DTO collation
+(``/root/reference/toolkit/data_transfer_object/data_loader.py:188``,
+``data_loader.py:664``) with a plain host-side iterator producing numpy
+batches (static shape per bucket), prefetched on a thread so image decode /
+cache reads overlap with the device step. Epoch boundaries re-shuffle and
+re-batch (the reference's ``trigger_dataloader_setup_epoch``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import DatasetConfig
+from ai_toolkit_tpu.data.caching import load_cached_latent
+from ai_toolkit_tpu.data.dataset import FileItem, FolderDataset
+
+
+class DataLoader:
+    def __init__(
+        self,
+        datasets: list[FolderDataset],
+        batch_size: int,
+        latent_cache_dir: str | None = None,
+        encode_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+        prefetch: int = 2,
+        seed: int = 42,
+    ):
+        self.datasets = datasets
+        self.batch_size = batch_size
+        self.latent_cache_dir = latent_cache_dir
+        self.encode_fn = encode_fn
+        self.prefetch = prefetch
+        self.epoch = 0
+        if latent_cache_dir is None and encode_fn is None:
+            raise ValueError("need latent_cache_dir (cached) or encode_fn (on-the-fly)")
+
+    def __len__(self):
+        n = 0
+        for ds in self.datasets:
+            n += len(ds.build_batches(self.batch_size, shuffle=False))
+        return n
+
+    def _load_batch(self, ds: FolderDataset, batch: list[FileItem]) -> dict:
+        out: dict = {"bucket": batch[0].bucket}
+        if self.latent_cache_dir is not None:
+            lat = np.stack(
+                [load_cached_latent(it, self.latent_cache_dir) for it in batch]
+            )
+        else:
+            imgs = np.stack([it.load_image() for it in batch])
+            lat = np.asarray(self.encode_fn(imgs))
+        out["latents"] = lat.astype(np.float32)
+        out["captions"] = [ds.processed_caption(it) for it in batch]
+        masks = [it.load_mask() for it in batch]
+        if any(m is not None for m in masks):
+            bw, bh = batch[0].bucket
+            full = np.ones((bh, bw, 1), np.float32)
+            out["pixel_mask"] = np.stack([m if m is not None else full for m in masks])
+        cfg = ds.cfg
+        mult = cfg.loss_multiplier * (cfg.network_weight if cfg.is_reg else 1.0)
+        out["loss_multiplier"] = np.full((len(batch),), mult, np.float32)
+        out["is_reg"] = batch[0].is_reg
+        return out
+
+    def _epoch_plan(self) -> list[tuple[FolderDataset, list[FileItem]]]:
+        plan: list[tuple[FolderDataset, list[FileItem]]] = []
+        for ds in self.datasets:
+            for b in ds.build_batches(self.batch_size, shuffle=True):
+                plan.append((ds, b))
+        rng = np.random.default_rng(self.epoch)
+        order = rng.permutation(len(plan))
+        return [plan[i] for i in order]
+
+    def epoch_iter(self) -> Iterator[dict]:
+        """One epoch with threaded prefetch."""
+        plan = self._epoch_plan()
+        self.epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for ds, batch in plan:
+                    q.put(self._load_batch(ds, batch))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def __iter__(self) -> Iterator[dict]:
+        """Endless stream over epochs (the train loop counts steps, not epochs)."""
+        while True:
+            yield from self.epoch_iter()
+
+
+def build_dataloader(
+    dataset_configs: list[DatasetConfig],
+    batch_size: int,
+    bucket_divisibility: int,
+    trigger_word: str | None = None,
+    latent_cache_dir: str | None = None,
+    encode_fn=None,
+    seed: int = 42,
+) -> DataLoader:
+    datasets = [
+        FolderDataset(cfg, bucket_divisibility, trigger_word, seed=seed + i)
+        for i, cfg in enumerate(dataset_configs)
+    ]
+    return DataLoader(
+        datasets, batch_size, latent_cache_dir=latent_cache_dir, encode_fn=encode_fn, seed=seed
+    )

@@ -1,0 +1,141 @@
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ai_toolkit_tpu.config.modules import DatasetConfig
+from ai_toolkit_tpu.data.buckets import get_bucket_for_image_size, resize_and_crop_size
+from ai_toolkit_tpu.data.caching import TextEmbedCache, cache_latents, load_cached_latent
+from ai_toolkit_tpu.data.captions import process_caption
+from ai_toolkit_tpu.data.dataset import FolderDataset
+from ai_toolkit_tpu.data.loader import build_dataloader
+
+
+def make_image_folder(tmp_path, sizes, captions=True):
+    folder = tmp_path / "imgs"
+    folder.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(folder / f"img_{i}.png")
+        if captions:
+            (folder / f"img_{i}.txt").write_text(f"caption {i}, tag_a, tag_b")
+    return str(folder)
+
+
+def test_bucket_algorithm():
+    # square image at its own resolution
+    assert get_bucket_for_image_size(512, 512, 512, 8) == (512, 512)
+    # wide image stays under pixel budget and divisible
+    w, h = get_bucket_for_image_size(1920, 1080, 512, 8)
+    assert w % 8 == 0 and h % 8 == 0
+    assert w * h <= 512 * 512
+    assert abs((w / h) - (1920 / 1080)) < 0.1
+    # small image is not upscaled beyond its own pixels
+    w, h = get_bucket_for_image_size(256, 256, 512, 8)
+    assert (w, h) == (256, 256)
+    # divisibility 16 and 64
+    for d in (16, 64):
+        w, h = get_bucket_for_image_size(1000, 700, 512, d)
+        assert w % d == 0 and h % d == 0
+
+
+def test_resize_crop_covers():
+    rw, rh, x0, y0 = resize_and_crop_size(1920, 1080, 512, 288)
+    assert rw >= 512 and rh >= 288
+    assert x0 >= 0 and y0 >= 0
+
+
+def test_caption_processing():
+    rng = random.Random(0)
+    out = process_caption("a photo of [trigger], smiling", trigger_word="sks")
+    assert out == "a photo of sks, smiling"
+    out = process_caption("no trigger here", trigger_word="sks")
+    assert out.startswith("sks, ")
+    out = process_caption("a, b, c", caption_dropout_rate=1.0, rng=rng)
+    assert out == ""
+    out = process_caption("a, b, c, d", shuffle_tokens=True, keep_tokens=1, rng=random.Random(1))
+    assert out.startswith("a")
+    assert set(t.strip() for t in out.split(",")) == {"a", "b", "c", "d"}
+
+
+def test_folder_dataset_and_batches(tmp_path):
+    folder = make_image_folder(tmp_path, [(512, 512), (512, 512), (1024, 512), (300, 400)])
+    cfg = DatasetConfig.from_dict({"folder_path": folder, "resolution": 256})
+    ds = FolderDataset(cfg, bucket_divisibility=16)
+    assert len(ds.items) == 4
+    buckets = {it.bucket for it in ds.items}
+    assert all(w % 16 == 0 and h % 16 == 0 for w, h in buckets)
+    batches = ds.build_batches(batch_size=2)
+    # every batch has a single bucket and is exactly batch_size
+    for b in batches:
+        assert len(b) == 2
+        assert len({it.bucket for it in b}) == 1
+
+
+def test_multi_resolution_expands_items(tmp_path):
+    folder = make_image_folder(tmp_path, [(512, 512)])
+    cfg = DatasetConfig.from_dict({"folder_path": folder, "resolution": [256, 512], "num_repeats": 2})
+    ds = FolderDataset(cfg, bucket_divisibility=16)
+    assert len(ds.items) == 4  # 2 resolutions x 2 repeats
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    folder = make_image_folder(tmp_path, [(256, 256), (256, 256), (512, 256)])
+    cfg = DatasetConfig.from_dict({"folder_path": folder, "resolution": 256})
+    ds = FolderDataset(cfg, bucket_divisibility=16)
+    cache_dir = str(tmp_path / "cache")
+
+    def fake_encode(imgs):  # [B,H,W,3] -> [B,H/8,W/8,4]
+        b, h, w, _ = imgs.shape
+        return np.mean(imgs.reshape(b, h // 8, 8, w // 8, 8, 3), axis=(2, 4))[..., :3].repeat(2, -1)[..., :4]
+
+    mem = cache_latents(ds.items, fake_encode, cache_dir, batch_size=2)
+    assert len(mem) == 3
+    # second call: everything cached, nothing re-encoded
+    mem2 = cache_latents(ds.items, fake_encode, cache_dir, batch_size=2)
+    assert len(mem2) == 0
+    lat = load_cached_latent(ds.items[0], cache_dir)
+    bw, bh = ds.items[0].bucket
+    assert lat.shape == (bh // 8, bw // 8, 4)
+
+
+def test_dataloader_end_to_end(tmp_path):
+    folder = make_image_folder(tmp_path, [(256, 256)] * 5)
+    cfg = DatasetConfig.from_dict(
+        {"folder_path": folder, "resolution": 128, "caption_dropout_rate": 0.0}
+    )
+
+    def fake_encode(imgs):
+        b, h, w, _ = imgs.shape
+        return np.zeros((b, h // 8, w // 8, 4), np.float32)
+
+    dl = build_dataloader([cfg], batch_size=2, bucket_divisibility=16, trigger_word="sks",
+                          encode_fn=fake_encode)
+    batches = list(dl.epoch_iter())
+    assert len(batches) == 3  # ceil(5/2) with padding
+    b0 = batches[0]
+    assert b0["latents"].shape == (2, 16, 16, 4)
+    assert all("sks" in c for c in b0["captions"])
+    assert b0["loss_multiplier"].shape == (2,)
+    # endless iterator crosses epochs
+    it = iter(dl)
+    for _ in range(7):
+        next(it)
+
+
+def test_text_embed_cache():
+    calls = []
+
+    def encode(prompts):
+        calls.append(list(prompts))
+        return {"txt": np.stack([np.full((4,), float(len(p))) for p in prompts])}
+
+    cache = TextEmbedCache(encode)
+    out = cache.get(["aa", "bbb", "aa"])
+    assert out["txt"].shape == (3, 4)
+    assert out["txt"][0][0] == 2.0 and out["txt"][1][0] == 3.0 and out["txt"][2][0] == 2.0
+    cache.get(["aa", "bbb"])
+    assert len(calls) == 1  # fully memoized
