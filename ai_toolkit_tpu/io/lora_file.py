@@ -1,0 +1,176 @@
+"""LoRA safetensors export/import with kohya / PEFT / ComfyUI key layouts.
+
+Spec source: the reference's save path
+(``/root/reference/toolkit/network_mixins.py:581-720``,
+``lora_special.py:455-502``): kohya keys are
+``lora_unet_<module_path_underscored>.lora_down.weight`` / ``.lora_up.weight``
+/ ``.alpha`` (prefix ``lora_te``/``lora_te1``/``lora_te2`` for text encoders,
+``lora_transformer`` for DiTs); PEFT format is
+``transformer.<dotted_path>.lora_A.weight`` / ``lora_B.weight``; ComfyUI flux
+wants ``transformer.`` -> ``diffusion_model.``
+(``flux2_model.py:508-521``). Weights are stored torch-oriented
+([out, in] etc.), so our JAX [in, r]/[r, out] factors are transposed on the
+way out and back in.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+import numpy as np
+
+from ai_toolkit_tpu.adapters.lora import _is_lora_leaf, lora_paths
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def _c(x: np.ndarray, dtype) -> np.ndarray:
+    # safetensors writes the raw buffer; transposed views keep F-order through
+    # astype(order='K'), so force C-contiguity explicitly.
+    return np.ascontiguousarray(x.astype(dtype))
+
+
+def _get(tree: dict, path: tuple[str, ...]) -> dict:
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def flatten_lora(
+    lora: dict,
+    key_map: Callable[[str], str] | dict[str, str] | None = None,
+    fmt: str = "kohya",
+    prefix: str = "lora_transformer",
+    dtype=np.float16,
+) -> dict[str, np.ndarray]:
+    """lora pytree -> flat {external_key: tensor} dict.
+
+    key_map translates an internal '/'-joined module path to the external
+    dotted module name (e.g. 'double_0/img_qkv' -> 'double_blocks.0.img_attn.qkv').
+    """
+    out: dict[str, np.ndarray] = {}
+    for path in lora_paths(lora):
+        leaf = _get(lora, path)
+        pstr = "/".join(path)
+        if callable(key_map):
+            ext = key_map(pstr)
+        elif isinstance(key_map, dict):
+            ext = key_map.get(pstr, pstr.replace("/", "."))
+        else:
+            ext = pstr.replace("/", ".")
+        if ext is None:
+            continue
+        a, b, scale = _np(leaf["a"]), _np(leaf["b"]), float(_np(leaf["scale"]))
+        if a.ndim == 2:
+            down = a.T  # [r, in] torch layout
+            up = b.T  # [out, r]
+        else:  # conv [kh,kw,in,r] -> torch [r, in, kh, kw]
+            down = a.transpose(3, 2, 0, 1)
+            up = b.transpose(3, 2, 0, 1)
+        rank = a.shape[-1]
+        alpha = scale * rank  # scale = alpha/rank
+        if fmt == "kohya":
+            key = f"{prefix}_{ext.replace('.', '_')}"
+            out[f"{key}.lora_down.weight"] = _c(down, dtype)
+            out[f"{key}.lora_up.weight"] = _c(up, dtype)
+            out[f"{key}.alpha"] = np.asarray(alpha, dtype)
+        elif fmt in ("peft", "comfy"):
+            root = "diffusion_model" if fmt == "comfy" else "transformer"
+            out[f"{root}.{ext}.lora_A.weight"] = _c(down, dtype)
+            out[f"{root}.{ext}.lora_B.weight"] = _c(up, dtype)
+        else:
+            raise ValueError(f"unknown lora format {fmt}")
+    return out
+
+
+def unflatten_lora(
+    flat: dict[str, np.ndarray],
+    inverse_key_map: Callable[[str], str] | dict[str, str] | None = None,
+) -> dict:
+    """flat external dict -> lora pytree (inverse of flatten_lora)."""
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    for key, v in flat.items():
+        if key.endswith(".lora_down.weight") or key.endswith(".lora_A.weight"):
+            part = "down"
+            mod = key.rsplit(".lora_", 1)[0]
+        elif key.endswith(".lora_up.weight") or key.endswith(".lora_B.weight"):
+            part = "up"
+            mod = key.rsplit(".lora_", 1)[0]
+        elif key.endswith(".alpha"):
+            part = "alpha"
+            mod = key[: -len(".alpha")]
+        else:
+            continue
+        groups.setdefault(mod, {})[part] = v
+
+    lora: dict = {}
+    for mod, parts in groups.items():
+        if "down" not in parts or "up" not in parts:
+            continue
+        # strip known prefixes; kohya keys stay underscored (the key map resolves
+        # them exactly — blind '_'->'.' would corrupt names like 'to_q')
+        ext = mod
+        for pre in ("lora_transformer_", "lora_unet_", "lora_te1_", "lora_te2_", "lora_te_"):
+            if ext.startswith(pre):
+                ext = ext[len(pre) :]
+                break
+        for pre in ("transformer.", "diffusion_model."):
+            if ext.startswith(pre):
+                ext = ext[len(pre) :]
+                break
+        if callable(inverse_key_map):
+            internal = inverse_key_map(ext)
+        elif isinstance(inverse_key_map, dict):
+            internal = inverse_key_map.get(ext, ext.replace(".", "/"))
+        else:
+            internal = ext.replace(".", "/")
+        if internal is None:
+            continue
+        down = parts["down"].astype(np.float32)
+        up = parts["up"].astype(np.float32)
+        if down.ndim == 2:
+            a = down.T  # [in, r]
+            b = up.T  # [r, out]
+        else:
+            a = down.transpose(2, 3, 1, 0)
+            b = up.transpose(2, 3, 1, 0)
+        rank = a.shape[-1]
+        alpha = float(parts.get("alpha", rank))
+        node = lora
+        pieces = internal.split("/")
+        for k in pieces[:-1]:
+            node = node.setdefault(k, {})
+        node[pieces[-1]] = {"a": a, "b": b, "scale": np.float32(alpha / rank)}
+    return lora
+
+
+def save_lora_file(
+    lora: dict,
+    path: str,
+    key_map=None,
+    fmt: str = "kohya",
+    prefix: str = "lora_transformer",
+    metadata: dict | None = None,
+    dtype=np.float16,
+) -> None:
+    from safetensors.numpy import save_file
+
+    flat = flatten_lora(lora, key_map, fmt, prefix, dtype)
+    meta = {str(k): str(v) for k, v in (metadata or {}).items()}
+    save_file(flat, path, metadata=meta)
+
+
+def load_lora_file(path: str, inverse_key_map=None) -> tuple[dict, dict]:
+    """Returns (lora_tree, metadata)."""
+    from safetensors import safe_open
+
+    flat = {}
+    with safe_open(path, framework="numpy") as f:
+        meta = dict(f.metadata() or {})
+        for k in f.keys():
+            flat[k] = f.get_tensor(k)
+    return unflatten_lora(flat, inverse_key_map), meta

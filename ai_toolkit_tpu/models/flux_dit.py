@@ -243,6 +243,65 @@ def flux_partition_rules(tp: bool = True) -> list[PartitionRule]:
     ]
 
 
+_FLUX_KEY_PATTERNS = [
+    # (internal regex, external template) — BFL/ComfyUI flux module names
+    (r"^double_(\d+)/img_qkv$", "double_blocks.{0}.img_attn.qkv"),
+    (r"^double_(\d+)/txt_qkv$", "double_blocks.{0}.txt_attn.qkv"),
+    (r"^double_(\d+)/img_proj$", "double_blocks.{0}.img_attn.proj"),
+    (r"^double_(\d+)/txt_proj$", "double_blocks.{0}.txt_attn.proj"),
+    (r"^double_(\d+)/img_mlp_in$", "double_blocks.{0}.img_mlp.0"),
+    (r"^double_(\d+)/img_mlp_out$", "double_blocks.{0}.img_mlp.2"),
+    (r"^double_(\d+)/txt_mlp_in$", "double_blocks.{0}.txt_mlp.0"),
+    (r"^double_(\d+)/txt_mlp_out$", "double_blocks.{0}.txt_mlp.2"),
+    (r"^double_(\d+)/img_mod/mod$", "double_blocks.{0}.img_mod.lin"),
+    (r"^double_(\d+)/txt_mod/mod$", "double_blocks.{0}.txt_mod.lin"),
+    (r"^single_(\d+)/linear1$", "single_blocks.{0}.linear1"),
+    (r"^single_(\d+)/linear2$", "single_blocks.{0}.linear2"),
+    (r"^single_(\d+)/mod/mod$", "single_blocks.{0}.modulation.lin"),
+    (r"^img_in$", "img_in"),
+    (r"^txt_in$", "txt_in"),
+    (r"^final_proj$", "final_layer.linear"),
+    (r"^final_mod$", "final_layer.adaLN_modulation.1"),
+]
+
+
+def flux_lora_key_map(lora_or_params: dict) -> dict[str, str]:
+    """internal '/'-joined paths -> external BFL dotted module names.
+
+    Covers every module that can carry a LoRA; used by io/lora_file for
+    kohya/peft/comfy export with reference-identical key layout.
+    """
+    import re as _re
+
+    from ai_toolkit_tpu.adapters.lora import lora_paths as _lp
+
+    out: dict[str, str] = {}
+    try:
+        paths = ["/".join(p) for p in _lp(lora_or_params)]
+    except Exception:
+        paths = []
+    if not paths:
+        paths = _all_module_paths(lora_or_params)
+    for p in paths:
+        for pat, tmpl in _FLUX_KEY_PATTERNS:
+            m = _re.match(pat, p)
+            if m:
+                out[p] = tmpl.format(*m.groups())
+                break
+    return out
+
+
+def _all_module_paths(params: dict, prefix: tuple[str, ...] = ()) -> list[str]:
+    out = []
+    for k, v in params.items():
+        if isinstance(v, dict):
+            if "kernel" in v or "a" in v:
+                out.append("/".join(prefix + (k,)))
+            else:
+                out.extend(_all_module_paths(v, prefix + (k,)))
+    return out
+
+
 def flux_lora_targets() -> list[str]:
     """Default LoRA targeting (transformer blocks only, as the reference's
     transformer_only/only_if_contains defaults do for flux)."""

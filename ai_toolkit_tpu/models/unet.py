@@ -221,6 +221,68 @@ def unet_partition_rules() -> list[PartitionRule]:
     ]
 
 
+def unet_lora_key_map(lora_or_params: dict, num_levels: int = 4) -> dict[str, str]:
+    """internal '/'-joined paths -> diffusers/kohya UNet module names
+    (``down_blocks.i.attentions.j.transformer_blocks.k.attn1.to_q`` etc.)."""
+    import re as _re
+
+    from ai_toolkit_tpu.adapters.lora import lora_paths as _lp
+    from ai_toolkit_tpu.models.flux_dit import _all_module_paths
+
+    leaf_map = {
+        "attn1_q": "attn1.to_q", "attn1_k": "attn1.to_k", "attn1_v": "attn1.to_v",
+        "attn1_out": "attn1.to_out.0", "attn2_q": "attn2.to_q", "attn2_k": "attn2.to_k",
+        "attn2_v": "attn2.to_v", "attn2_out": "attn2.to_out.0",
+        "ff_in": "ff.net.0.proj", "ff_out": "ff.net.2",
+    }
+
+    def convert(p: str) -> str | None:
+        m = _re.match(r"^down_(\d+)_res_(\d+)/(\w+)$", p)
+        if m:
+            return f"down_blocks.{m.group(1)}.resnets.{m.group(2)}.{m.group(3)}"
+        m = _re.match(r"^up_(\d+)_res_(\d+)/(\w+)$", p)
+        if m:
+            return f"up_blocks.{num_levels - 1 - int(m.group(1))}.resnets.{m.group(2)}.{m.group(3)}"
+        m = _re.match(r"^(down|up)_(\d+)_attn_(\d+)/(?:block_(\d+)/)?(\w+)$", p)
+        if m:
+            kind, i, j, k, leaf = m.groups()
+            idx = int(i) if kind == "down" else num_levels - 1 - int(i)
+            base = f"{kind}_blocks.{idx}.attentions.{j}"
+            if k is None:
+                return f"{base}.{leaf}"  # proj_in / proj_out
+            return f"{base}.transformer_blocks.{k}.{leaf_map.get(leaf, leaf)}"
+        m = _re.match(r"^mid_res_(\d+)/(\w+)$", p)
+        if m:
+            return f"mid_block.resnets.{m.group(1)}.{m.group(2)}"
+        m = _re.match(r"^mid_attn/(?:block_(\d+)/)?(\w+)$", p)
+        if m:
+            k, leaf = m.groups()
+            base = "mid_block.attentions.0"
+            if k is None:
+                return f"{base}.{leaf}"
+            return f"{base}.transformer_blocks.{k}.{leaf_map.get(leaf, leaf)}"
+        m = _re.match(r"^down_(\d+)_downsample$", p)
+        if m:
+            return f"down_blocks.{m.group(1)}.downsamplers.0.conv"
+        m = _re.match(r"^up_(\d+)_upsample$", p)
+        if m:
+            return f"up_blocks.{num_levels - 1 - int(m.group(1))}.upsamplers.0.conv"
+        simple = {
+            "conv_in": "conv_in", "conv_out": "conv_out",
+            "time_fc1": "time_embedding.linear_1", "time_fc2": "time_embedding.linear_2",
+            "add_fc1": "add_embedding.linear_1", "add_fc2": "add_embedding.linear_2",
+        }
+        return simple.get(p)
+
+    paths = ["/".join(p) for p in _lp(lora_or_params)] or _all_module_paths(lora_or_params)
+    out = {}
+    for p in paths:
+        ext = convert(p)
+        if ext:
+            out[p] = ext
+    return out
+
+
 def unet_lora_targets() -> list[str]:
     """Default: attention + ff linears (kohya-style UNet LoRA targeting)."""
     return [r"attn\d_(q|k|v|out)$", r"ff_(in|out)$", r"proj_(in|out)$"]
