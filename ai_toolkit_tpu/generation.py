@@ -1,0 +1,121 @@
+"""Image generation (sampling) pipelines.
+
+Replaces the reference's per-model ``generate_single_image`` diffusion loops
+(``/root/reference/toolkit/models/base_model.py:386``, model plugins) with
+pure JAX loops: one jitted denoise step re-used across all sigmas (static
+shapes per resolution), CFG for eps models, guidance-embedding for flux.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import GenerateImageConfig
+from ai_toolkit_tpu.samplers import DDPMSchedule, FlowMatchSchedule
+from ai_toolkit_tpu.train.state import merge_variables
+
+
+def generate_flux(
+    model,
+    variables: dict,
+    gen: GenerateImageConfig,
+    lora: dict | None = None,
+    schedule: FlowMatchSchedule | None = None,
+) -> np.ndarray:
+    """Returns a uint8 HWC image."""
+    schedule = schedule or FlowMatchSchedule()
+    h, w, c = model.latent_shape(gen.height, gen.width)
+    cond = model.encode_prompt(variables, [gen.prompt])
+    pe = model.rope_table(h, w, cond["txt"].shape[1])
+    cond = {**cond, "pe": pe, "guidance": jnp.full((1,), gen.guidance_scale)}
+    if lora:
+        variables = merge_variables(variables, {"lora": lora})
+
+    rng = jax.random.key(gen.seed)
+    x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
+    seq_len = model.image_seq_len(gen.height, gen.width)
+    sigmas = schedule.inference_sigmas(gen.sample_steps, image_seq_len=seq_len)
+
+    @jax.jit
+    def denoise(x, sigma, sigma_next):
+        v = model.predict(variables, x, jnp.full((1,), sigma), cond)
+        return schedule.euler_step(x, v, sigma, sigma_next)
+
+    for i in range(gen.sample_steps):
+        x = denoise(x, sigmas[i], sigmas[i + 1])
+
+    img = model.decode_latents(variables, x)
+    return _to_uint8(img)
+
+
+def generate_sd(
+    model,
+    variables: dict,
+    gen: GenerateImageConfig,
+    lora: dict | None = None,
+    schedule: DDPMSchedule | None = None,
+) -> np.ndarray:
+    """DDIM with classifier-free guidance (uncond + cond batch of 2)."""
+    schedule = schedule or DDPMSchedule()
+    h, w, c = model.latent_shape(gen.height, gen.width)
+    do_cfg = gen.guidance_scale > 1.0
+    prompts = [gen.prompt]
+    if do_cfg:
+        prompts = [gen.negative_prompt, gen.prompt]
+    cond = model.encode_prompt(variables, prompts)
+    if hasattr(model, "added_cond") and "pooled" in cond:
+        cond = {
+            "context": cond["context"],
+            "added_cond": model.added_cond(cond["pooled"], gen.height, gen.width),
+        }
+    if lora:
+        variables = merge_variables(variables, {"lora": lora})
+
+    rng = jax.random.key(gen.seed)
+    x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
+    ts = schedule.ddim_timesteps(gen.sample_steps)
+
+    @jax.jit
+    def denoise(x, t, t_prev):
+        xin = jnp.concatenate([x, x]) if do_cfg else x
+        tin = jnp.full((xin.shape[0],), t, jnp.float32)
+        pred = model.predict(variables, xin, tin, cond)
+        if do_cfg:
+            uncond, text = jnp.split(pred, 2)
+            pred = uncond + gen.guidance_scale * (text - uncond)
+        return schedule.ddim_step(x, pred, jnp.full((1,), t, jnp.int32), jnp.full((1,), t_prev, jnp.int32))
+
+    for i in range(len(ts)):
+        t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
+        x = denoise(x, int(ts[i]), t_prev)
+
+    img = model.decode_latents(variables, x)
+    return _to_uint8(img)
+
+
+def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None) -> np.ndarray:
+    if model.is_flow_matching:
+        return generate_flux(model, variables, gen, lora, schedule)
+    return generate_sd(model, variables, gen, lora, schedule)
+
+
+def _to_uint8(img: jax.Array) -> np.ndarray:
+    arr = np.asarray(img[0], np.float32)
+    return np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+
+def save_image_atomic(img: np.ndarray, path: str) -> None:
+    """Write-then-rename (reference save_image_atomic, config_modules.py:1244)."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp.png"
+    Image.fromarray(img).save(tmp)
+    os.replace(tmp, path)

@@ -1,0 +1,54 @@
+"""Job dispatch (reference ``toolkit/job.py`` + ``jobs/*Job``).
+
+job kinds: 'train'/'extension' -> training processes; 'extract' -> LoRA
+extraction; 'generate' -> batch generation; 'mod' -> LoRA rescale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ai_toolkit_tpu.config.modules import JobConfig
+
+PROCESS_TYPES = {
+    "sd_trainer": "train",
+    "diffusion_trainer": "train",
+    "ui_trainer": "train",
+    "textual_inversion_trainer": "train",
+    "generate": "generate",
+    "extract_lora": "extract",
+    "mod_rescale": "mod",
+}
+
+
+class Job:
+    def __init__(self, job_config: JobConfig):
+        self.config = job_config
+        self.processes = []
+        for proc_cfg in job_config.processes:
+            kind = PROCESS_TYPES.get(proc_cfg.type, "train")
+            if kind == "train":
+                from ai_toolkit_tpu.jobs.train_process import SDTrainProcess
+
+                self.processes.append(SDTrainProcess(job_config.name, proc_cfg))
+            elif kind == "generate":
+                from ai_toolkit_tpu.jobs.generate_process import GenerateProcess
+
+                self.processes.append(GenerateProcess(job_config.name, proc_cfg))
+            elif kind == "extract":
+                from ai_toolkit_tpu.jobs.extract_process import ExtractLoraProcess
+
+                self.processes.append(ExtractLoraProcess(job_config.name, proc_cfg))
+            else:
+                raise ValueError(f"unknown process type {proc_cfg.type}")
+
+    def run(self) -> list[Any]:
+        return [p.run() for p in self.processes]
+
+
+def get_job(raw_config: dict) -> Job:
+    return Job(JobConfig.from_raw(raw_config))
+
+
+def run_job(raw_config: dict):
+    return get_job(raw_config).run()

@@ -1,0 +1,360 @@
+"""The training process: model load -> adapter -> data -> jitted loop -> save.
+
+This is the TPU-native equivalent of ``BaseSDTrainProcess.run()`` +
+``SDTrainer`` (``/root/reference/jobs/process/BaseSDTrainProcess.py:1738-2857``,
+``extensions_built_in/sd_trainer/SDTrainer.py``): the whole lifecycle, with
+the per-step work compiled into one pjit'd function instead of an eager hook
+chain. Covers: LoRA + full fine-tune, latent & text-embed caching, resume
+(weights + optimizer + step), EMA, save/sample cadence, checkpoint rotation,
+sample-grid generation, metrics logging, and mesh sharding (DP/FSDP/TP).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora, count_lora_params
+from ai_toolkit_tpu.config.modules import JobConfig, ProcessConfig
+from ai_toolkit_tpu.data.caching import TextEmbedCache, cache_latents
+from ai_toolkit_tpu.data.loader import build_dataloader
+from ai_toolkit_tpu.generation import generate, save_image_atomic
+from ai_toolkit_tpu.io.checkpoint import CheckpointManager
+from ai_toolkit_tpu.models.registry import get_model_class
+from ai_toolkit_tpu.parallel.mesh import make_mesh
+from ai_toolkit_tpu.parallel.sharding import apply_rules, named_sharding_tree, shard_batch_spec
+from ai_toolkit_tpu.samplers import get_schedule
+from ai_toolkit_tpu.train.optimizers import get_optimizer
+from ai_toolkit_tpu.train.state import TrainState
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+from ai_toolkit_tpu.utils.logging import RunLogger
+from ai_toolkit_tpu.utils.timer import Timer
+
+
+class SDTrainProcess:
+    """uid 'sd_trainer' / 'diffusion_trainer' / 'ui_trainer'."""
+
+    def __init__(self, job_name: str, cfg: ProcessConfig):
+        self.job_name = job_name
+        self.cfg = cfg
+        self.save_root = os.path.join(cfg.training_folder, job_name)
+        os.makedirs(self.save_root, exist_ok=True)
+        self.timer = Timer("train")
+        self.logger: RunLogger | None = None
+        self.progress_hook = None  # UI integration point (step, loss, status)
+
+    # ---- lifecycle ----
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        tc = cfg.train
+        seed = tc.seed if tc.seed is not None else int(os.environ.get("SEED", 42))
+        rng = jax.random.key(seed)
+
+        self.logger = RunLogger(cfg.logging, self.save_root, self.job_name)
+
+        # 1. model
+        model_cls = get_model_class(cfg.model.arch)
+        model = model_cls(cfg.model)
+        self.model = model
+        variables = model.load_variables(rng)
+
+        # 2. mesh + sharding of frozen base
+        mesh = make_mesh(cfg.mesh)
+        self.mesh = mesh
+        rules = model.partition_rules()
+        var_specs = apply_rules(variables, mesh, rules)
+        variables = jax.device_put(variables, named_sharding_tree(var_specs, mesh))
+
+        # 3. schedule
+        schedule = get_schedule(tc.noise_scheduler, cfg.model.arch)
+
+        # 4. trainable (LoRA / full fine-tune)
+        trainable, key_map, fmt, prefix = self._build_trainable(model, variables, rng)
+
+        # 5. optimizer + lr schedule
+        lr = self._lr_schedule(tc)
+        tx = get_optimizer(tc.optimizer, lr, tc.optimizer_params, tc.max_grad_norm)
+        state = TrainState.create(variables, trainable, tx, use_ema=tc.ema_config.use_ema)
+
+        # 6. checkpoints + resume
+        ckpt = CheckpointManager(
+            self.save_root, self.job_name,
+            max_step_saves_to_keep=cfg.save.max_step_saves_to_keep,
+            fmt=fmt, prefix=prefix, key_map=key_map,
+            dtype=np.float16 if cfg.save.dtype in ("float16", "fp16") else np.float32,
+        )
+        self.ckpt = ckpt
+        inverse = None
+        if key_map:
+            inverse = {v: k for k, v in key_map.items()}
+            inverse.update({v.replace(".", "_"): k for k, v in key_map.items()})
+        start_step = 0
+        resumed_lora, resume_step = ckpt.load_latest(inverse)
+        if resumed_lora is not None and "lora" in trainable:
+            cur = jax.tree.map(lambda x: x.shape, trainable["lora"])
+            new = jax.tree.map(lambda x: x.shape, resumed_lora)
+            shape_ok = cur == new
+            if not shape_ok:
+                print("resume checkpoint has different network shape — starting fresh "
+                      "(reference skips the optimizer in this case too)")
+            if shape_ok:
+                state = state.replace(trainable={"lora": jax.tree.map(jnp.asarray, resumed_lora)})
+                start_step = resume_step
+                opt_state, ema, _ = ckpt.load_opt_state(
+                    {"opt_state": state.opt_state, "ema": state.ema, "step": np.int64(0)}
+                )
+                if opt_state is not None:
+                    state = state.replace(opt_state=opt_state, ema=ema)
+                state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+                print(f"resumed from step {start_step}")
+
+        # 7. data
+        loader, text_cache = self._build_data(model, variables)
+
+        # 8. train step (jitted with shardings)
+        step_cfg = TrainStepConfig.from_train_config(tc)
+        predict_fn = model.predict
+        train_step = make_train_step(predict_fn, schedule, step_cfg)
+        batch_sharding = NamedSharding(mesh, shard_batch_spec(mesh))
+        # no donation: model_variables buffers are shared with the encode/sample
+        # closures; unchanged pass-through leaves are not copied by XLA anyway.
+        train_step = jax.jit(train_step)
+
+        # 9. first sample
+        if not tc.disable_sampling and not tc.skip_first_sample and cfg.sample.prompts:
+            self._sample(state, start_step)
+
+        # 10. the loop
+        data_iter = iter(loader)
+        rng_train = jax.random.key(seed + 1)
+        t_last = time.time()
+        losses: list[float] = []
+        final_metrics: dict = {}
+        for step in range(start_step, tc.steps):
+            with self.timer("data"):
+                raw = next(data_iter)
+                batch = self._prepare_batch(model, raw, text_cache, step_cfg)
+            with self.timer("step"):
+                state, metrics = train_step(state, batch, rng_train)
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            final_metrics = {"loss": loss}
+
+            if self.progress_hook:
+                self.progress_hook(step + 1, loss)
+            if (step + 1) % cfg.logging.log_every == 0 or step == start_step:
+                dt = (time.time() - t_last) / max(1, min(cfg.logging.log_every, step + 1 - start_step))
+                t_last = time.time()
+                lr_now = tc.lr
+                self.logger.log(
+                    {"loss": np.mean(losses[-cfg.logging.log_every :]), "lr": lr_now,
+                     "sec_per_step": dt}, step + 1,
+                )
+                print(f"step {step + 1}/{tc.steps} loss={loss:.4f} ({dt:.2f}s/step)")
+            if cfg.performance_log_every and (step + 1) % cfg.performance_log_every == 0:
+                print(self.timer.summary())
+            if cfg.save.save_every and (step + 1) % cfg.save.save_every == 0 and step + 1 < tc.steps:
+                self._save(state, step + 1)
+            if (
+                not tc.disable_sampling
+                and cfg.sample.sample_every
+                and (step + 1) % cfg.sample.sample_every == 0
+                and step + 1 < tc.steps
+            ):
+                self._sample(state, step + 1)
+
+        # 11. final save + sample
+        self._save(state, tc.steps, final=True)
+        if not tc.disable_sampling and cfg.sample.prompts:
+            self._sample(state, tc.steps)
+        self.logger.finish()
+        return {"final_loss": final_metrics.get("loss"), "steps": tc.steps}
+
+    # ---- helpers ----
+
+    def _build_trainable(self, model, variables, rng):
+        cfg = self.cfg
+        net = cfg.network
+        main_key = self._main_component(variables)
+        if net is None or net.type in ("full", "fine_tune"):
+            # full fine-tune: train the diffusion component itself
+            return {main_key: variables[main_key]}, None, "kohya", "lora_transformer"
+        spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
+        if net.transformer_only or net.type == "lora":
+            pass
+        lora = build_lora(variables[main_key], spec, rng)
+        n = count_lora_params(lora)
+        print(f"LoRA: {len(lora)} top-level modules, {n:,} trainable params (rank {spec.rank})")
+        key_map = self._key_map(model, lora)
+        fmt = "peft" if model.is_flow_matching else "kohya"
+        prefix = "lora_transformer" if model.is_flow_matching else "lora_unet"
+        return {"lora": lora}, key_map, fmt, prefix
+
+    @staticmethod
+    def _main_component(variables: dict) -> str:
+        for k in ("dit", "unet", "transformer"):
+            if k in variables:
+                return k
+        return next(iter(variables))
+
+    @staticmethod
+    def _key_map(model, lora):
+        from ai_toolkit_tpu.models.flux_dit import flux_lora_key_map
+        from ai_toolkit_tpu.models.unet import unet_lora_key_map
+
+        if model.is_flow_matching:
+            return flux_lora_key_map(lora)
+        return unet_lora_key_map(lora, num_levels=len(model.unet_config.block_out_channels))
+
+    def _lr_schedule(self, tc):
+        import optax
+
+        total = tc.steps
+        params = dict(tc.lr_scheduler_params or {})
+        name = (tc.lr_scheduler or "constant").lower()
+        if name == "constant":
+            return tc.lr
+        if name == "linear":
+            return optax.linear_schedule(tc.lr, params.get("end_lr", 0.0), total)
+        if name == "cosine":
+            return optax.cosine_decay_schedule(tc.lr, total, alpha=params.get("alpha", 0.0))
+        if name == "cosine_with_restarts":
+            n = params.get("num_cycles", 3)
+            per = max(1, total // n)
+            return optax.join_schedules(
+                [optax.cosine_decay_schedule(tc.lr, per) for _ in range(n)],
+                [per * (i + 1) for i in range(n - 1)],
+            )
+        if name == "constant_with_warmup":
+            warm = params.get("num_warmup_steps", 100)
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, tc.lr, warm), optax.constant_schedule(tc.lr)], [warm]
+            )
+        if name == "step":
+            every = params.get("step_size", max(1, total // 3))
+            gamma = params.get("gamma", 0.1)
+            return lambda step: tc.lr * gamma ** (step // every)
+        return tc.lr
+
+    def _build_data(self, model, variables):
+        cfg = self.cfg
+        if not cfg.datasets:
+            raise ValueError("no datasets configured")
+
+        encode_jit = jax.jit(lambda imgs: model.encode_images(variables, imgs))
+
+        def encode_fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(encode_jit(jnp.asarray(imgs)))
+
+        cache_dir = None
+        if all(d.cache_latents or d.cache_latents_to_disk for d in cfg.datasets):
+            cache_dir = os.path.join(self.save_root, "latent_cache")
+            from ai_toolkit_tpu.data.dataset import FolderDataset
+
+            for i, dcfg in enumerate(cfg.datasets):
+                ds = FolderDataset(dcfg, model.bucket_divisibility, cfg.trigger_word, seed=42 + i)
+                with self.timer("latent_cache"):
+                    cache_latents(ds.items, encode_fn, cache_dir, batch_size=cfg.train.batch_size)
+
+        loader = build_dataloader(
+            cfg.datasets, cfg.train.batch_size, model.bucket_divisibility,
+            trigger_word=cfg.trigger_word,
+            latent_cache_dir=cache_dir,
+            encode_fn=None if cache_dir else encode_fn,
+        )
+        text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
+        return loader, text_cache
+
+    def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
+        cond = text_cache.get(raw["captions"])
+        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        batch: dict = {
+            "latents": jnp.asarray(raw["latents"]),
+            "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
+        }
+        lat = raw["latents"]
+        if model.is_flow_matching and hasattr(model, "rope_table"):
+            h, w = lat.shape[1], lat.shape[2]
+            cond["pe"] = model.rope_table(h, w, int(cond["txt"].shape[1]))
+            cond["guidance"] = jnp.full((lat.shape[0],), 1.0)
+            batch["image_seq_len"] = (h // 2) * (w // 2)
+        if "pooled" in cond and hasattr(model, "added_cond"):
+            d = model.vae_config.downscale
+            cond["added_cond"] = model.added_cond(cond.pop("pooled"), lat.shape[1] * d, lat.shape[2] * d)
+        if "pixel_mask" in raw:
+            # downscale pixel mask to latent resolution (area mean)
+            m = raw["pixel_mask"]
+            d = m.shape[1] // lat.shape[1]
+            m = m.reshape(m.shape[0], lat.shape[1], d, lat.shape[2], d, 1).mean(axis=(2, 4))
+            batch["mask"] = jnp.asarray(m)
+        batch["cond"] = cond
+        return batch
+
+    def _save(self, state: TrainState, step: int, final: bool = False):
+        with self.timer("save"):
+            if "lora" in state.trainable:
+                save_tree = state.trainable["lora"]
+                if state.ema is not None and "lora" in state.ema:
+                    save_tree = state.ema["lora"]
+                path = self.ckpt.save(
+                    jax.tree.map(np.asarray, save_tree), step,
+                    opt_state=jax.tree.map(np.asarray, state.opt_state),
+                    ema=jax.tree.map(np.asarray, state.ema) if state.ema is not None else None,
+                    final=final,
+                )
+            else:
+                # full fine-tune: save component weights as flat safetensors
+                from safetensors.numpy import save_file
+
+                main_key = next(iter(state.trainable))
+                flat = _flatten_params(jax.tree.map(np.asarray, state.trainable[main_key]))
+                path = os.path.join(
+                    self.save_root,
+                    f"{self.job_name}.safetensors" if final else f"{self.job_name}_{step:09d}.safetensors",
+                )
+                save_file(flat, path, metadata={"step": str(step), "software": "ai_toolkit_tpu"})
+            print(f"saved: {path}")
+
+    def _sample(self, state: TrainState, step: int):
+        cfg = self.cfg
+        from ai_toolkit_tpu.config.modules import GenerateImageConfig
+
+        sample_dir = os.path.join(self.save_root, "samples")
+        lora = state.trainable.get("lora")
+        if lora is not None and state.ema is not None and "lora" in state.ema:
+            lora = state.ema["lora"]
+        variables = state.model_variables
+        if "lora" not in state.trainable:
+            variables = {**variables, **state.trainable}
+        with self.timer("sample"):
+            for i, item in enumerate(cfg.sample.prompts):
+                seed = cfg.sample.seed + (i if cfg.sample.walk_seed else 0)
+                gen = GenerateImageConfig.from_sample(cfg.sample, item, seed)
+                try:
+                    img = generate(self.model, variables, gen, lora=lora)
+                except Exception as e:
+                    print(f"sampling failed: {e}")
+                    return
+                path = os.path.join(sample_dir, f"{self.job_name}_{step:09d}_{i}.{gen.output_ext}")
+                save_image_atomic(img, path)
+                if self.logger:
+                    self.logger.log_image(img, f"sample_{i}", step)
+
+
+def _flatten_params(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, key))
+        else:
+            out[key] = np.ascontiguousarray(v)
+    return out

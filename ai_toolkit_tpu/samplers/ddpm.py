@@ -13,6 +13,7 @@ from functools import cached_property
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -23,30 +24,33 @@ class DDPMSchedule:
     beta_schedule: str = "scaled_linear"  # scaled_linear | linear | squaredcos_cap_v2
     prediction_type: str = "epsilon"  # epsilon | v_prediction | sample
 
+    # Tables are computed in numpy on the host: they are compile-time constants,
+    # and a jnp cached_property first touched inside a jit trace would cache a
+    # tracer (leak) instead of a value.
     @cached_property
-    def betas(self) -> jnp.ndarray:
+    def betas(self) -> np.ndarray:
         n = self.num_train_timesteps
         if self.beta_schedule == "scaled_linear":
-            return jnp.linspace(self.beta_start**0.5, self.beta_end**0.5, n, dtype=jnp.float32) ** 2
+            return np.linspace(self.beta_start**0.5, self.beta_end**0.5, n, dtype=np.float32) ** 2
         if self.beta_schedule == "linear":
-            return jnp.linspace(self.beta_start, self.beta_end, n, dtype=jnp.float32)
+            return np.linspace(self.beta_start, self.beta_end, n, dtype=np.float32)
         if self.beta_schedule == "squaredcos_cap_v2":
-            t = jnp.arange(n + 1, dtype=jnp.float32) / n
-            f = jnp.cos((t + 0.008) / 1.008 * jnp.pi / 2) ** 2
+            t = np.arange(n + 1, dtype=np.float32) / n
+            f = np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
             alphas = f[1:] / f[:-1]
-            return jnp.clip(1.0 - alphas, 0.0, 0.999)
+            return np.clip(1.0 - alphas, 0.0, 0.999)
         raise ValueError(f"unknown beta schedule {self.beta_schedule}")
 
     @cached_property
-    def alphas_cumprod(self) -> jnp.ndarray:
-        return jnp.cumprod(1.0 - self.betas)
+    def alphas_cumprod(self) -> np.ndarray:
+        return np.cumprod(1.0 - self.betas).astype(np.float32)
 
     def sample_timesteps(self, rng: jax.Array, batch_size: int, min_t: int = 0, max_t: int | None = None) -> jax.Array:
         max_t = max_t if max_t is not None else self.num_train_timesteps
         return jax.random.randint(rng, (batch_size,), min_t, max_t)
 
-    def _gather(self, table: jnp.ndarray, t: jax.Array, ndim: int) -> jax.Array:
-        v = table[t]
+    def _gather(self, table, t: jax.Array, ndim: int) -> jax.Array:
+        v = jnp.asarray(table)[t]
         return v.reshape(v.shape + (1,) * (ndim - v.ndim))
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
@@ -64,7 +68,7 @@ class DDPMSchedule:
         raise ValueError(self.prediction_type)
 
     def snr(self, t: jax.Array) -> jax.Array:
-        acp = self.alphas_cumprod[t]
+        acp = jnp.asarray(self.alphas_cumprod)[t]
         return acp / (1.0 - acp)
 
     def min_snr_weight(self, t: jax.Array, gamma: float) -> jax.Array:
@@ -85,9 +89,9 @@ class DDPMSchedule:
 
     # ---- DDIM sampling ----
 
-    def ddim_timesteps(self, num_steps: int) -> jnp.ndarray:
+    def ddim_timesteps(self, num_steps: int) -> np.ndarray:
         step = self.num_train_timesteps // num_steps
-        return (jnp.arange(num_steps) * step)[::-1] + 1
+        return (np.arange(num_steps) * step)[::-1] + 1
 
     def ddim_step(
         self,
@@ -98,9 +102,8 @@ class DDPMSchedule:
         eta: float = 0.0,
     ) -> jax.Array:
         acp_t = self._gather(self.alphas_cumprod, t, x_t.ndim).astype(jnp.float32)
-        acp_prev = jnp.where(
-            t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], jnp.ones(())
-        )
+        acp_table = jnp.asarray(self.alphas_cumprod)
+        acp_prev = jnp.where(t_prev >= 0, acp_table[jnp.maximum(t_prev, 0)], jnp.ones(()))
         acp_prev = acp_prev.reshape(acp_prev.shape + (1,) * (x_t.ndim - acp_prev.ndim))
         xf = x_t.astype(jnp.float32)
         pf = pred.astype(jnp.float32)

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""CLI entry: ``python run.py config/my_job.yaml [more_configs...]``.
+
+Mirrors the reference CLI surface (``/root/reference/run.py:70-147``):
+multiple configs run sequentially, ``-r/--recover`` continues past failures,
+``-n/--name`` overrides the job name, ``-l/--log`` tees output to a file,
+``SEED`` env seeds RNG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description="ai_toolkit_tpu job runner")
+    parser.add_argument("config_files", nargs="+", help="config name(s) or path(s)")
+    parser.add_argument("-r", "--recover", action="store_true",
+                        help="continue running remaining jobs on failure")
+    parser.add_argument("-n", "--name", type=str, default=None, help="job name override")
+    parser.add_argument("-l", "--log", type=str, default=None, help="tee output to log file")
+    args = parser.parse_args()
+
+    if args.log:
+        class _Tee:
+            def __init__(self, stream, path):
+                self.stream = stream
+                self.f = open(path, "a")
+
+            def write(self, s):
+                self.stream.write(s)
+                self.f.write(s)
+                self.f.flush()
+
+            def flush(self):
+                self.stream.flush()
+                self.f.flush()
+
+        sys.stdout = _Tee(sys.stdout, args.log)
+        sys.stderr = _Tee(sys.stderr, args.log)
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import run_job
+    from ai_toolkit_tpu.parallel.mesh import init_distributed
+
+    init_distributed()
+
+    failures = 0
+    for config_file in args.config_files:
+        try:
+            raw = get_config(config_file, name_override=args.name)
+            print(f"Running job: {raw['config']['name']}")
+            run_job(raw)
+        except KeyboardInterrupt:
+            print("interrupted")
+            return 130
+        except Exception:
+            traceback.print_exc()
+            failures += 1
+            if not args.recover:
+                return 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

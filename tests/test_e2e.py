@@ -1,0 +1,166 @@
+"""End-to-end: config file -> job -> train -> save -> resume -> sample."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+
+def make_dataset(tmp_path, n=4, size=64):
+    folder = tmp_path / "imgs"
+    folder.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text(f"photo of thing {i}")
+    return str(folder)
+
+
+def job_yaml(tmp_path, folder, arch="sd1", steps=4, extra_model=None, extra_train=None):
+    return {
+        "job": "extension",
+        "config": {
+            "name": "e2e_test",
+            "process": [
+                {
+                    "type": "sd_trainer",
+                    "training_folder": str(tmp_path / "output"),
+                    "trigger_word": "zxc",
+                    "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+                    "save": {"dtype": "float16", "save_every": 2, "max_step_saves_to_keep": 2},
+                    "datasets": [
+                        {"folder_path": folder, "caption_ext": "txt", "resolution": 64,
+                         "cache_latents_to_disk": True}
+                    ],
+                    "train": {
+                        "batch_size": 2,
+                        "steps": steps,
+                        "gradient_accumulation_steps": 1,
+                        "noise_scheduler": "ddpm" if arch == "sd1" else "flowmatch",
+                        "optimizer": "adamw",
+                        "lr": 1e-3,
+                        "dtype": "float32",
+                        "ema_config": {"use_ema": False},
+                        **(extra_train or {}),
+                    },
+                    "model": {
+                        "name_or_path": "",
+                        "arch": arch,
+                        "model_kwargs": {"size": "tiny"},
+                        **(extra_model or {}),
+                    },
+                    "logging": {"log_every": 2},
+                    "sample": {
+                        "sampler": "ddpm" if arch == "sd1" else "flowmatch",
+                        "sample_every": 0,
+                        "width": 64,
+                        "height": 64,
+                        "sample_steps": 2,
+                        "prompts": ["zxc thing --seed 1"],
+                    },
+                    "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+                }
+            ],
+        },
+    }
+
+
+@pytest.mark.slow
+def test_sd1_e2e_train_save_resume(tmp_path):
+    folder = make_dataset(tmp_path)
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(job_yaml(tmp_path, folder, steps=4)))
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    raw = get_config(cfg_path)
+    job = get_job(raw)
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+
+    out_dir = tmp_path / "output" / "e2e_test"
+    files = os.listdir(out_dir)
+    assert "e2e_test.safetensors" in files  # final save
+    assert any(f.startswith("e2e_test_0000000") for f in files)  # step save
+    assert "optimizer.msgpack" in files
+    assert (out_dir / "latent_cache").is_dir()
+    assert any(f.endswith(".png") for f in os.listdir(out_dir / "samples"))
+    assert (out_dir / "metrics.jsonl").exists()
+
+    # resume: bump steps and rerun — should pick up from the step checkpoint
+    raw2 = get_config(cfg_path)
+    raw2["config"]["process"][0]["train"]["steps"] = 6
+    job2 = get_job(raw2)
+    res2 = job2.run()
+    assert res2[0]["steps"] == 6
+
+
+@pytest.mark.slow
+def test_flux_tiny_e2e(tmp_path):
+    folder = make_dataset(tmp_path, n=2, size=32)
+    cfg = job_yaml(tmp_path, folder, arch="flux", steps=2)
+    proc = cfg["config"]["process"][0]
+    proc["datasets"][0]["resolution"] = 32
+    proc["sample"] = {
+        "sampler": "flowmatch", "sample_every": 0, "width": 32, "height": 32,
+        "sample_steps": 2, "prompts": ["zxc thing"],
+    }
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(cfg_path))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    out_dir = tmp_path / "output" / "e2e_test"
+    assert (out_dir / "e2e_test.safetensors").exists()
+    # exported keys are comfy/peft flux layout
+    from safetensors import safe_open
+
+    with safe_open(out_dir / "e2e_test.safetensors", framework="numpy") as f:
+        keys = list(f.keys())
+    assert any(k.startswith("transformer.double_blocks.") for k in keys)
+
+
+@pytest.mark.slow
+def test_extract_lora_job(tmp_path):
+    """Extract job: tuned = base + known low-rank delta -> recovered LoRA."""
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from ai_toolkit_tpu.jobs.extract_process import ExtractLoraProcess
+    from ai_toolkit_tpu.config.modules import ProcessConfig
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(32, 48)).astype(np.float32)
+    delta = (rng.normal(size=(32, 2)) @ rng.normal(size=(2, 48))).astype(np.float32) * 0.1
+    save_file({"blk.fc.kernel": w, "blk.fc.bias": np.zeros(48, np.float32)}, str(tmp_path / "base.safetensors"))
+    save_file({"blk.fc.kernel": w + delta, "blk.fc.bias": np.zeros(48, np.float32)}, str(tmp_path / "tuned.safetensors"))
+
+    proc_cfg = ProcessConfig.from_dict(
+        {
+            "type": "extract_lora",
+            "training_folder": str(tmp_path),
+            "base_weights": str(tmp_path / "base.safetensors"),
+            "tuned_weights": str(tmp_path / "tuned.safetensors"),
+            "rank": 4,
+            "format": "peft",
+            "output_path": str(tmp_path / "out.safetensors"),
+        }
+    )
+    out = ExtractLoraProcess("extract_test", proc_cfg).run()
+    assert out["modules"] == 1
+
+    from ai_toolkit_tpu.io.lora_file import load_lora_file
+
+    lora, meta = load_lora_file(str(tmp_path / "out.safetensors"))
+    leaf = lora["blk"]["fc"]
+    recon = (leaf["a"] @ leaf["b"]) * leaf["scale"]
+    np.testing.assert_allclose(recon, delta, atol=5e-3)
