@@ -126,7 +126,7 @@ class SDTrainProcess:
         batch_sharding = NamedSharding(mesh, shard_batch_spec(mesh))
         # no donation: model_variables buffers are shared with the encode/sample
         # closures; unchanged pass-through leaves are not copied by XLA anyway.
-        train_step = jax.jit(train_step)
+        train_step = jax.jit(train_step, static_argnames=("image_seq_len",))
 
         # 9. first sample
         if not tc.disable_sampling and not tc.skip_first_sample and cfg.sample.prompts:
@@ -142,8 +142,9 @@ class SDTrainProcess:
             with self.timer("data"):
                 raw = next(data_iter)
                 batch = self._prepare_batch(model, raw, text_cache, step_cfg)
+                seq_len = batch.pop("image_seq_len", None)
             with self.timer("step"):
-                state, metrics = train_step(state, batch, rng_train)
+                state, metrics = train_step(state, batch, rng_train, image_seq_len=seq_len)
             loss = float(metrics["loss"])
             losses.append(loss)
             final_metrics = {"loss": loss}

@@ -82,13 +82,12 @@ def make_train_step(
 
     is_flow = hasattr(schedule, "euler_step")
 
-    def microbatch_loss(trainable, model_variables, batch, rng):
+    def microbatch_loss(trainable, model_variables, batch, rng, seq_len):
         latents = batch["latents"]
         b = latents.shape[0]
         rng_t, rng_n, rng_o = jax.random.split(rng, 3)
 
         if is_flow:
-            seq_len = batch.get("image_seq_len")
             t = schedule.sample_timesteps(
                 rng_t, b, timestep_type=cfg.timestep_type,
                 image_seq_len=seq_len, timestep_bias=cfg.timestep_bias,
@@ -141,17 +140,23 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
 
-    def train_step(state: TrainState, batch: dict, rng: jax.Array) -> tuple[TrainState, dict]:
+    def train_step(
+        state: TrainState, batch: dict, rng: jax.Array, image_seq_len: int | None = None
+    ) -> tuple[TrainState, dict]:
+        # image_seq_len is STATIC (drives the host-side dynamic-shift mu);
+        # jit with static_argnames=("image_seq_len",) — one compile per bucket.
         rng = jax.random.fold_in(rng, state.step)
 
         if cfg.grad_accum <= 1:
-            (loss, aux), grads = grad_fn(state.trainable, state.model_variables, batch, rng)
+            (loss, aux), grads = grad_fn(state.trainable, state.model_variables, batch, rng,
+                                         image_seq_len)
         else:
             # batch leaves have a leading [accum, micro_b, ...] axis
             def scan_body(carry, xs):
                 g_acc, loss_acc = carry
                 micro, r = xs
-                (l, _), g = grad_fn(state.trainable, state.model_variables, micro, r)
+                (l, _), g = grad_fn(state.trainable, state.model_variables, micro, r,
+                                    image_seq_len)
                 return (
                     jax.tree.map(lambda a, b: a + b, g_acc, g),
                     loss_acc + l,

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark: FLUX-class rank-16 LoRA train step @1024px on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology (BASELINE.md): the reference publishes no steps/sec, so the
+baseline is an A100-equivalent estimate for the *same* model and batch:
+  baseline_steps_per_sec = A100_EFFECTIVE_FLOPS / flops_per_step
+with A100 bf16 peak 312 TFLOP/s at an assumed 40% end-to-end utilization for
+the reference's eager-PyTorch train loop (torch.compile-class efficiency).
+vs_baseline = measured_steps_per_sec / baseline_steps_per_sec  (>1 = faster
+than the A100 reference estimate, per chip).
+
+Model: flux-shaped DiT (hidden 3072, 24 heads, 4 double + 8 single blocks,
+~2.4B params) in bf16 — the largest flux-class model that fits a single
+v5e chip's HBM alongside activations; the full 12B layout is exercised via
+FSDP in __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora, count_lora_params
+from ai_toolkit_tpu.models.flux_dit import FluxConfig, FluxDiT, flux_lora_targets
+from ai_toolkit_tpu.ops.rope import image_position_ids, multi_axis_rope
+from ai_toolkit_tpu.samplers import FlowMatchSchedule
+from ai_toolkit_tpu.train.optimizers import get_optimizer
+from ai_toolkit_tpu.train.state import TrainState
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+
+A100_BF16_PEAK = 312e12
+A100_ASSUMED_UTIL = 0.40
+
+BATCH = 1
+IMG_TOKENS = 4096  # 1024px -> 128x128 latent -> 64x64 packed tokens... see note
+TXT_TOKENS = 512
+RANK = 16
+WARMUP = 3
+ITERS = 10
+
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def flops_per_step(cfg: FluxConfig, n_img: int, n_txt: int, batch: int) -> float:
+    """Matmul + attention FLOPs for fwd+bwd (+remat refwd): 4x forward cost."""
+    h = cfg.hidden_size
+    n = n_img + n_txt
+    mlp = int(h * cfg.mlp_ratio)
+    # per double block matmul flops (fwd, per token-set)
+    dbl = 2 * (
+        n_img * (3 * h * h + h * h + 2 * h * mlp + 6 * h * h)
+        + n_txt * (3 * h * h + h * h + 2 * h * mlp + 6 * h * h)
+    )
+    attn_dbl = 2 * (2 * n * n * h)  # qk^T and av
+    sgl = 2 * n * (3 * h * h + h * mlp + (h + mlp) * h + 3 * h * h)
+    attn_sgl = 2 * (2 * n * n * h)
+    fwd = cfg.depth_double * (dbl + attn_dbl) + cfg.depth_single * (sgl + attn_sgl)
+    # bwd ~= 2x fwd; remat adds ~1x fwd
+    return 4.0 * fwd * batch
+
+
+def main():
+    cfg = FluxConfig.bench_2b()
+    model = FluxDiT(cfg)
+    rng = jax.random.key(0)
+
+    latent_h = latent_w = 128  # 1024px / 8 (vae)
+    n_img = (latent_h // 2) * (latent_w // 2)
+    assert n_img == IMG_TOKENS
+
+    img = jnp.zeros((BATCH, n_img, cfg.in_channels), jnp.bfloat16)
+    txt = jnp.zeros((BATCH, TXT_TOKENS, cfg.context_dim), jnp.bfloat16)
+    t = jnp.zeros((BATCH,))
+    y = jnp.zeros((BATCH, cfg.vec_dim))
+    ids = image_position_ids(latent_h // 2, latent_w // 2, text_len=TXT_TOKENS)
+    pe = multi_axis_rope(jnp.asarray(ids)[None], list(cfg.axes_dim), cfg.theta)
+
+    t0 = time.time()
+    variables = jax.jit(model.init)(rng, img, txt, t, y, pe, t)
+    params = variables["params"]
+    n_params = param_count(params)
+    print(f"init: {n_params/1e9:.2f}B params in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    spec = LoRASpec(rank=RANK, alpha=RANK, target_patterns=flux_lora_targets())
+    lora = build_lora(params, spec, jax.random.key(1))
+    print(f"lora params: {count_lora_params(lora)/1e6:.1f}M", file=sys.stderr)
+
+    def predict_fn(variables, noisy, t, cond):
+        colls = {"params": variables["params"]}
+        if "lora" in variables:
+            colls["lora"] = variables["lora"]
+        return model.apply(colls, noisy, cond["txt"], t, cond["y"], cond["pe"], cond["guidance"])
+
+    schedule = FlowMatchSchedule()
+    step_cfg = TrainStepConfig(timestep_type="flux_shift", ema_decay=0.99)
+    train_step = jax.jit(
+        make_train_step(predict_fn, schedule, step_cfg), static_argnames=("image_seq_len",)
+    )
+
+    tx = get_optimizer("adamw8bit", 1e-4)
+    state = TrainState.create({"params": params}, {"lora": lora}, tx, use_ema=True)
+
+    batch = {
+        "latents": jnp.zeros((BATCH, n_img, cfg.in_channels), jnp.bfloat16),
+        "cond": {
+            "txt": txt,
+            "y": y,
+            "pe": pe,
+            "guidance": jnp.ones((BATCH,)),
+        },
+    }
+
+    rng_t = jax.random.key(2)
+
+    # N steps inside one jitted scan: amortizes dispatch latency (the axon
+    # tunnel's block_until_ready does not reliably wait; a scalar fetch does).
+    # Frozen base params stay OUT of the scan carry — only the small state
+    # (lora/opt/ema/step) cycles, so the carry never double-buffers the 5GB.
+    raw_step = make_train_step(predict_fn, schedule, step_cfg)
+
+    def n_steps(model_variables, small, batch, rng, n):
+        def body(carry, i):
+            trainable, opt_state, ema, step_no = carry
+            st = TrainState(
+                step=step_no, model_variables=model_variables, trainable=trainable,
+                opt_state=opt_state, ema=ema, tx=tx,
+            )
+            st, m = raw_step(st, batch, jax.random.fold_in(rng, i), image_seq_len=n_img)
+            return (st.trainable, st.opt_state, st.ema, st.step), m["loss"]
+
+        carry, losses = jax.lax.scan(body, small, jnp.arange(n))
+        return carry, losses[-1]
+
+    n_steps_jit = jax.jit(n_steps, static_argnames=("n",), donate_argnums=(1,))
+
+    mv = state.model_variables
+    small = (state.trainable, state.opt_state, state.ema, state.step)
+
+    t0 = time.time()
+    small, loss = n_steps_jit(mv, small, batch, rng_t, ITERS)
+    print(f"warmup+compile: {time.time()-t0:.1f}s (loss={float(loss):.3f})", file=sys.stderr)
+
+    t0 = time.time()
+    small, loss = n_steps_jit(mv, small, batch, rng_t, ITERS)
+    _ = float(loss)
+    dt = (time.time() - t0) / ITERS
+    steps_per_sec = 1.0 / dt
+
+    fps = flops_per_step(cfg, n_img, TXT_TOKENS, BATCH)
+    achieved = fps * steps_per_sec
+    baseline_sps = (A100_BF16_PEAK * A100_ASSUMED_UTIL) / fps
+    dev = jax.devices()[0]
+    print(
+        f"{dt*1000:.1f} ms/step, {achieved/1e12:.1f} TFLOP/s achieved on {dev.device_kind}",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "flux-class 2.4B rank-16 LoRA train steps/sec @1024px bs1 (1 chip)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline_sps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

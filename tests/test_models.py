@@ -68,7 +68,6 @@ def test_flux_lora_train_step(flux_tiny):
     batch = {
         "latents": jax.random.normal(jax.random.key(2), (1, h, w, c)),
         "cond": {**cond, "pe": pe},
-        "image_seq_len": None,
     }
 
     def predict_fn(vars_, noisy, t, cond):
