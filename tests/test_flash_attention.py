@@ -1,0 +1,51 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ai_toolkit_tpu.ops.attention import dot_product_attention
+from ai_toolkit_tpu.ops.pallas.flash_attention import flash_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _rand(shape, key):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32)
+
+
+def test_flash_forward_matches_reference():
+    b, s, h, d = 2, 256, 4, 32
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = dot_product_attention(q, k, v, implementation="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_forward_rect_kv():
+    b, s, t, h, d = 1, 128, 256, 2, 32
+    q = _rand((b, s, h, d), 0)
+    k, v = _rand((b, t, h, d), 1), _rand((b, t, h, d), 2)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = dot_product_attention(q, k, v, implementation="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_matches_reference():
+    b, s, h, d = 1, 128, 2, 32
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, None, 128, 128)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(dot_product_attention(q, k, v, implementation="reference")))
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4)
