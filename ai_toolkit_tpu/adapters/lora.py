@@ -83,13 +83,15 @@ def build_lora(params: dict, spec: LoRASpec, rng: jax.Array) -> dict:
     Conv kernels [kh, kw, in, out] get a:[kh,kw,in,cr], b:[1,1,cr,out].
     """
     lora: dict[str, Any] = {}
-    keys_needed = []
     targets = []
     for path, node in _iter_modules(params):
         pstr = "/".join(path)
         kshape = node["kernel"].shape
         if len(kshape) == 2 and _matches(pstr, spec):
             targets.append((path, kshape, "linear"))
+        elif len(kshape) == 3 and _matches(pstr, spec):
+            # scanned (nn.scan) linear stack: [L, in, out]
+            targets.append((path, kshape, "scanned_linear"))
         elif len(kshape) == 4 and spec.conv_rank and _matches(pstr, spec):
             targets.append((path, kshape, "conv"))
     if not targets:
@@ -101,6 +103,13 @@ def build_lora(params: dict, spec: LoRASpec, rng: jax.Array) -> dict:
             a = jax.random.normal(key, (kshape[0], r), jnp.float32) * spec.init_std
             b = jnp.zeros((r, kshape[1]), jnp.float32)
             scale = jnp.asarray(spec.alpha / r, jnp.float32)
+        elif kind == "scanned_linear":
+            r = spec.rank
+            layers, cin, cout = kshape
+            a = jax.random.normal(key, (layers, cin, r), jnp.float32) * spec.init_std
+            b = jnp.zeros((layers, r, cout), jnp.float32)
+            # [L] so nn.scan's variable_axes={'lora': 0} can slice it per layer
+            scale = jnp.full((layers,), spec.alpha / r, jnp.float32)
         else:
             r = int(spec.conv_rank)
             kh, kw, cin, cout = kshape
@@ -150,6 +159,9 @@ def _delta(leaf: dict) -> jax.Array:
     a, b, scale = leaf["a"], leaf["b"], leaf["scale"]
     if a.ndim == 2:
         return (a @ b) * scale
+    if a.ndim == 3:  # scanned stack: [L,in,r] x [L,r,out]; scale is [L]
+        s = jnp.asarray(scale).reshape(-1, 1, 1)
+        return jnp.einsum("lir,lro->lio", a, b) * s
     # conv: [kh,kw,in,r] x [1,1,r,out] -> [kh,kw,in,out]
     return jnp.einsum("hwir,xyro->hwio", a, b) * scale
 

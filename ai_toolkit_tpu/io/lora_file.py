@@ -64,26 +64,34 @@ def flatten_lora(
             ext = pstr.replace("/", ".")
         if ext is None:
             continue
-        a, b, scale = _np(leaf["a"]), _np(leaf["b"]), float(_np(leaf["scale"]))
+        a, b = _np(leaf["a"]), _np(leaf["b"])
+        scale_arr = _np(leaf["scale"]).reshape(-1)  # scalar or per-layer [L]
+
+        def emit(ext_one: str, down: np.ndarray, up: np.ndarray, rank: int, scale: float):
+            alpha = scale * rank  # scale = alpha/rank
+            if fmt == "kohya":
+                key = f"{prefix}_{ext_one.replace('.', '_')}"
+                out[f"{key}.lora_down.weight"] = _c(down, dtype)
+                out[f"{key}.lora_up.weight"] = _c(up, dtype)
+                out[f"{key}.alpha"] = np.asarray(alpha, dtype)
+            elif fmt in ("peft", "comfy"):
+                root = "diffusion_model" if fmt == "comfy" else "transformer"
+                out[f"{root}.{ext_one}.lora_A.weight"] = _c(down, dtype)
+                out[f"{root}.{ext_one}.lora_B.weight"] = _c(up, dtype)
+            else:
+                raise ValueError(f"unknown lora format {fmt}")
+
         if a.ndim == 2:
-            down = a.T  # [r, in] torch layout
-            up = b.T  # [out, r]
+            emit(ext.replace("{L}", "0"), a.T, b.T, a.shape[-1], float(scale_arr[0]))
+        elif a.ndim == 3:
+            # scanned stack [L, in, r]: one external entry per layer
+            for l in range(a.shape[0]):
+                ext_l = ext.replace("{L}", str(l)) if "{L}" in ext else f"{ext}.{l}"
+                s = float(scale_arr[l]) if scale_arr.size > 1 else float(scale_arr[0])
+                emit(ext_l, a[l].T, b[l].T, a.shape[-1], s)
         else:  # conv [kh,kw,in,r] -> torch [r, in, kh, kw]
-            down = a.transpose(3, 2, 0, 1)
-            up = b.transpose(3, 2, 0, 1)
-        rank = a.shape[-1]
-        alpha = scale * rank  # scale = alpha/rank
-        if fmt == "kohya":
-            key = f"{prefix}_{ext.replace('.', '_')}"
-            out[f"{key}.lora_down.weight"] = _c(down, dtype)
-            out[f"{key}.lora_up.weight"] = _c(up, dtype)
-            out[f"{key}.alpha"] = np.asarray(alpha, dtype)
-        elif fmt in ("peft", "comfy"):
-            root = "diffusion_model" if fmt == "comfy" else "transformer"
-            out[f"{root}.{ext}.lora_A.weight"] = _c(down, dtype)
-            out[f"{root}.{ext}.lora_B.weight"] = _c(up, dtype)
-        else:
-            raise ValueError(f"unknown lora format {fmt}")
+            emit(ext, a.transpose(3, 2, 0, 1), b.transpose(3, 2, 0, 1), a.shape[-1],
+                 float(scale_arr[0]))
     return out
 
 
@@ -108,6 +116,7 @@ def unflatten_lora(
         groups.setdefault(mod, {})[part] = v
 
     lora: dict = {}
+    stacked: dict[str, dict[int, tuple]] = {}
     for mod, parts in groups.items():
         if "down" not in parts or "up" not in parts:
             continue
@@ -140,11 +149,27 @@ def unflatten_lora(
             b = up.transpose(2, 3, 1, 0)
         rank = a.shape[-1]
         alpha = float(parts.get("alpha", rank))
+        if "#" in internal:  # stacked (scanned) entry: 'path#layer'
+            base, _, layer = internal.rpartition("#")
+            stacked.setdefault(base, {})[int(layer)] = (a, b, alpha)
+            continue
         node = lora
         pieces = internal.split("/")
         for k in pieces[:-1]:
             node = node.setdefault(k, {})
         node[pieces[-1]] = {"a": a, "b": b, "scale": np.float32(alpha / rank)}
+
+    for base, layers in stacked.items():
+        idxs = sorted(layers)
+        a = np.stack([layers[i][0] for i in idxs])
+        b = np.stack([layers[i][1] for i in idxs])
+        alphas = np.asarray([layers[i][2] for i in idxs], np.float32)
+        rank = a.shape[-1]
+        node = lora
+        pieces = base.split("/")
+        for k in pieces[:-1]:
+            node = node.setdefault(k, {})
+        node[pieces[-1]] = {"a": a, "b": b, "scale": alphas / rank}
     return lora
 
 

@@ -94,8 +94,15 @@ class SDTrainProcess:
         self.ckpt = ckpt
         inverse = None
         if key_map:
-            inverse = {v: k for k, v in key_map.items()}
-            inverse.update({v.replace(".", "_"): k for k, v in key_map.items()})
+            if model.is_flow_matching and hasattr(model, "dit_config"):
+                from ai_toolkit_tpu.models.flux_dit import flux_inverse_key_map
+
+                inverse = flux_inverse_key_map(
+                    key_map, model.dit_config.depth_double, model.dit_config.depth_single
+                )
+            else:
+                inverse = {v: k for k, v in key_map.items()}
+                inverse.update({v.replace(".", "_"): k for k, v in key_map.items()})
         start_step = 0
         resumed_lora, resume_step = ckpt.load_latest(inverse)
         if resumed_lora is not None and "lora" in trainable:

@@ -46,6 +46,9 @@ class FluxConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    # nn.scan over blocks: compile time O(1) in depth (params stacked [L, ...]);
+    # the standard layout for deep DiT stacks on TPU.
+    scan_blocks: bool = True
 
     @classmethod
     def dev(cls) -> "FluxConfig":
@@ -60,7 +63,7 @@ class FluxConfig:
         return cls(
             in_channels=16, hidden_size=64, num_heads=4, head_dim=16, depth_double=2,
             depth_single=2, context_dim=64, vec_dim=64, axes_dim=(4, 6, 6),
-            dtype=jnp.float32, param_dtype=jnp.float32, remat=False,
+            dtype=jnp.float32, param_dtype=jnp.float32, remat=False, scan_blocks=False,
         )
 
     @classmethod
@@ -181,6 +184,26 @@ class SingleBlock(nn.Module):
         return x + gate[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="linear2")(out)
 
 
+class _DoubleCarry(nn.Module):
+    """nn.scan adapter: carry=(img, txt), broadcast (vec, pe)."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, carry, vec, pe):
+        img, txt = carry
+        img, txt = DoubleBlock(self.cfg, name="block")(img, txt, vec, pe)
+        return (img, txt), None
+
+
+class _SingleCarry(nn.Module):
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, x, vec, pe):
+        return SingleBlock(self.cfg, name="block")(x, vec, pe), None
+
+
 class FluxDiT(nn.Module):
     cfg: FluxConfig
 
@@ -206,14 +229,30 @@ class FluxDiT(nn.Module):
             vec = vec + TimestepEmbedder(h, dtype=dt, param_dtype=pdt, name="guidance_in")(g)
         vec = vec + MLPEmbedder(h, dt, pdt, name="vector_in")(y.astype(dt))
 
-        DBlock = nn.remat(DoubleBlock) if cfg.remat else DoubleBlock
-        SBlock = nn.remat(SingleBlock) if cfg.remat else SingleBlock
-
-        for i in range(cfg.depth_double):
-            img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe)
-        x = jnp.concatenate([txt, img], axis=1)
-        for i in range(cfg.depth_single):
-            x = SBlock(cfg, name=f"single_{i}")(x, vec, pe)
+        if cfg.scan_blocks:
+            scan_kwargs = dict(
+                variable_axes={"params": 0, "lora": 0, "quant": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                metadata_params={nn.PARTITION_NAME: None},
+            )
+            DCarry = nn.remat(_DoubleCarry, prevent_cse=False) if cfg.remat else _DoubleCarry
+            SCarry = nn.remat(_SingleCarry, prevent_cse=False) if cfg.remat else _SingleCarry
+            (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
+                cfg, name="double_blocks"
+            )((img, txt), vec, pe)
+            x = jnp.concatenate([txt, img], axis=1)
+            x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
+                cfg, name="single_blocks"
+            )(x, vec, pe)
+        else:
+            DBlock = nn.remat(DoubleBlock) if cfg.remat else DoubleBlock
+            SBlock = nn.remat(SingleBlock) if cfg.remat else SingleBlock
+            for i in range(cfg.depth_double):
+                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe)
+            x = jnp.concatenate([txt, img], axis=1)
+            for i in range(cfg.depth_single):
+                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe)
         x = x[:, txt.shape[1] :]
 
         shift, scale = jnp.split(
@@ -225,13 +264,19 @@ class FluxDiT(nn.Module):
 
 # ---- sharding rules ----
 
-def flux_partition_rules(tp: bool = True) -> list[PartitionRule]:
+def flux_partition_rules(scan_blocks: bool = True) -> list[PartitionRule]:
     """TP rules for the DiT: column-split qkv/mlp-in, row-split proj/mlp-out.
 
-    With tp=1 meshes these validate to no-ops and the fsdp heuristic applies.
+    Scanned layout has a leading layer axis on block kernels. With tp=1
+    meshes these validate to no-ops and the fsdp heuristic applies.
     """
-    if not tp:
-        return []
+    if scan_blocks:
+        return [
+            PartitionRule(r"blocks/block/.*(qkv|mlp_in|linear1)/kernel", P(None, "fsdp", "tp")),
+            PartitionRule(r"blocks/block/.*(proj|mlp_out|linear2)/kernel", P(None, "tp", "fsdp")),
+            PartitionRule(r"blocks/block/.*mod/mod/kernel", P(None, "fsdp", "tp")),
+            PartitionRule(r"txt_in/kernel", P("fsdp", None)),
+        ]
     return [
         PartitionRule(r"(img|txt)_qkv/kernel", P("fsdp", "tp")),
         PartitionRule(r"(img|txt)_mlp_in/kernel", P("fsdp", "tp")),
@@ -244,7 +289,22 @@ def flux_partition_rules(tp: bool = True) -> list[PartitionRule]:
 
 
 _FLUX_KEY_PATTERNS = [
-    # (internal regex, external template) — BFL/ComfyUI flux module names
+    # (internal regex, external template) — BFL/ComfyUI flux module names.
+    # Scanned layout (nn.scan): one stacked entry per module, '{L}' = layer index.
+    (r"^double_blocks/block/img_qkv$", "double_blocks.{L}.img_attn.qkv"),
+    (r"^double_blocks/block/txt_qkv$", "double_blocks.{L}.txt_attn.qkv"),
+    (r"^double_blocks/block/img_proj$", "double_blocks.{L}.img_attn.proj"),
+    (r"^double_blocks/block/txt_proj$", "double_blocks.{L}.txt_attn.proj"),
+    (r"^double_blocks/block/img_mlp_in$", "double_blocks.{L}.img_mlp.0"),
+    (r"^double_blocks/block/img_mlp_out$", "double_blocks.{L}.img_mlp.2"),
+    (r"^double_blocks/block/txt_mlp_in$", "double_blocks.{L}.txt_mlp.0"),
+    (r"^double_blocks/block/txt_mlp_out$", "double_blocks.{L}.txt_mlp.2"),
+    (r"^double_blocks/block/img_mod/mod$", "double_blocks.{L}.img_mod.lin"),
+    (r"^double_blocks/block/txt_mod/mod$", "double_blocks.{L}.txt_mod.lin"),
+    (r"^single_blocks/block/linear1$", "single_blocks.{L}.linear1"),
+    (r"^single_blocks/block/linear2$", "single_blocks.{L}.linear2"),
+    (r"^single_blocks/block/mod/mod$", "single_blocks.{L}.modulation.lin"),
+    # Unrolled layout (tiny/test configs)
     (r"^double_(\d+)/img_qkv$", "double_blocks.{0}.img_attn.qkv"),
     (r"^double_(\d+)/txt_qkv$", "double_blocks.{0}.txt_attn.qkv"),
     (r"^double_(\d+)/img_proj$", "double_blocks.{0}.img_attn.proj"),
@@ -286,7 +346,7 @@ def flux_lora_key_map(lora_or_params: dict) -> dict[str, str]:
         for pat, tmpl in _FLUX_KEY_PATTERNS:
             m = _re.match(pat, p)
             if m:
-                out[p] = tmpl.format(*m.groups())
+                out[p] = tmpl.format(*m.groups()) if m.groups() else tmpl
                 break
     return out
 
@@ -305,7 +365,23 @@ def _all_module_paths(params: dict, prefix: tuple[str, ...] = ()) -> list[str]:
 def flux_lora_targets() -> list[str]:
     """Default LoRA targeting (transformer blocks only, as the reference's
     transformer_only/only_if_contains defaults do for flux)."""
-    return [r"double_\d+/", r"single_\d+/"]
+    return [r"double_blocks/", r"single_blocks/", r"double_\d+/", r"single_\d+/"]
+
+
+def flux_inverse_key_map(key_map: dict[str, str], depth_double: int, depth_single: int) -> dict:
+    """external key -> 'internal#layer' (stacked) or internal (unrolled)."""
+    inverse: dict[str, str] = {}
+    for internal, ext in key_map.items():
+        if "{L}" in ext:
+            depth = depth_double if internal.startswith("double") else depth_single
+            for l in range(depth):
+                e = ext.replace("{L}", str(l))
+                inverse[e] = f"{internal}#{l}"
+                inverse[e.replace(".", "_")] = f"{internal}#{l}"
+        else:
+            inverse[ext] = internal
+            inverse[ext.replace(".", "_")] = internal
+    return inverse
 
 
 def pack_latents(latents: jax.Array) -> jax.Array:

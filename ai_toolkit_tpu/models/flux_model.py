@@ -166,4 +166,4 @@ class FluxModel(BaseTpuModel):
         return flux_lora_targets()
 
     def partition_rules(self):
-        return flux_partition_rules()
+        return flux_partition_rules(self.dit_config.scan_blocks)
