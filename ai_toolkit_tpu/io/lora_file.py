@@ -173,6 +173,53 @@ def unflatten_lora(
     return lora
 
 
+def _walk_module_leaves(tree: dict, keysets: list[set], prefix: tuple[str, ...] = ()):
+    if isinstance(tree, dict):
+        if any(set(tree.keys()) >= ks for ks in keysets):
+            yield prefix, tree
+            return
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from _walk_module_leaves(v, keysets, prefix + (k,))
+
+
+def save_adapter_file(
+    tree: dict,
+    kind: str,
+    path: str,
+    key_map: dict | None = None,
+    prefix: str = "lora_transformer",
+    metadata: dict | None = None,
+    dtype=np.float16,
+) -> None:
+    """LyCORIS-family export: 'lokr' -> .lokr_w1/.lokr_w2/.alpha keys;
+    'dora' -> .lora_down/.lora_up/.alpha/.dora_scale keys."""
+    from safetensors.numpy import save_file
+
+    flat: dict[str, np.ndarray] = {}
+    keysets = [{"w1", "w2", "scale"}, {"a", "b", "scale", "magnitude"}]
+    for mpath, leaf in _walk_module_leaves(tree, keysets):
+        pstr = "/".join(mpath)
+        ext = (key_map or {}).get(pstr, pstr.replace("/", "."))
+        key = f"{prefix}_{ext.replace('.', '_')}"
+        if kind == "lokr":
+            flat[f"{key}.lokr_w1"] = _c(_np(leaf["w1"]).T, dtype)
+            flat[f"{key}.lokr_w2"] = _c(_np(leaf["w2"]).T, dtype)
+            flat[f"{key}.alpha"] = np.asarray(float(_np(leaf["scale"]).reshape(-1)[0]), dtype)
+        elif kind == "dora":
+            a, b = _np(leaf["a"]), _np(leaf["b"])
+            rank = a.shape[-1]
+            scale = float(_np(leaf["scale"]).reshape(-1)[0])
+            flat[f"{key}.lora_down.weight"] = _c(a.T, dtype)
+            flat[f"{key}.lora_up.weight"] = _c(b.T, dtype)
+            flat[f"{key}.alpha"] = np.asarray(scale * rank, dtype)
+            flat[f"{key}.dora_scale"] = _c(_np(leaf["magnitude"])[None, :], dtype)
+        else:
+            raise ValueError(kind)
+    meta = {str(k): str(v) for k, v in (metadata or {}).items()}
+    save_file(flat, path, metadata=meta)
+
+
 def save_lora_file(
     lora: dict,
     path: str,

@@ -33,7 +33,7 @@ from ai_toolkit_tpu.parallel.sharding import apply_rules, named_sharding_tree, s
 from ai_toolkit_tpu.samplers import get_schedule
 from ai_toolkit_tpu.train.optimizers import get_optimizer
 from ai_toolkit_tpu.train.state import TrainState
-from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
 from ai_toolkit_tpu.utils.logging import RunLogger
 from ai_toolkit_tpu.utils.timer import Timer
 
@@ -49,6 +49,7 @@ class SDTrainProcess:
         self.timer = Timer("train")
         self.logger: RunLogger | None = None
         self.progress_hook = None  # UI integration point (step, loss, status)
+        self.ti_trigger = None
 
     # ---- lifecycle ----
 
@@ -128,12 +129,10 @@ class SDTrainProcess:
 
         # 8. train step (jitted with shardings)
         step_cfg = TrainStepConfig.from_train_config(tc)
-        predict_fn = model.predict
-        train_step = make_train_step(predict_fn, schedule, step_cfg)
-        batch_sharding = NamedSharding(mesh, shard_batch_spec(mesh))
-        # no donation: model_variables buffers are shared with the encode/sample
-        # closures; unchanged pass-through leaves are not copied by XLA anyway.
-        train_step = jax.jit(train_step, static_argnames=("image_seq_len",))
+        predict_fn = getattr(model, "predict_train", model.predict)
+        # split-jit: frozen params are input-only (no output copy), small state
+        # donated; model_variables buffers stay valid for encode/sample closures.
+        train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
 
         # 9. first sample
         if not tc.disable_sampling and not tc.skip_first_sample and cfg.sample.prompts:
@@ -192,12 +191,46 @@ class SDTrainProcess:
         cfg = self.cfg
         net = cfg.network
         main_key = self._main_component(variables)
+        if cfg.embedding:
+            # textual inversion: trainable token bank, trigger -> virtual ids
+            from ai_toolkit_tpu.adapters.embedding import TriggerTokenizer, init_embedding_bank
+
+            emb_cfg = cfg.embedding
+            trigger = emb_cfg.get("trigger", cfg.trigger_word or "sks")
+            n_vec = int(emb_cfg.get("vectors", 4))
+            hidden = model.clip_config.hidden_size
+            init_from = None
+            if emb_cfg.get("init_words"):
+                ids = model.tokenizer.encode(emb_cfg["init_words"])
+                tok_table = np.asarray(variables["clip"]["token_embedding"])
+                valid = [i for i in ids if i != model.tokenizer.eos_id]
+                if valid:
+                    init_from = tok_table[valid]
+            bank = init_embedding_bank(n_vec, hidden, init_from=init_from)
+            model.tokenizer = TriggerTokenizer(
+                model.tokenizer, trigger, model.clip_config.vocab_size, n_vec
+            )
+            self.ti_trigger = trigger
+            print(f"textual inversion: trigger '{trigger}' -> {n_vec} vectors")
+            return {"emb": {"bank": jnp.asarray(bank)}}, None, "embedding", ""
         if net is None or net.type in ("full", "fine_tune"):
             # full fine-tune: train the diffusion component itself
             return {main_key: variables[main_key]}, None, "kohya", "lora_transformer"
         spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
-        if net.transformer_only or net.type == "lora":
-            pass
+        if net.type in ("lokr", "lycoris_lokr"):
+            from ai_toolkit_tpu.adapters.lycoris import build_lokr
+
+            lokr = build_lokr(variables[main_key], spec, rng, factor=net.lokr_factor)
+            print(f"LoKr: {sum(1 for _ in jax.tree.leaves(lokr)) // 3} modules")
+            return {"lokr": lokr}, None, "kohya", "lora_transformer"
+        if net.type == "dora":
+            from ai_toolkit_tpu.adapters.lycoris import build_dora
+
+            dora = build_dora(variables[main_key], spec, rng)
+            key_map = self._key_map(model, dora)
+            return {"dora": dora}, key_map, "kohya", (
+                "lora_transformer" if model.is_flow_matching else "lora_unet"
+            )
         lora = build_lora(variables[main_key], spec, rng)
         n = count_lora_params(lora)
         print(f"LoRA: {len(lora)} top-level modules, {n:,} trainable params (rank {spec.rank})")
@@ -282,8 +315,13 @@ class SDTrainProcess:
         return loader, text_cache
 
     def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
-        cond = text_cache.get(raw["captions"])
-        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        if getattr(self, "ti_trigger", None):
+            # textual inversion: raw token ids into the step (TE runs in-graph)
+            ids = np.stack([model.tokenizer.encode(c) for c in raw["captions"]])
+            cond = {"input_ids": jnp.asarray(ids)}
+        else:
+            cond = text_cache.get(raw["captions"])
+            cond = {k: jnp.asarray(v) for k, v in cond.items()}
         batch: dict = {
             "latents": jnp.asarray(raw["latents"]),
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
@@ -308,6 +346,35 @@ class SDTrainProcess:
 
     def _save(self, state: TrainState, step: int, final: bool = False):
         with self.timer("save"):
+            if "emb" in state.trainable:
+                from ai_toolkit_tpu.adapters.embedding import save_embedding
+
+                bank = state.trainable["emb"]["bank"]
+                if state.ema is not None and "emb" in state.ema:
+                    bank = state.ema["emb"]["bank"]
+                path = os.path.join(
+                    self.save_root,
+                    f"{self.job_name}.safetensors" if final else f"{self.job_name}_{step:09d}.safetensors",
+                )
+                save_embedding(np.asarray(bank), path, name=self.ti_trigger, step=step)
+                print(f"saved: {path}")
+                return
+            if "lokr" in state.trainable or "dora" in state.trainable:
+                key = "lokr" if "lokr" in state.trainable else "dora"
+                tree = state.trainable[key]
+                if state.ema is not None and key in state.ema:
+                    tree = state.ema[key]
+                from ai_toolkit_tpu.io.lora_file import save_adapter_file
+
+                path = (
+                    self.ckpt.final_path() if final else self.ckpt.path_for_step(step)
+                )
+                save_adapter_file(
+                    tree, key, path, key_map=self.ckpt.key_map, prefix=self.ckpt.prefix,
+                    metadata={"step": step, "software": "ai_toolkit_tpu"},
+                )
+                print(f"saved: {path}")
+                return
             if "lora" in state.trainable:
                 save_tree = state.trainable["lora"]
                 if state.ema is not None and "lora" in state.ema:

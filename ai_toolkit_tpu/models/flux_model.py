@@ -136,7 +136,7 @@ class FluxModel(BaseTpuModel):
         img = pack_latents(noisy_latents)
         pe = cond["pe"]
         out = self.dit.apply(
-            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "quant")}},
+            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "lokr", "dora", "quant")}},
             img,
             cond["txt"],
             t,

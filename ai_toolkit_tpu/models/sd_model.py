@@ -89,15 +89,30 @@ class SDModel(BaseTpuModel):
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
-        out = jax.jit(self.clip.apply)({"params": variables["clip"]}, jnp.asarray(ids))
+        colls = {"params": variables["clip"]}
+        if "emb" in variables:  # textual-inversion bank
+            colls["emb"] = variables["emb"]
+        out = jax.jit(self.clip.apply)(colls, jnp.asarray(ids))
         return {"context": out["last_hidden_state"]}
 
     def predict(self, variables, noisy_latents, t, cond):
         collections = {"params": variables["unet"]}
-        for k in ("lora", "quant"):
+        for k in ("lora", "lokr", "dora", "quant"):
             if k in variables:
                 collections[k] = variables[k]
         return self.unet.apply(collections, noisy_latents, t, cond["context"], cond.get("added_cond"))
+
+    def predict_train(self, variables, noisy_latents, t, cond):
+        """Train-time forward. When the batch carries token ids (textual
+        inversion / TE training), the text encoder runs inside the step so
+        grads reach the embedding bank ('emb' collection)."""
+        if "input_ids" in cond:
+            clip_colls = {"params": variables["clip"]}
+            if "emb" in variables:
+                clip_colls["emb"] = variables["emb"]
+            out = self.clip.apply(clip_colls, cond["input_ids"])
+            cond = {**cond, "context": out["last_hidden_state"]}
+        return self.predict(variables, noisy_latents, t, cond)
 
     def encode_images(self, variables, images, rng=None):
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)

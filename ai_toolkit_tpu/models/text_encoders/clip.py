@@ -99,7 +99,15 @@ class CLIPTextModel(nn.Module):
             "position_embedding", nn.initializers.normal(0.01),
             (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32,
         )
-        x = (tok[input_ids] + pos[None, :s]).astype(dt)
+        embedded = tok[jnp.clip(input_ids, 0, cfg.vocab_size - 1)]
+        if self.has_variable("emb", "bank"):
+            # textual inversion: ids >= vocab_size index a trainable token bank
+            bank = self.get_variable("emb", "bank")  # [n_vectors, hidden]
+            virt = jnp.clip(input_ids - cfg.vocab_size, 0, bank.shape[0] - 1)
+            embedded = jnp.where(
+                (input_ids >= cfg.vocab_size)[..., None], bank[virt], embedded
+            )
+        x = (embedded + pos[None, :s]).astype(dt)
         hidden_states = []
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, name=f"layer_{i}")(x, mask=None)

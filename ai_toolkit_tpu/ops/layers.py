@@ -54,7 +54,7 @@ def _base_kernel(self: nn.Module, shape: tuple[int, ...], param_dtype: Dtype, dt
 
 
 class Linear(nn.Module):
-    """Dense layer with LoRA/quant collection hooks.
+    """Dense layer with LoRA / LoKr / DoRA / quant collection hooks.
 
     Weight layout is ``[in_features, out_features]`` (JAX convention; note the
     transpose vs torch ``nn.Linear`` — checkpoint importers handle this).
@@ -79,8 +79,29 @@ class Linear(nn.Module):
             kernel = self.param(
                 "kernel", default_kernel_init, (in_features, self.features), self.param_dtype
             ).astype(self.dtype)
-        y = x @ kernel
-        y = _lora_delta(self, x, y, self.dtype)
+
+        if self.has_variable("lokr", "w1"):
+            # LoKr: delta = kron(w1, w2) * scale (LyCORIS lokr)
+            w1 = self.get_variable("lokr", "w1").astype(self.dtype)
+            w2 = self.get_variable("lokr", "w2").astype(self.dtype)
+            scale = jnp.asarray(self.get_variable("lokr", "scale"), self.dtype)
+            delta = jnp.einsum("ab,cd->acbd", w1, w2).reshape(kernel.shape)
+            kernel = kernel + delta * scale
+
+        if self.has_variable("dora", "magnitude"):
+            # DoRA: direction = (W + lora delta) column-normalized, scaled by a
+            # learned per-output magnitude; lora factors live in 'dora' too.
+            a = self.get_variable("dora", "a").astype(self.dtype)
+            b = self.get_variable("dora", "b").astype(self.dtype)
+            scale = jnp.asarray(self.get_variable("dora", "scale"), self.dtype)
+            mag = self.get_variable("dora", "magnitude").astype(jnp.float32)  # [out]
+            w = kernel.astype(jnp.float32) + (a.astype(jnp.float32) @ b.astype(jnp.float32)) * scale
+            norm = jnp.linalg.norm(w, axis=0, keepdims=True)
+            kernel = (w * (mag[None, :] / jnp.maximum(norm, 1e-6))).astype(self.dtype)
+            y = x @ kernel
+        else:
+            y = x @ kernel
+            y = _lora_delta(self, x, y, self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)

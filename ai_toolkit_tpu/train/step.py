@@ -176,6 +176,35 @@ def make_train_step(
     return train_step
 
 
+def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx):
+    """Production jit wrapper: frozen model variables are an INPUT ONLY.
+
+    Returning the (multi-GB) frozen params from a non-donated jit makes XLA
+    allocate an output copy — instant OOM next to activations. Here the jitted
+    function returns only the small state (trainable/opt/ema/step), which is
+    also donated; the caller-side stepper reassembles a TrainState.
+    """
+    base = make_train_step(predict_fn, schedule, cfg)
+
+    @partial(jax.jit, static_argnames=("image_seq_len",), donate_argnums=(1, 2, 3, 4))
+    def _inner(model_variables, trainable, opt_state, ema, step, batch, rng, image_seq_len=None):
+        state = TrainState(
+            step=step, model_variables=model_variables, trainable=trainable,
+            opt_state=opt_state, ema=ema, tx=tx,
+        )
+        new_state, metrics = base(state, batch, rng, image_seq_len)
+        return (new_state.trainable, new_state.opt_state, new_state.ema, new_state.step), metrics
+
+    def stepper(state: TrainState, batch: dict, rng: jax.Array, image_seq_len: int | None = None):
+        (tr, opt, ema, st), metrics = _inner(
+            state.model_variables, state.trainable, state.opt_state, state.ema, state.step,
+            batch, rng, image_seq_len=image_seq_len,
+        )
+        return state.replace(trainable=tr, opt_state=opt, ema=ema, step=st), metrics
+
+    return stepper
+
+
 def optax_global_norm(tree) -> jax.Array:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))

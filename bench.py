@@ -13,7 +13,7 @@ vs_baseline = measured_steps_per_sec / baseline_steps_per_sec  (>1 = faster
 than the A100 reference estimate, per chip).
 
 Model: flux-shaped DiT (hidden 3072, 24 heads, 4 double + 8 single scanned
-blocks, ~2.4B params) in bf16, no remat (activations fit at bs1) — the
+blocks, ~2.4B params) in bf16 with per-block remat — the
 largest flux-class config that fits one v5e chip's HBM; the full 12B layout
 is exercised via FSDP in __graft_entry__.dryrun_multichip.
 
@@ -41,7 +41,7 @@ from ai_toolkit_tpu.ops.rope import image_position_ids, multi_axis_rope
 from ai_toolkit_tpu.samplers import FlowMatchSchedule
 from ai_toolkit_tpu.train.optimizers import get_optimizer
 from ai_toolkit_tpu.train.state import TrainState
-from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
 
 A100_BF16_PEAK = 312e12
 A100_ASSUMED_UTIL = 0.35
@@ -68,7 +68,7 @@ def flops_per_step(cfg: FluxConfig, n_img: int, n_txt: int, batch: int) -> float
 
 
 def main():
-    cfg = FluxConfig(depth_double=4, depth_single=8, remat=False, scan_blocks=True)
+    cfg = FluxConfig(depth_double=4, depth_single=8, remat=True, scan_blocks=True)
     model = FluxDiT(cfg)
     rng = jax.random.key(0)
 
@@ -100,11 +100,8 @@ def main():
 
     schedule = FlowMatchSchedule()
     step_cfg = TrainStepConfig(timestep_type="flux_shift", ema_decay=0.99)
-    train_step = jax.jit(
-        make_train_step(predict_fn, schedule, step_cfg), static_argnames=("image_seq_len",)
-    )
-
     tx = get_optimizer("adamw8bit", 1e-4)
+    train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
     state = TrainState.create({"params": params}, {"lora": lora}, tx, use_ema=True)
 
     batch = {

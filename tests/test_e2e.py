@@ -164,3 +164,30 @@ def test_extract_lora_job(tmp_path):
     leaf = lora["blk"]["fc"]
     recon = (leaf["a"] @ leaf["b"]) * leaf["scale"]
     np.testing.assert_allclose(recon, delta, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_textual_inversion_e2e(tmp_path):
+    """TI: embedding bank trains, base TE untouched, a1111-format save."""
+    folder = make_dataset(tmp_path, n=2, size=64)
+    cfg = job_yaml(tmp_path, folder, arch="sd1", steps=3)
+    proc = cfg["config"]["process"][0]
+    proc.pop("network")
+    proc["embedding"] = {"trigger": "zxc", "vectors": 2}
+    proc["train"]["lr"] = 5e-3
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(cfg_path))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+
+    out_dir = tmp_path / "output" / "e2e_test"
+    from safetensors.numpy import load_file
+
+    emb = load_file(out_dir / "e2e_test.safetensors")
+    assert "emb_params" in emb
+    assert emb["emb_params"].shape == (2, 64)  # tiny clip hidden 64
