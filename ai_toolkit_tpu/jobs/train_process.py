@@ -134,7 +134,19 @@ class SDTrainProcess:
         # donated; model_variables buffers stay valid for encode/sample closures.
         train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
 
-        # 9. first sample
+        # 9. validation setup (fixed batch + fixed rng -> comparable loss curve)
+        val_batch, val_seq_len, eval_step = None, None, None
+        if cfg.validation.validate_every > 0:
+            from ai_toolkit_tpu.train.step import make_eval_step
+
+            ds0 = loader.datasets[0]
+            vb = ds0.build_batches(cfg.train.batch_size, shuffle=False)[0]
+            raw_val = loader._load_batch(ds0, vb)
+            val_batch = self._prepare_batch(model, raw_val, text_cache, step_cfg)
+            val_seq_len = val_batch.pop("image_seq_len", None)
+            eval_step = make_eval_step(predict_fn, schedule, step_cfg)
+
+        # 10. first sample
         if not tc.disable_sampling and not tc.skip_first_sample and cfg.sample.prompts:
             self._sample(state, start_step)
 
@@ -168,6 +180,16 @@ class SDTrainProcess:
                 print(f"step {step + 1}/{tc.steps} loss={loss:.4f} ({dt:.2f}s/step)")
             if cfg.performance_log_every and (step + 1) % cfg.performance_log_every == 0:
                 print(self.timer.summary())
+            if eval_step is not None and (step + 1) % cfg.validation.validate_every == 0:
+                with self.timer("validate"):
+                    val_loss = float(
+                        eval_step(
+                            state.model_variables, state.trainable, val_batch,
+                            jax.random.key(cfg.validation.seed), image_seq_len=val_seq_len,
+                        )
+                    )
+                self.logger.log({"val_loss": val_loss}, step + 1)
+                print(f"  val_loss={val_loss:.4f}")
             if cfg.save.save_every and (step + 1) % cfg.save.save_every == 0 and step + 1 < tc.steps:
                 self._save(state, step + 1)
             if (

@@ -176,6 +176,53 @@ def make_train_step(
     return train_step
 
 
+def make_eval_step(predict_fn, schedule, cfg: TrainStepConfig):
+    """Validation loss: same loss path, fixed rng, no gradient/update.
+
+    Reference: fixed-seed validation over cached latents/sigmas
+    (``BaseSDTrainProcess.setup_validation/validate:1583-1737``).
+    """
+    base = make_train_step(predict_fn, schedule, cfg)
+
+    @partial(jax.jit, static_argnames=("image_seq_len",))
+    def eval_step(model_variables, trainable, batch, rng, image_seq_len=None):
+        # reuse the microbatch loss via value-only grad trick is wasteful; call
+        # the loss directly through a zero-step state
+        def loss_only(trainable):
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32), model_variables=model_variables,
+                trainable=trainable, opt_state=None, ema=None, tx=None,
+            )
+            # reconstruct the loss exactly as the train step does
+            return _eval_loss(predict_fn, schedule, cfg, state, batch, rng, image_seq_len)
+
+        return loss_only(trainable)
+
+    return eval_step
+
+
+def _eval_loss(predict_fn, schedule, cfg, state, batch, rng, seq_len):
+    from ai_toolkit_tpu.train.losses import compute_loss
+
+    latents = batch["latents"]
+    b = latents.shape[0]
+    rng_t, rng_n = jax.random.split(rng)
+    is_flow = hasattr(schedule, "euler_step")
+    if is_flow:
+        t = schedule.sample_timesteps(
+            rng_t, b, timestep_type=cfg.timestep_type, image_seq_len=seq_len
+        )
+    else:
+        t = schedule.sample_timesteps(rng_t, b)
+    noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+    noisy = schedule.add_noise(latents, noise, t)
+    target = schedule.target(latents, noise, t)
+    variables = merge_variables(state.model_variables, state.trainable)
+    pred = predict_fn(variables, noisy, t, batch.get("cond", {}))
+    loss, _ = compute_loss(pred, target, loss_type=cfg.loss_type, huber_c=cfg.huber_c)
+    return loss
+
+
 def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx):
     """Production jit wrapper: frozen model variables are an INPUT ONLY.
 

@@ -191,3 +191,23 @@ def test_textual_inversion_e2e(tmp_path):
     emb = load_file(out_dir / "e2e_test.safetensors")
     assert "emb_params" in emb
     assert emb["emb_params"].shape == (2, 64)  # tiny clip hidden 64
+
+
+@pytest.mark.slow
+def test_validation_loss_logged(tmp_path):
+    folder = make_dataset(tmp_path, n=2, size=64)
+    cfg = job_yaml(tmp_path, folder, arch="sd1", steps=2)
+    cfg["config"]["process"][0]["validation"] = {"validate_every": 1, "seed": 7}
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(cfg_path))
+    job.run()
+    import json
+
+    out_dir = tmp_path / "output" / "e2e_test"
+    lines = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
+    assert any("val_loss" in l for l in lines)
