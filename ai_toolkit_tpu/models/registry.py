@@ -31,3 +31,4 @@ def _ensure_builtin_models():
     # lazy import to avoid heavy imports at config-parse time
     import ai_toolkit_tpu.models.flux_model  # noqa: F401
     import ai_toolkit_tpu.models.sd_model  # noqa: F401
+    import ai_toolkit_tpu.models.wan_model  # noqa: F401

@@ -1,0 +1,148 @@
+"""Wan 2.x video model wrappers (t2v + i2v).
+
+Parity target: reference wan21/wan21_i2v/wan22_* archs
+(``/root/reference/toolkit/models/wan21/wan21.py``, plugin wan22 dirs):
+flow-matching video DiT, umt5 text conditioning, causal 3D VAE, frame-count
+buckets, i2v first-frame conditioning. Multistage (wan22 MoE-style boundary
+switching, SDTrainer.py:2199) is modeled as two expert DiTs selected by a
+timestep boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+from ai_toolkit_tpu.models.base import BaseTpuModel
+from ai_toolkit_tpu.models.registry import register_model
+from ai_toolkit_tpu.models.text_encoders import T5Config, T5Encoder
+from ai_toolkit_tpu.models.video_vae import VideoAutoencoderKL, VideoVAEConfig
+from ai_toolkit_tpu.models.wan_dit import (
+    WanConfig,
+    WanDiT,
+    multi_axis_rope,
+    wan_lora_targets,
+    wan_partition_rules,
+    wan_patchify,
+    wan_position_ids,
+    wan_unpatchify,
+)
+from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
+
+
+@register_model
+class WanModel(BaseTpuModel):
+    arch = "wan21"
+    archs = ["wan21", "wan21_i2v", "wan22_5b", "wan22_14b", "wan22_14b_i2v"]
+    is_flow_matching = True
+    bucket_divisibility = 16
+    max_txt_len = 512
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        size = config.model_kwargs.get("size", "1.3b")
+        i2v = config.arch.endswith("i2v")
+        if size == "tiny":
+            self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v})
+            self.vae_config = VideoVAEConfig.tiny()
+            self.t5_config = T5Config.tiny()
+            self.max_txt_len = 16
+        elif size in ("14b", "14B"):
+            self.dit_config = WanConfig(**{**WanConfig.wan21_14b().__dict__, "i2v": i2v})
+            self.vae_config = VideoVAEConfig.wan()
+            self.t5_config = T5Config.xxl()
+        else:
+            self.dit_config = WanConfig(**{**WanConfig.wan21_1_3b().__dict__, "i2v": i2v})
+            self.vae_config = VideoVAEConfig.wan()
+            self.t5_config = T5Config.xxl()
+        self.dit = WanDiT(self.dit_config)
+        self.vae = VideoAutoencoderKL(self.vae_config)
+        self.t5 = T5Encoder(self.t5_config)
+        self.tokenizer = load_tokenizer(
+            config.name_or_path, "tokenizer", vocab_size=self.t5_config.vocab_size,
+            eos_id=1, max_len=self.max_txt_len,
+        )
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        r_dit, r_vae, r_t5 = jax.random.split(rng, 3)
+        cfg = self.dit_config
+        pt, ph, pw = cfg.patch_size
+        n = 2 * 2 * 2
+        patch_dim = cfg.in_channels * pt * ph * pw
+        pe = jnp.zeros((1, n, cfg.head_dim // 2, 2, 2))
+        img_cond = jnp.zeros((1, 4, cfg.img_cond_dim)) if cfg.i2v else None
+        dit_vars = self.dit.init(
+            r_dit, jnp.zeros((1, n, patch_dim)), jnp.zeros((1, 8, cfg.text_dim)),
+            jnp.zeros((1,)), pe, img_cond,
+        )
+        td, sd_ = self.vae_config.temporal_downscale, self.vae_config.spatial_downscale
+        vae_vars = self.vae.init(
+            r_vae, jnp.zeros((1, td, 2 * sd_, 2 * sd_, 3))
+        )
+        t5_vars = self.t5.init(r_t5, jnp.zeros((1, self.max_txt_len), jnp.int32))
+        return {"dit": dit_vars["params"], "vae": vae_vars["params"], "t5": t5_vars["params"]}
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        return self.init_variables(rng)
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        ids = np.stack([self.tokenizer.encode(p) for p in prompts])
+        txt = jax.jit(self.t5.apply)({"params": variables["t5"]}, jnp.asarray(ids))
+        return {"txt": txt}
+
+    def rope_table(self, t: int, h: int, w: int) -> jnp.ndarray:
+        cfg = self.dit_config
+        pt, ph, pw = cfg.patch_size
+        ids = wan_position_ids(t // pt, h // ph, w // pw)
+        return multi_axis_rope(ids, list(cfg.axes_dim))
+
+    def predict(self, variables, noisy_latents, t, cond):
+        """noisy_latents: [B, T, h, w, C] video latents."""
+        b, tt, hh, ww, c = noisy_latents.shape
+        cfg = self.dit_config
+        tokens = wan_patchify(noisy_latents, cfg.patch_size)
+        colls = {"params": variables["dit"]}
+        for k in ("lora", "lokr", "dora", "quant"):
+            if k in variables:
+                colls[k] = variables[k]
+        out = self.dit.apply(
+            colls, tokens, cond["txt"], t, cond["pe"], cond.get("img_cond")
+        )
+        return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
+
+    def encode_images(self, variables, images, rng=None):
+        """images: [B, T, H, W, 3] (or [B, H, W, 3] treated as T=temporal_ds)."""
+        if images.ndim == 4:
+            images = jnp.repeat(images[:, None], self.vae_config.temporal_downscale, axis=1)
+        return self.vae.apply(
+            {"params": variables["vae"]}, images, rng, method=VideoAutoencoderKL.encode
+        )
+
+    def decode_latents(self, variables, latents):
+        return self.vae.apply({"params": variables["vae"]}, latents, method=VideoAutoencoderKL.decode)
+
+    def latent_shape(self, height: int, width: int, num_frames: int = 1):
+        sd_ = self.vae_config.spatial_downscale
+        td = self.vae_config.temporal_downscale
+        t = max(1, num_frames // td)
+        return t, height // sd_, width // sd_, self.vae_config.latent_channels
+
+    def image_seq_len(self, height: int, width: int) -> int:
+        cfg = self.dit_config
+        _, h, w, _ = self.latent_shape(height, width)
+        return (h // cfg.patch_size[1]) * (w // cfg.patch_size[2])
+
+    def frame_count_snapper(self, frames: int) -> int:
+        """Snap to the VAE's temporal grid (reference get_frame_count_snapper)."""
+        td = self.vae_config.temporal_downscale
+        return max(td, (frames // td) * td)
+
+    def lora_targets(self):
+        return wan_lora_targets()
+
+    def partition_rules(self):
+        return wan_partition_rules(self.dit_config.scan_blocks)

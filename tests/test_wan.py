@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+from ai_toolkit_tpu.models.registry import get_model_class
+
+
+@pytest.fixture(scope="module")
+def wan_tiny():
+    model = get_model_class("wan21")(ModelConfig(arch="wan21", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    return model, variables
+
+
+def test_wan_video_vae_roundtrip(wan_tiny):
+    model, variables = wan_tiny
+    vid = jax.random.uniform(jax.random.key(0), (1, 4, 16, 16, 3)) * 2 - 1
+    lat = model.encode_images(variables, vid)
+    t, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    assert lat.shape == (1, t, h, w, c)
+    dec = model.decode_latents(variables, lat)
+    assert dec.shape == vid.shape
+
+
+def test_wan_forward_and_train_step(wan_tiny):
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+    from ai_toolkit_tpu.samplers import FlowMatchSchedule
+    from ai_toolkit_tpu.train.optimizers import get_optimizer
+    from ai_toolkit_tpu.train.state import TrainState
+    from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+
+    model, variables = wan_tiny
+    t_, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    cond = model.encode_prompt(variables, ["a video of a cat"])
+    pe = model.rope_table(t_, h, w)
+    cond = {**cond, "pe": pe}
+    noisy = jax.random.normal(jax.random.key(1), (1, t_, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), cond)
+    assert out.shape == noisy.shape
+
+    lora = build_lora(variables["dit"], LoRASpec(rank=4, target_patterns=model.lora_targets()),
+                      jax.random.key(2))
+    assert lora  # targeted the blocks
+    state = TrainState.create(variables, {"lora": lora}, get_optimizer("adamw", 1e-3))
+    step = jax.jit(make_train_step(model.predict, FlowMatchSchedule(), TrainStepConfig()))
+    batch = {"latents": noisy, "cond": cond}
+    state, m = step(state, batch, jax.random.key(3))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_wan_i2v_forward():
+    model = get_model_class("wan21_i2v")(
+        ModelConfig(arch="wan21_i2v", model_kwargs={"size": "tiny"})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    t_, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    cond = model.encode_prompt(variables, ["x"])
+    cond = {**cond, "pe": model.rope_table(t_, h, w),
+            "img_cond": jnp.zeros((1, 4, model.dit_config.img_cond_dim))}
+    noisy = jax.random.normal(jax.random.key(1), (1, t_, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), cond)
+    assert out.shape == noisy.shape
+
+
+def test_frame_snapper(wan_tiny):
+    model, _ = wan_tiny
+    td = model.vae_config.temporal_downscale
+    assert model.frame_count_snapper(17) % td == 0
+    assert model.frame_count_snapper(1) == td
