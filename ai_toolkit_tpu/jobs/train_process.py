@@ -60,6 +60,10 @@ class SDTrainProcess:
         rng = jax.random.key(seed)
 
         self.logger = RunLogger(cfg.logging, self.save_root, self.job_name)
+        from ai_toolkit_tpu.jobs.ui_bridge import UIJobBridge
+
+        self.ui = UIJobBridge()
+        self.ui.start(tc.steps)
 
         # 1. model
         model_cls = get_model_class(cfg.model.arch)
@@ -169,6 +173,17 @@ class SDTrainProcess:
 
             if self.progress_hook:
                 self.progress_hook(step + 1, loss)
+            self.ui.on_step(step + 1, loss)
+            if self.ui.enabled:
+                if self.ui.should_stop():
+                    print("stop requested by UI")
+                    self._save(state, step + 1)
+                    self.ui.finish(status="stopped")
+                    return {"final_loss": loss, "steps": step + 1, "stopped": True}
+                if self.ui.should_save_now():
+                    self._save(state, step + 1)
+                if self.ui.should_sample_now():
+                    self._sample(state, step + 1)
             if (step + 1) % cfg.logging.log_every == 0 or step == start_step:
                 dt = (time.time() - t_last) / max(1, min(cfg.logging.log_every, step + 1 - start_step))
                 t_last = time.time()
@@ -205,6 +220,7 @@ class SDTrainProcess:
         if not tc.disable_sampling and cfg.sample.prompts:
             self._sample(state, tc.steps)
         self.logger.finish()
+        self.ui.finish()
         return {"final_loss": final_metrics.get("loss"), "steps": tc.steps}
 
     # ---- helpers ----
