@@ -17,12 +17,13 @@ from typing import Callable, Iterable
 
 import numpy as np
 
-from ai_toolkit_tpu.data.dataset import FileItem
+from ai_toolkit_tpu.data.dataset import FileItem, load_pixels
 
 
 def _cache_key(item: FileItem, version: str) -> str:
     st = os.stat(item.path)
-    raw = f"{item.path}|{st.st_mtime_ns}|{st.st_size}|{item.bucket}|{item.flip}|{version}"
+    raw = (f"{item.path}|{st.st_mtime_ns}|{st.st_size}|{item.bucket}|{item.flip}|"
+           f"{item.num_frames}|{item.num_samples}|{version}")
     return hashlib.md5(raw.encode()).hexdigest()
 
 
@@ -59,7 +60,7 @@ def cache_latents(
             pending.append(it)
         for i in range(0, len(pending), batch_size):
             chunk = pending[i : i + batch_size]
-            imgs = np.stack([it.load_image() for it in chunk])
+            imgs = np.stack([load_pixels(it) for it in chunk])
             lats = np.asarray(encode_fn(imgs))
             for it, lat in zip(chunk, lats):
                 p = latent_cache_path(it, cache_dir, version)

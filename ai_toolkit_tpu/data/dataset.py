@@ -37,6 +37,9 @@ class FileItem:
     control_paths: list[str] = field(default_factory=list)
     dataset_config: DatasetConfig | None = None
     flip: bool = False
+    kind: str = "image"  # image | video | audio
+    num_frames: int = 1
+    num_samples: int = 0  # audio sample count
 
     def load_image(self) -> np.ndarray:
         """Decode, cover-resize and center-crop to bucket; [-1, 1] float32 HWC."""
@@ -50,6 +53,73 @@ class FileItem:
         if self.flip:
             arr = arr[:, ::-1]
         return arr
+
+    def load_video(self) -> np.ndarray:
+        """Decode video -> [T, H, W, 3] in [-1, 1], T = self.num_frames
+        (uniformly sampled; cf. reference frame extraction,
+        DatasetConfig num_frames/fps, dataloader_mixins video path)."""
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 1
+        want = self.num_frames
+        idxs = np.linspace(0, max(total - 1, 0), want).round().astype(int)
+        frames = []
+        pos = 0
+        want_set = {}
+        for i in idxs:
+            want_set.setdefault(int(i), 0)
+            want_set[int(i)] += 1
+        i = 0
+        ok, frame = cap.read()
+        last = None
+        while ok and len(frames) < want:
+            if i in want_set:
+                for _ in range(want_set[i]):
+                    frames.append(frame)
+            last = frame
+            i += 1
+            ok, frame = cap.read()
+        cap.release()
+        while len(frames) < want:
+            frames.append(last if last is not None else np.zeros((8, 8, 3), np.uint8))
+        bw, bh = self.bucket
+        out = []
+        for f in frames:
+            f = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+            fh, fw = f.shape[:2]
+            rw, rh, x0, y0 = resize_and_crop_size(fw, fh, bw, bh)
+            f = cv2.resize(f, (rw, rh), interpolation=cv2.INTER_CUBIC)[y0 : y0 + bh, x0 : x0 + bw]
+            out.append(f)
+        arr = np.stack(out).astype(np.float32) / 127.5 - 1.0
+        if self.flip:
+            arr = arr[:, :, ::-1]
+        return arr
+
+    def load_audio(self, sample_rate: int = 44100, num_samples: int | None = None) -> np.ndarray:
+        """Decode audio -> [T, C] float32 in [-1, 1] at sample_rate."""
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(self.path)
+        if data.dtype.kind == "i":
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        elif data.dtype.kind == "u":
+            data = (data.astype(np.float32) - 128) / 128.0
+        else:
+            data = data.astype(np.float32)
+        if data.ndim == 1:
+            data = np.stack([data, data], axis=-1)
+        if sr != sample_rate:  # linear resample
+            n_out = int(len(data) * sample_rate / sr)
+            x_old = np.linspace(0, 1, len(data))
+            x_new = np.linspace(0, 1, n_out)
+            data = np.stack([np.interp(x_new, x_old, data[:, c]) for c in range(data.shape[1])], -1)
+        if num_samples:
+            if len(data) >= num_samples:
+                data = data[:num_samples]
+            else:
+                data = np.pad(data, ((0, num_samples - len(data)), (0, 0)))
+        return data.astype(np.float32)
 
     def load_mask(self) -> np.ndarray | None:
         if not self.mask_path or not os.path.isfile(self.mask_path):
@@ -84,34 +154,59 @@ class FolderDataset:
         folder = self.cfg.folder_path
         if not os.path.isdir(folder):
             raise FileNotFoundError(f"dataset folder not found: {folder}")
-        paths = []
+        paths: list[tuple[str, str]] = []
         for root, _, files in os.walk(folder):
             for f in sorted(files):
-                if f.lower().endswith(IMAGE_EXTS):
-                    paths.append(os.path.join(root, f))
+                lf = f.lower()
+                if lf.endswith(IMAGE_EXTS):
+                    paths.append((os.path.join(root, f), "image"))
+                elif lf.endswith(VIDEO_EXTS):
+                    paths.append((os.path.join(root, f), "video"))
+                elif lf.endswith(AUDIO_EXTS):
+                    paths.append((os.path.join(root, f), "audio"))
         resolutions = self.cfg.resolution
-        for p in paths:
-            try:
-                with Image.open(p) as im:
-                    w, h = im.size
-            except Exception:
-                continue
+        for p, kind in paths:
+            w = h = 0
+            if kind == "image":
+                try:
+                    with Image.open(p) as im:
+                        w, h = im.size
+                except Exception:
+                    continue
+            elif kind == "video":
+                try:
+                    import cv2
+
+                    cap = cv2.VideoCapture(p)
+                    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                    cap.release()
+                except Exception:
+                    continue
             caption = load_caption_for(p, self.cfg.caption_ext, self.cfg.default_caption)
             mask_path = None
             if self.cfg.mask_path:
                 mask_path = os.path.join(self.cfg.mask_path, os.path.basename(p))
+            num_samples = 0
+            if kind == "audio":
+                dur = self.cfg.audio_duration or 10.0
+                num_samples = int(dur * self.cfg.audio_sample_rate)
             for res in resolutions:
                 for _ in range(max(1, self.cfg.num_repeats)):
-                    if self.cfg.enable_bucketing and self.cfg.buckets:
+                    if kind == "audio":
+                        bucket = (0, 0)
+                    elif self.cfg.enable_bucketing and self.cfg.buckets and w and h:
                         bucket = get_bucket_for_image_size(w, h, res, self.divisibility)
                     else:
                         bucket = (res, res)
-                    flip = self.cfg.flip_x and self.rng.random() < 0.5
+                    flip = kind != "audio" and self.cfg.flip_x and self.rng.random() < 0.5
                     self.items.append(
                         FileItem(
                             path=p, caption=caption, width=w, height=h, bucket=bucket,
                             resolution=res, is_reg=self.cfg.is_reg, mask_path=mask_path,
-                            dataset_config=self.cfg, flip=flip,
+                            dataset_config=self.cfg, flip=flip, kind=kind,
+                            num_frames=self.cfg.num_frames if kind == "video" else 1,
+                            num_samples=num_samples,
                         )
                     )
 
@@ -129,9 +224,9 @@ class FolderDataset:
     def build_batches(self, batch_size: int, shuffle: bool = True) -> list[list[FileItem]]:
         """Group by bucket, batch within buckets, pad the last partial batch by
         repeating items (reference pads the last batch too)."""
-        by_bucket: dict[tuple[int, int], list[FileItem]] = {}
+        by_bucket: dict[tuple, list[FileItem]] = {}
         for it in self.items:
-            by_bucket.setdefault(it.bucket, []).append(it)
+            by_bucket.setdefault((it.bucket, it.kind, it.num_frames), []).append(it)
         batches = []
         for bucket, items in sorted(by_bucket.items()):
             if shuffle:
@@ -144,3 +239,15 @@ class FolderDataset:
         if shuffle:
             self.rng.shuffle(batches)
         return batches
+
+
+def load_pixels(item: FileItem) -> np.ndarray:
+    """Kind-dispatched raw-signal load: image [H,W,3] / video [T,H,W,3] /
+    audio [T,C]."""
+    if item.kind == "video":
+        return item.load_video()
+    if item.kind == "audio":
+        cfg = item.dataset_config
+        sr = cfg.audio_sample_rate if cfg else 44100
+        return item.load_audio(sr, item.num_samples or None)
+    return item.load_image()

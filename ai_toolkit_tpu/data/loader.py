@@ -18,7 +18,7 @@ import numpy as np
 
 from ai_toolkit_tpu.config.modules import DatasetConfig
 from ai_toolkit_tpu.data.caching import load_cached_latent
-from ai_toolkit_tpu.data.dataset import FileItem, FolderDataset
+from ai_toolkit_tpu.data.dataset import FileItem, FolderDataset, load_pixels
 
 
 class DataLoader:
@@ -53,7 +53,7 @@ class DataLoader:
                 [load_cached_latent(it, self.latent_cache_dir) for it in batch]
             )
         else:
-            imgs = np.stack([it.load_image() for it in batch])
+            imgs = np.stack([load_pixels(it) for it in batch])
             lat = np.asarray(self.encode_fn(imgs))
         out["latents"] = lat.astype(np.float32)
         out["captions"] = [ds.processed_caption(it) for it in batch]
