@@ -60,7 +60,16 @@ def cache_latents(
             pending.append(it)
         for i in range(0, len(pending), batch_size):
             chunk = pending[i : i + batch_size]
-            imgs = np.stack([load_pixels(it) for it in chunk])
+            imgs = None
+            if all(it.kind == "image" for it in chunk):
+                from ai_toolkit_tpu.data.native import load_image_batch
+
+                bw, bh = chunk[0].bucket
+                imgs = load_image_batch(
+                    [it.path for it in chunk], bw, bh, [it.flip for it in chunk]
+                )
+            if imgs is None:
+                imgs = np.stack([load_pixels(it) for it in chunk])
             lats = np.asarray(encode_fn(imgs))
             for it, lat in zip(chunk, lats):
                 p = latent_cache_path(it, cache_dir, version)

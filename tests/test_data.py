@@ -139,3 +139,26 @@ def test_text_embed_cache():
     assert out["txt"][0][0] == 2.0 and out["txt"][1][0] == 3.0 and out["txt"][2][0] == 2.0
     cache.get(["aa", "bbb"])
     assert len(calls) == 1  # fully memoized
+
+
+def test_native_loader_matches_pil(tmp_path):
+    """Native C++ decode+resize path agrees with the PIL path."""
+    pytest.importorskip("ctypes")
+    from ai_toolkit_tpu.data.native import load_image_batch
+
+    folder = make_image_folder(tmp_path, [(300, 200), (640, 480)])
+    paths = sorted(str(p) for p in (tmp_path / "imgs").glob("*.png"))
+    out = load_image_batch(paths, 128, 96)
+    if out is None:
+        pytest.skip("native loader unavailable (no toolchain)")
+    assert out.shape == (2, 96, 128, 3)
+    from ai_toolkit_tpu.data.buckets import resize_and_crop_size
+    from PIL import Image as PILImage
+
+    img = PILImage.open(paths[0]).convert("RGB")
+    rw, rh, x0, y0 = resize_and_crop_size(img.width, img.height, 128, 96)
+    ref = (
+        np.asarray(img.resize((rw, rh), PILImage.BICUBIC).crop((x0, y0, x0 + 128, y0 + 96)),
+                   np.float32) / 127.5 - 1
+    )
+    assert np.abs(ref - out[0]).mean() < 0.01
