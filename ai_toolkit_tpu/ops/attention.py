@@ -26,17 +26,49 @@ def dot_product_attention(
     scale: float | None = None,
 ) -> jax.Array:
     """Multi-head attention over [batch, seq, heads, head_dim] tensors."""
-    if implementation in ("auto", "xla"):
+    if implementation == "auto":
+        # pallas flash kernel when on TPU with block-divisible self-attention
+        implementation = (
+            "pallas" if _pallas_ok(q, k, mask, is_causal) else "xla"
+        )
+    if implementation == "xla":
         return jax.nn.dot_product_attention(
             q, k, v, mask=mask, is_causal=is_causal, scale=scale, implementation="xla"
         )
     if implementation == "pallas":
         from ai_toolkit_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask, is_causal=is_causal, scale=scale)
+        bq = _best_block(q.shape[1])
+        bk = _best_block(k.shape[1])
+        return flash_attention(q, k, v, scale, bq, bk)
     if implementation == "reference":
         return _reference_attention(q, k, v, mask=mask, is_causal=is_causal, scale=scale)
     raise ValueError(f"unknown attention implementation: {implementation}")
+
+
+def _best_block(s: int) -> int:
+    for b in (512, 256, 128):
+        if s % b == 0:
+            return b
+    return s  # single block
+
+
+def _pallas_ok(q, k, mask, is_causal) -> bool:
+    if mask is not None or is_causal:
+        return False  # kernel currently implements dense bidirectional attention
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    s, t, d = q.shape[1], k.shape[1], q.shape[-1]
+    if d % 128 != 0:
+        return False
+    if t > 8192:  # full K/V per head must fit VMEM in the current kernel
+        return False
+    return (s % 128 == 0 or s < 128) and (t % 128 == 0 or t < 128)
 
 
 def _reference_attention(q, k, v, mask=None, is_causal=False, scale=None):

@@ -46,7 +46,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
     l_i = jnp.zeros((block_q, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kv, body, (acc, m_i, l_i))
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
-    lse_ref[0] = (m_i + jnp.log(l_i))[:, 0]
+    lse_ref[0] = m_i + jnp.log(l_i)  # [block_q, 1]
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k):
@@ -68,14 +68,14 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32),
         ],
     )(qt, kt, vt)
-    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3), (lse, qt, kt, vt)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3), (lse[..., 0], qt, kt, vt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

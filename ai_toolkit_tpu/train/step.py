@@ -233,7 +233,9 @@ def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx):
     """
     base = make_train_step(predict_fn, schedule, cfg)
 
-    @partial(jax.jit, static_argnames=("image_seq_len",), donate_argnums=(1, 2, 3, 4))
+    # NOTE: donation of the small state is disabled — the axon PJRT backend
+    # rejects aliased buffers (InvalidArgument); the small state is tiny anyway.
+    @partial(jax.jit, static_argnames=("image_seq_len",))
     def _inner(model_variables, trainable, opt_state, ema, step, batch, rng, image_seq_len=None):
         state = TrainState(
             step=step, model_variables=model_variables, trainable=trainable,
