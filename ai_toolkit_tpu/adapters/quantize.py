@@ -19,9 +19,9 @@ import numpy as np
 
 
 def quantize_kernel_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[in, out] -> (int8 [in, out], scale [1, out]) — per-output-channel."""
+    """[in, out] (or stacked [L, in, out]) -> (int8, per-output-channel scale)."""
     wf = jnp.asarray(w, jnp.float32)
-    scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return q, scale
@@ -61,7 +61,7 @@ def quantize_params(
                 if q:
                     quant[k] = q
             else:
-                is_kernel = k == "kernel" and getattr(v, "ndim", 0) == 2
+                is_kernel = k == "kernel" and getattr(v, "ndim", 0) in (2, 3)
                 big = int(np.prod(v.shape)) >= min_size if hasattr(v, "shape") else False
                 excluded = any(re.search(pat, p) for pat in exclude)
                 if is_kernel and big and not excluded:

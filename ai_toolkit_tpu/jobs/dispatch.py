@@ -39,6 +39,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.extract_process import ExtractLoraProcess
 
                 self.processes.append(ExtractLoraProcess(job_config.name, proc_cfg))
+            elif kind == "mod":
+                from ai_toolkit_tpu.jobs.mod_process import ModRescaleLoraProcess
+
+                self.processes.append(ModRescaleLoraProcess(job_config.name, proc_cfg))
             else:
                 raise ValueError(f"unknown process type {proc_cfg.type}")
 

@@ -71,6 +71,15 @@ class SDTrainProcess:
         self.model = model
         variables = model.load_variables(rng)
 
+        # 1b. optional int8 weight-only quantization of the frozen diffusion core
+        if cfg.model.quantize:
+            from ai_toolkit_tpu.adapters.quantize import quantize_params, quantized_bytes
+
+            main = self._main_component(variables)
+            rest, quant = quantize_params(variables[main])
+            variables = {**variables, main: rest, "quant": quant}
+            print(f"quantized base: {quantized_bytes(quant)/1e9:.2f} GB int8")
+
         # 2. mesh + sharding of frozen base
         mesh = make_mesh(cfg.mesh)
         self.mesh = mesh
