@@ -100,7 +100,7 @@ def main():
 
     schedule = FlowMatchSchedule()
     step_cfg = TrainStepConfig(timestep_type="flux_shift", ema_decay=0.99)
-    tx = get_optimizer("adamw", 1e-4)
+    tx = get_optimizer("adamw8bit", 1e-4)
     train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
     state = TrainState.create({"params": params}, {"lora": lora}, tx, use_ema=True)
 
