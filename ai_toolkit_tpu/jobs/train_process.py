@@ -163,6 +163,14 @@ class SDTrainProcess:
         if not tc.disable_sampling and not tc.skip_first_sample and cfg.sample.prompts:
             self._sample(state, start_step)
 
+        # profiling (reference torch_profiler / Timer): jax trace when requested
+        profile_dir = os.environ.get("AIT_PROFILE_DIR")
+        if profile_dir:
+            import jax.profiler
+
+            jax.profiler.start_trace(profile_dir)
+            print(f"jax profiler tracing to {profile_dir}")
+
         # 10. the loop
         data_iter = iter(loader)
         rng_train = jax.random.key(seed + 1)
@@ -224,12 +232,19 @@ class SDTrainProcess:
             ):
                 self._sample(state, step + 1)
 
+        if profile_dir:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+
         # 11. final save + sample
         self._save(state, tc.steps, final=True)
         if not tc.disable_sampling and cfg.sample.prompts:
             self._sample(state, tc.steps)
         self.logger.finish()
         self.ui.finish()
+        if cfg.save.push_to_hub and cfg.save.hf_repo_id:
+            self._push_to_hub()
         return {"final_loss": final_metrics.get("loss"), "steps": tc.steps}
 
     # ---- helpers ----
@@ -480,3 +495,23 @@ def _flatten_params(tree: dict, prefix: str = "") -> dict:
         else:
             out[key] = np.ascontiguousarray(v)
     return out
+
+    def _push_to_hub(self):
+        """Upload final artifacts to HF hub (reference push_to_hub:2859)."""
+        try:
+            from huggingface_hub import HfApi
+
+            api = HfApi()
+            repo = self.cfg.save.hf_repo_id
+            api.create_repo(repo, private=self.cfg.save.hf_private, exist_ok=True)
+            final = self.ckpt.final_path()
+            if os.path.isfile(final):
+                api.upload_file(path_or_fileobj=final, path_in_repo=os.path.basename(final),
+                                repo_id=repo)
+            card = os.path.join(self.save_root, "README.md")
+            with open(card, "w") as f:
+                f.write(f"# {self.job_name}\n\nTrained with ai_toolkit_tpu.\n")
+            api.upload_file(path_or_fileobj=card, path_in_repo="README.md", repo_id=repo)
+            print(f"pushed to hub: {repo}")
+        except Exception as e:
+            print(f"hub push failed (offline?): {e}")
