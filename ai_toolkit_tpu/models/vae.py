@@ -29,6 +29,9 @@ class VAEConfig:
     scaling_factor: float = 0.18215
     shift_factor: float = 0.0
     sample_size: int = 512
+    # diffusers AutoencoderKL has 1x1 quant/post-quant convs (sd/sdxl: yes,
+    # flux/BFL: no)
+    use_quant_conv: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -41,13 +44,14 @@ class VAEConfig:
 
     @classmethod
     def flux(cls) -> "VAEConfig":
-        return cls(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159)
+        return cls(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159,
+                   use_quant_conv=False)
 
     @classmethod
     def tiny(cls) -> "VAEConfig":
         """CPU-testable config."""
         return cls(base_channels=16, channel_multipliers=(1, 2), layers_per_block=1,
-                   dtype=jnp.float32)
+                   use_quant_conv=False, dtype=jnp.float32)
 
     @property
     def downscale(self) -> int:
@@ -147,14 +151,23 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, name="encoder")
         self.decoder = Decoder(self.cfg, name="decoder")
+        if self.cfg.use_quant_conv:
+            dt = self.cfg.dtype
+            self.quant_conv = Conv(2 * self.cfg.latent_channels, (1, 1), dtype=dt,
+                                   param_dtype=dt, name="quant_conv")
+            self.post_quant_conv = Conv(self.cfg.latent_channels, (1, 1), dtype=dt,
+                                        param_dtype=dt, name="post_quant_conv")
 
     def encode_moments(self, x: jax.Array) -> jax.Array:
         """[B,H,W,3] image in [-1,1] -> [B,h,w,2C] (mean | logvar)."""
-        return self.encoder(x)
+        m = self.encoder(x)
+        if self.cfg.use_quant_conv:
+            m = self.quant_conv(m)
+        return m
 
     def encode(self, x: jax.Array, rng: jax.Array | None = None) -> jax.Array:
         """Image -> scaled latent (mode if rng is None, else a sample)."""
-        moments = self.encoder(x)
+        moments = self.encode_moments(x)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         if rng is not None:
             std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
@@ -164,6 +177,8 @@ class AutoencoderKL(nn.Module):
     def decode(self, z: jax.Array) -> jax.Array:
         """Scaled latent -> image in [-1,1]."""
         z = z / self.cfg.scaling_factor + self.cfg.shift_factor
+        if self.cfg.use_quant_conv:
+            z = self.post_quant_conv(z)
         return self.decoder(z)
 
     def __call__(self, x: jax.Array) -> jax.Array:
