@@ -213,8 +213,12 @@ class MeshConfig:
     """
 
     axes: dict[str, int] = field(default_factory=lambda: {"dp": 1, "fsdp": -1, "tp": 1})
-    axis_order: tuple[str, ...] = ("dp", "fsdp", "tp")
+    axis_order: tuple[str, ...] = ()
     extras: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.axis_order and isinstance(self.axes, dict):
+            self.axis_order = tuple(self.axes.keys())
 
     @classmethod
     def from_dict(cls, d: dict[str, Any] | None) -> "MeshConfig":
