@@ -397,6 +397,13 @@ class SDTrainProcess:
         if "pooled" in cond and hasattr(model, "added_cond"):
             d = model.vae_config.downscale
             cond["added_cond"] = model.added_cond(cond.pop("pooled"), lat.shape[1] * d, lat.shape[2] * d)
+        if self.cfg.train.do_cfg and not getattr(self, "ti_trigger", None):
+            negs = [self.cfg.sample.neg or ""] * len(raw["captions"])
+            neg_cond = {k: jnp.asarray(v) for k, v in text_cache.get(negs).items()}
+            if model.is_flow_matching and "pe" in cond:
+                neg_cond["pe"] = cond["pe"]
+                neg_cond["guidance"] = cond.get("guidance")
+            batch["neg_cond"] = neg_cond
         if "pixel_mask" in raw:
             # downscale pixel mask to latent resolution (area mean)
             m = raw["pixel_mask"]

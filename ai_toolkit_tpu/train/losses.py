@@ -13,7 +13,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _haar_dwt2(x: jax.Array) -> jax.Array:
+    """Single-level 2D Haar transform on [B, H, W, C] -> [B, H/2, W/2, 4C]
+    (LL|LH|HL|HH). Odd trailing rows/cols are truncated."""
+    b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2]
+    a = x[:, 0::2, 0::2]
+    bb = x[:, 0::2, 1::2]
+    cc = x[:, 1::2, 0::2]
+    dd = x[:, 1::2, 1::2]
+    ll = (a + bb + cc + dd) * 0.5
+    lh = (a - bb + cc - dd) * 0.5
+    hl = (a + bb - cc - dd) * 0.5
+    hh = (a - bb - cc + dd) * 0.5
+    return jnp.concatenate([ll, lh, hl, hh], axis=-1)
+
+
 def _core(pred: jax.Array, target: jax.Array, loss_type: str, huber_c: float) -> jax.Array:
+    if loss_type == "wavelet":
+        # reference wavelet_loss (toolkit/util/losses.py): mse over Haar subbands
+        pf = _haar_dwt2(pred.astype(jnp.float32))
+        tf = _haar_dwt2(target.astype(jnp.float32))
+        d = pf - tf
+        return d * d
     d = pred.astype(jnp.float32) - target.astype(jnp.float32)
     if loss_type == "mse":
         return d * d
@@ -44,6 +66,13 @@ def compute_loss(
 
     if mask is not None:
         mask = jnp.clip(mask.astype(jnp.float32), mask_min_value, 1.0)
+        if mask.ndim >= 3 and elem.ndim >= 3 and mask.shape[1] != elem.shape[1]:
+            # wavelet loss halves spatial dims — pool the mask to match
+            f = mask.shape[1] // elem.shape[1]
+            mask = mask[:, : elem.shape[1] * f, : elem.shape[2] * f]
+            mask = mask.reshape(
+                mask.shape[0], elem.shape[1], f, elem.shape[2], f, -1
+            ).mean(axis=(2, 4))
         masked = elem * mask
         # normalize by mask coverage so sparse masks don't shrink the loss
         denom = jnp.mean(mask, axis=tuple(range(1, mask.ndim)))  # [B]

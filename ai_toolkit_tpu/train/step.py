@@ -41,13 +41,15 @@ class TrainStepConfig:
     inverted_mask_prior: bool = False
     inverted_mask_prior_multiplier: float = 0.5
     do_prior_pred: bool = False  # run an adapter-off forward (DOP / prior losses)
+    do_cfg: bool = False  # train the CFG-combined prediction (baked guidance)
+    cfg_scale: float = 1.0
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
         return cls(
             timestep_type="linear" if tc.linear_timesteps or tc.linear_timesteps2 else tc.timestep_type,
             timestep_bias=tc.timestep_bias,
-            loss_type=tc.loss_type if tc.loss_type in ("mse", "mae", "pseudo_huber") else "mse",
+            loss_type=tc.loss_type if tc.loss_type in ("mse", "mae", "pseudo_huber", "wavelet") else "mse",
             huber_c=tc.pseudo_huber_c,
             min_snr_gamma=tc.min_snr_gamma,
             use_timestep_weights=bool(
@@ -63,6 +65,8 @@ class TrainStepConfig:
             inverted_mask_prior=tc.inverted_mask_prior,
             inverted_mask_prior_multiplier=tc.inverted_mask_prior_multiplier,
             do_prior_pred=tc.diff_output_preservation or tc.inverted_mask_prior,
+            do_cfg=tc.do_cfg,
+            cfg_scale=tc.cfg_scale,
         )
 
 
@@ -109,6 +113,11 @@ def make_train_step(
         variables = merge_variables(model_variables, trainable)
         cond = batch.get("cond", {})
         pred = predict_fn(variables, noisy, t, cond)
+        if cfg.do_cfg and "neg_cond" in batch:
+            # CFG-trained negatives (reference train.do_cfg): regress the
+            # guidance-combined prediction so sampling at cfg_scale is baked in
+            pred_neg = predict_fn(variables, noisy, t, batch["neg_cond"])
+            pred = pred_neg + cfg.cfg_scale * (pred - pred_neg)
 
         prior_pred = None
         if cfg.do_prior_pred:

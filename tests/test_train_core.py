@@ -142,3 +142,26 @@ def test_eps_schedule_min_snr_path():
     batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
     state, metrics = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_wavelet_loss():
+    from ai_toolkit_tpu.train.losses import compute_loss
+
+    pred = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    loss_same, _ = compute_loss(pred, pred, loss_type="wavelet")
+    assert float(loss_same) == 0.0
+    loss_diff, _ = compute_loss(pred, jnp.zeros_like(pred), loss_type="wavelet")
+    assert float(loss_diff) > 0
+    # masked wavelet: mask pooled to subband resolution
+    mask = jnp.ones((2, 8, 8, 1))
+    loss_masked, _ = compute_loss(pred, jnp.zeros_like(pred), loss_type="wavelet", mask=mask)
+    assert np.isfinite(float(loss_masked))
+
+
+def test_do_cfg_path():
+    cfg = TrainStepConfig(timestep_type="linear", do_cfg=True, cfg_scale=3.0)
+    state, step = _make_state_and_step(cfg=cfg)
+    lat = jax.random.normal(jax.random.key(5), (2, 4, 4, 2))
+    batch = {"latents": lat, "cond": {}, "neg_cond": {}}
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
