@@ -110,29 +110,115 @@ def _fwd(q, k, v, scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len):
+    """Grid (B*H, S/block_q): dq for one q block, looping kv blocks."""
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [bq, 1]
+    delta = delta_ref[0]  # [bq, 1]
+    bq, d = q.shape
+    num_kv = kv_len // block_k
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len):
+    """Grid (B*H, T/block_k): dk/dv for one kv block, looping q blocks."""
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+    num_q = q_len // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        p = jnp.exp(s - lse)
+        dv = dv + jnp.dot(p.T, g, preferred_element_type=jnp.float32)
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_q, body, (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32))
+    )
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _bwd(scale, block_q, block_k, res, g):
-    """Backward via recomputed block attention (XLA einsum per block pair is
-    fused well; a fully-pallas dkv kernel is a later optimization)."""
+    """Pallas backward: dq kernel over q blocks, dkv kernel over kv blocks —
+    logits never hit HBM (recomputed per block pair, flash style)."""
     q, k, v, out, lse = res
     b, s, h, d = q.shape
     t = k.shape[1]
-    scale_, _, _ = _resolve(scale, d, s, t, block_q, block_k)
+    scale_, bq, bk = _resolve(scale, d, s, t, block_q, block_k)
 
-    qf = q.astype(jnp.float32) * scale_
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    lse_ = lse.reshape(b, h, s).transpose(0, 2, 1)  # [B, S, H]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    gt = g.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    delta = jnp.sum(
+        gt.astype(jnp.float32) * out.transpose(0, 2, 1, 3).reshape(b * h, s, d).astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # [B*H, S, 1]
+    lse3 = lse[..., None]  # [B*H, S, 1]
 
-    logits = jnp.einsum("bshd,bthd->bhst", qf, kf)
-    p = jnp.exp(logits - lse_.transpose(0, 2, 1)[..., None])  # [B,H,S,T]
-    dv = jnp.einsum("bhst,bshd->bthd", p, gf)
-    dp = jnp.einsum("bshd,bthd->bhst", gf, vf)
-    delta = jnp.sum(gf.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,S,H]
-    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
-    dq = jnp.einsum("bhst,bthd->bshd", ds, kf) * scale_
-    dk = jnp.einsum("bhst,bshd->bthd", ds, qf)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    full_q = lambda i, j: (i, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale_, block_k=bk, kv_len=t),
+        grid=(b * h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+    )(qt, kt, vt, gt, lse3, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale_, block_q=bq, q_len=s),
+        grid=(b * h, t // bk),
+        in_specs=[
+            pl.BlockSpec((1, s, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 1), full_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 1), full_q, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, t, d), v.dtype),
+        ],
+    )(qt, kt, vt, gt, lse3, delta)
+
+    dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    dk = dk.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    dv = dv.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return dq, dk, dv
 
 
 flash_attention.defvjp(_fwd, _bwd)
