@@ -97,10 +97,13 @@ class SDModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         collections = {"params": variables["unet"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "lokr", "dora", "quant", "ip"):
             if k in variables:
                 collections[k] = variables[k]
-        return self.unet.apply(collections, noisy_latents, t, cond["context"], cond.get("added_cond"))
+        return self.unet.apply(
+            collections, noisy_latents, t, cond["context"], cond.get("added_cond"),
+            cond.get("ip_tokens"),
+        )
 
     def predict_train(self, variables, noisy_latents, t, cond):
         """Train-time forward. When the batch carries token ids (textual

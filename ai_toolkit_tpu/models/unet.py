@@ -101,7 +101,7 @@ class TransformerBlock(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ip_context=None):
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         nh = cfg.num_heads
@@ -121,7 +121,26 @@ class TransformerBlock(nn.Module):
         h = LayerNorm(dtype=dt, name="norm1")(x)
         x = x + attn(h, h, "attn1")
         h = LayerNorm(dtype=dt, name="norm2")(x)
-        x = x + attn(h, context, "attn2")
+        # cross attention, decomposed so IP-Adapter can join pre-projection
+        q2 = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name="attn2_q")(h)
+        k2 = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name="attn2_k")(context)
+        v2 = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name="attn2_v")(context)
+        q2r = q2.reshape(b, s, nh, hd)
+        o2 = dot_product_attention(
+            q2r, k2.reshape(b, context.shape[1], nh, hd), v2.reshape(b, context.shape[1], nh, hd)
+        ).reshape(b, s, self.dim)
+        if ip_context is not None and self.has_variable("ip", "ip_k"):
+            # IP-Adapter decoupled cross-attention (reference toolkit/ip_adapter.py):
+            # same query, separate K/V over image tokens, scaled add BEFORE to_out
+            ip_k = self.get_variable("ip", "ip_k").astype(dt)
+            ip_v = self.get_variable("ip", "ip_v").astype(dt)
+            ip_scale = jnp.asarray(self.get_variable("ip", "scale"), dt)
+            n_ip = ip_context.shape[1]
+            k_ip = (ip_context.astype(dt) @ ip_k).reshape(b, n_ip, nh, hd)
+            v_ip = (ip_context.astype(dt) @ ip_v).reshape(b, n_ip, nh, hd)
+            o_ip = dot_product_attention(q2r, k_ip, v_ip).reshape(b, s, self.dim)
+            o2 = o2 + ip_scale * o_ip
+        x = x + Linear(self.dim, dtype=dt, param_dtype=pdt, name="attn2_out")(o2)
         h = LayerNorm(dtype=dt, name="norm3")(x)
         gate = Linear(self.dim * 8, dtype=dt, param_dtype=pdt, name="ff_in")(h)
         a, g = jnp.split(gate, 2, axis=-1)
@@ -134,7 +153,7 @@ class SpatialTransformer(nn.Module):
     depth: int
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ip_context=None):
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         b, hh, ww, c = x.shape
@@ -142,7 +161,7 @@ class SpatialTransformer(nn.Module):
         h = h.reshape(b, hh * ww, c)
         h = Linear(c, dtype=dt, param_dtype=pdt, name="proj_in")(h)
         for i in range(self.depth):
-            h = TransformerBlock(cfg, c, name=f"block_{i}")(h, context)
+            h = TransformerBlock(cfg, c, name=f"block_{i}")(h, context, ip_context)
         h = Linear(c, dtype=dt, param_dtype=pdt, name="proj_out")(h)
         return x + h.reshape(b, hh, ww, c)
 
@@ -157,6 +176,7 @@ class UNet2DCondition(nn.Module):
         t: jax.Array,  # [B] integer timesteps (or [0,1] flow times * 1000)
         context: jax.Array,  # [B, S, cross_dim] text states
         added_cond: dict | None = None,  # sdxl: {"time_ids": [B,6], "text_embeds": [B,1280]}
+        ip_context: jax.Array | None = None,  # [B, N_ip, cross_dim] image tokens
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
@@ -184,7 +204,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = Res(ch, cfg, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.transformer_layers[i] > 0:
-                    h = Attn(cfg, cfg.transformer_layers[i], name=f"down_{i}_attn_{j}")(h, context)
+                    h = Attn(cfg, cfg.transformer_layers[i], name=f"down_{i}_attn_{j}")(h, context, ip_context)
                 skips.append(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Conv(ch, (3, 3), strides=(2, 2), dtype=dt, param_dtype=pdt,
@@ -193,7 +213,7 @@ class UNet2DCondition(nn.Module):
 
         mid_ch = cfg.block_out_channels[-1]
         h = Res(mid_ch, cfg, name="mid_res_0")(h, temb)
-        h = Attn(cfg, max(cfg.transformer_layers[-1], 1), name="mid_attn")(h, context)
+        h = Attn(cfg, max(cfg.transformer_layers[-1], 1), name="mid_attn")(h, context, ip_context)
         h = Res(mid_ch, cfg, name="mid_res_1")(h, temb)
 
         for i, ch in reversed(list(enumerate(cfg.block_out_channels))):
@@ -201,7 +221,7 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = Res(ch, cfg, name=f"up_{i}_res_{j}")(h, temb)
                 if cfg.transformer_layers[i] > 0:
-                    h = Attn(cfg, cfg.transformer_layers[i], name=f"up_{i}_attn_{j}")(h, context)
+                    h = Attn(cfg, cfg.transformer_layers[i], name=f"up_{i}_attn_{j}")(h, context, ip_context)
             if i > 0:
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
