@@ -121,6 +121,21 @@ class FileItem:
                 data = np.pad(data, ((0, num_samples - len(data)), (0, 0)))
         return data.astype(np.float32)
 
+    def load_control(self) -> np.ndarray | None:
+        """First control image resized to the bucket, [-1,1] float32 HWC."""
+        if not self.control_paths:
+            return None
+        from PIL import Image
+
+        img = Image.open(self.control_paths[0]).convert("RGB")
+        bw, bh = self.bucket
+        rw, rh, x0, y0 = resize_and_crop_size(img.width, img.height, bw, bh)
+        img = img.resize((rw, rh), Image.BICUBIC).crop((x0, y0, x0 + bw, y0 + bh))
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        if self.flip:
+            arr = arr[:, ::-1]
+        return arr
+
     def load_mask(self) -> np.ndarray | None:
         if not self.mask_path or not os.path.isfile(self.mask_path):
             return None
@@ -187,6 +202,13 @@ class FolderDataset:
             mask_path = None
             if self.cfg.mask_path:
                 mask_path = os.path.join(self.cfg.mask_path, os.path.basename(p))
+            control_paths = []
+            ctrl = self.cfg.control_path
+            if ctrl:
+                for croot in (ctrl if isinstance(ctrl, list) else [ctrl]):
+                    cp = os.path.join(croot, os.path.basename(p))
+                    if os.path.isfile(cp):
+                        control_paths.append(cp)
             num_samples = 0
             if kind == "audio":
                 dur = self.cfg.audio_duration or 10.0
@@ -205,6 +227,7 @@ class FolderDataset:
                             path=p, caption=caption, width=w, height=h, bucket=bucket,
                             resolution=res, is_reg=self.cfg.is_reg, mask_path=mask_path,
                             dataset_config=self.cfg, flip=flip, kind=kind,
+                            control_paths=control_paths,
                             num_frames=self.cfg.num_frames if kind == "video" else 1,
                             num_samples=num_samples,
                         )

@@ -57,6 +57,11 @@ class DataLoader:
             lat = np.asarray(self.encode_fn(imgs))
         out["latents"] = lat.astype(np.float32)
         out["captions"] = [ds.processed_caption(it) for it in batch]
+        controls = [it.load_control() for it in batch]
+        if any(c is not None for c in controls):
+            bw, bh = batch[0].bucket
+            blank = np.zeros((bh, bw, 3), np.float32)
+            out["control_pixels"] = np.stack([c if c is not None else blank for c in controls])
         masks = [it.load_mask() for it in batch]
         if any(m is not None for m in masks):
             bw, bh = batch[0].bucket

@@ -137,6 +137,8 @@ class SDTrainProcess:
                 state = state.replace(step=jnp.asarray(start_step, jnp.int32))
                 print(f"resumed from step {start_step}")
 
+        self._ctrl_variables = variables
+
         # 7. data
         loader, text_cache = self._build_data(model, variables)
 
@@ -404,6 +406,8 @@ class SDTrainProcess:
                 neg_cond["pe"] = cond["pe"]
                 neg_cond["guidance"] = cond.get("guidance")
             batch["neg_cond"] = neg_cond
+        if "control_pixels" in raw:
+            cond["control_latents"] = jnp.asarray(self._encode_control(raw["control_pixels"]))
         if "pixel_mask" in raw:
             # downscale pixel mask to latent resolution (area mean)
             m = raw["pixel_mask"]
@@ -412,6 +416,12 @@ class SDTrainProcess:
             batch["mask"] = jnp.asarray(m)
         batch["cond"] = cond
         return batch
+
+    def _encode_control(self, pixels):
+        if not hasattr(self, "_ctrl_encode"):
+            variables = self._ctrl_variables
+            self._ctrl_encode = jax.jit(lambda imgs: self.model.encode_images(variables, imgs))
+        return np.asarray(self._ctrl_encode(jnp.asarray(pixels)))
 
     def _save(self, state: TrainState, step: int, final: bool = False):
         with self.timer("save"):

@@ -32,6 +32,7 @@ from ai_toolkit_tpu.parallel.sharding import PartitionRule
 @dataclass(frozen=True)
 class FluxConfig:
     in_channels: int = 64  # 16 latent ch * 2*2 packing
+    out_channels: int | None = None  # None -> in_channels (control models differ)
     hidden_size: int = 3072
     num_heads: int = 24
     head_dim: int = 128
@@ -43,6 +44,9 @@ class FluxConfig:
     axes_dim: tuple[int, ...] = (16, 56, 56)
     theta: float = 10_000.0
     guidance_embed: bool = True
+    # extra packed latent channels concatenated to the image tokens
+    # (flux-control / inpainting conditioning; reference flux_kontext/flex2)
+    control_channels: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
@@ -259,7 +263,8 @@ class FluxDiT(nn.Module):
             Linear(h * 2, dtype=dt, param_dtype=pdt, name="final_mod")(nn.silu(vec)), 2, axis=-1
         )
         x = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="final_norm")(x), shift, scale)
-        return Linear(cfg.in_channels, dtype=dt, param_dtype=pdt, name="final_proj")(x)
+        out_ch = cfg.out_channels or cfg.in_channels
+        return Linear(out_ch, dtype=dt, param_dtype=pdt, name="final_proj")(x)
 
 
 # ---- sharding rules ----

@@ -63,6 +63,15 @@ class FluxModel(BaseTpuModel):
             self.t5_config = T5Config.xxl()
         if config.arch == "flux_schnell":
             self.dit_config = FluxConfig(**{**self.dit_config.__dict__, "guidance_embed": False})
+        if config.model_kwargs.get("control") or config.arch in ("flux_kontext", "flex2"):
+            # control/edit conditioning: packed control latents concat to img tokens
+            base_in = self.dit_config.in_channels
+            self.dit_config = FluxConfig(**{
+                **self.dit_config.__dict__,
+                "in_channels": base_in * 2,
+                "out_channels": base_in,
+                "control_channels": base_in,
+            })
         self.dit = FluxDiT(self.dit_config)
         self.vae = AutoencoderKL(self.vae_config)
         self.clip = CLIPTextModel(self.clip_config)
@@ -131,9 +140,12 @@ class FluxModel(BaseTpuModel):
     # ---- forward ----
 
     def predict(self, variables: dict, noisy_latents: jax.Array, t: jax.Array, cond: dict) -> jax.Array:
-        """noisy_latents: [B, h, w, C] (VAE latent space). cond: txt, y, pe, guidance."""
+        """noisy_latents: [B, h, w, C] (VAE latent space). cond: txt, y, pe, guidance,
+        optional control_latents [B, h, w, C_ctrl] (channel-concat conditioning)."""
         b, h, w, c = noisy_latents.shape
         img = pack_latents(noisy_latents)
+        if cond.get("control_latents") is not None:
+            img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=-1)
         pe = cond["pe"]
         out = self.dit.apply(
             {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "lokr", "dora", "quant")}},

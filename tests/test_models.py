@@ -133,3 +133,26 @@ def test_t5_and_clip_shapes():
     out = clip.apply(v, jnp.zeros((2, 77), jnp.int32))
     assert out["last_hidden_state"].shape == (2, 77, 64)
     assert out["pooled_output"].shape == (2, 64)
+
+
+def test_flux_control_conditioning():
+    """flux-kontext/control: packed control latents concat into img tokens."""
+    cls = get_model_class("flux")
+    model = cls(ModelConfig(arch="flux", model_kwargs={"size": "tiny", "control": True}))
+    variables = model.init_variables(jax.random.key(0))
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["edit this"])
+    pe = model.rope_table(h, w, cond["txt"].shape[1])
+    ctrl = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    noisy = jax.random.normal(jax.random.key(2), (1, h, w, c))
+    out = model.predict(
+        variables, noisy, jnp.array([0.5]),
+        {**cond, "pe": pe, "control_latents": ctrl, "guidance": jnp.ones((1,))},
+    )
+    assert out.shape == noisy.shape
+    # different control -> different prediction
+    out2 = model.predict(
+        variables, noisy, jnp.array([0.5]),
+        {**cond, "pe": pe, "control_latents": ctrl * 0, "guidance": jnp.ones((1,))},
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
