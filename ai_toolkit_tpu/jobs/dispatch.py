@@ -11,6 +11,8 @@ from typing import Any
 from ai_toolkit_tpu.config.modules import JobConfig
 
 PROCESS_TYPES = {
+    "train_vae": "vae",
+    "vae_trainer": "vae",
     "sd_trainer": "train",
     "diffusion_trainer": "train",
     "ui_trainer": "train",
@@ -43,6 +45,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.mod_process import ModRescaleLoraProcess
 
                 self.processes.append(ModRescaleLoraProcess(job_config.name, proc_cfg))
+            elif kind == "vae":
+                from ai_toolkit_tpu.jobs.train_vae_process import VAETrainProcess
+
+                self.processes.append(VAETrainProcess(job_config.name, proc_cfg))
             else:
                 raise ValueError(f"unknown process type {proc_cfg.type}")
 

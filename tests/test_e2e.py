@@ -211,3 +211,32 @@ def test_validation_loss_logged(tmp_path):
     out_dir = tmp_path / "output" / "e2e_test"
     lines = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
     assert any("val_loss" in l for l in lines)
+
+
+@pytest.mark.slow
+def test_vae_trainer_e2e(tmp_path):
+    folder = make_dataset(tmp_path, n=2, size=32)
+    cfg = {
+        "job": "extension",
+        "config": {
+            "name": "vae_ft",
+            "process": [{
+                "type": "train_vae",
+                "training_folder": str(tmp_path / "output"),
+                "kl_weight": 1e-6, "mae_weight": 0.1, "critic_weight": 0.05,
+                "datasets": [{"folder_path": folder, "resolution": 32}],
+                "train": {"batch_size": 2, "steps": 3, "optimizer": "adamw", "lr": 1e-4,
+                          "dtype": "float32"},
+                "model": {"arch": "sd1", "model_kwargs": {"size": "tiny"}},
+                "logging": {"log_every": 1},
+            }],
+        },
+    }
+    cfg_path = tmp_path / "vae.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    res = get_job(get_config(cfg_path)).run()
+    assert np.isfinite(res[0]["final_loss"])
+    assert os.path.isfile(res[0]["output"])
