@@ -46,6 +46,12 @@ class WanModel(BaseTpuModel):
         super().__init__(config)
         size = config.model_kwargs.get("size", "1.3b")
         i2v = config.arch.endswith("i2v")
+        # wan2.2 MoE-style high/low-noise experts switched at a timestep
+        # boundary (reference multistage, SDTrainer.py:2199-2210)
+        self.multistage = config.arch.startswith("wan22") or bool(
+            config.model_kwargs.get("multistage")
+        )
+        self.stage_boundary = float(config.model_kwargs.get("stage_boundary", 0.875))
         if size == "tiny":
             self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v})
             self.vae_config = VideoVAEConfig.tiny()
@@ -84,7 +90,15 @@ class WanModel(BaseTpuModel):
             r_vae, jnp.zeros((1, td, 2 * sd_, 2 * sd_, 3))
         )
         t5_vars = self.t5.init(r_t5, jnp.zeros((1, self.max_txt_len), jnp.int32))
-        return {"dit": dit_vars["params"], "vae": vae_vars["params"], "t5": t5_vars["params"]}
+        out = {"dit": dit_vars["params"], "vae": vae_vars["params"], "t5": t5_vars["params"]}
+        if self.multistage:
+            # second expert (low-noise); "dit" is the high-noise expert
+            r_low = jax.random.fold_in(r_dit, 1)
+            out["dit_low"] = self.dit.init(
+                r_low, jnp.zeros((1, n, patch_dim)), jnp.zeros((1, 8, cfg.text_dim)),
+                jnp.zeros((1,)), pe, img_cond,
+            )["params"]
+        return out
 
     def load_variables(self, rng: jax.Array) -> dict:
         return self.init_variables(rng)
@@ -105,13 +119,25 @@ class WanModel(BaseTpuModel):
         b, tt, hh, ww, c = noisy_latents.shape
         cfg = self.dit_config
         tokens = wan_patchify(noisy_latents, cfg.patch_size)
-        colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
-            if k in variables:
-                colls[k] = variables[k]
-        out = self.dit.apply(
-            colls, tokens, cond["txt"], t, cond["pe"], cond.get("img_cond")
-        )
+        adapters = {k: variables[k] for k in ("lora", "lokr", "dora", "quant") if k in variables}
+
+        def run(params):
+            return self.dit.apply(
+                {"params": params, **adapters}, tokens, cond["txt"], t, cond["pe"],
+                cond.get("img_cond"),
+            )
+
+        if self.multistage and "dit_low" in variables:
+            # expert routing by timestep: t >= boundary -> high-noise expert.
+            # lax.cond keeps one expert's FLOPs per step; adapters are shared.
+            import jax as _jax
+
+            high = jnp.mean(t) >= self.stage_boundary
+            out = _jax.lax.cond(
+                high, lambda: run(variables["dit"]), lambda: run(variables["dit_low"])
+            )
+        else:
+            out = run(variables["dit"])
         return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
 
     def encode_images(self, variables, images, rng=None):

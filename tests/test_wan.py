@@ -69,3 +69,20 @@ def test_frame_snapper(wan_tiny):
     td = model.vae_config.temporal_downscale
     assert model.frame_count_snapper(17) % td == 0
     assert model.frame_count_snapper(1) == td
+
+
+def test_wan22_multistage_routing():
+    model = get_model_class("wan22_14b")(
+        ModelConfig(arch="wan22_14b", model_kwargs={"size": "tiny", "stage_boundary": 0.5})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    assert "dit_low" in variables
+    t_, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    cond = model.encode_prompt(variables, ["x"])
+    cond = {**cond, "pe": model.rope_table(t_, h, w)}
+    noisy = jax.random.normal(jax.random.key(1), (1, t_, h, w, c))
+    out_hi = model.predict(variables, noisy, jnp.array([0.9]), cond)
+    out_lo = model.predict(variables, noisy, jnp.array([0.1]), cond)
+    assert out_hi.shape == noisy.shape
+    # different experts -> different outputs
+    assert not np.allclose(np.asarray(out_hi), np.asarray(out_lo))
