@@ -168,9 +168,9 @@ class SDTrainProcess:
         # profiling (reference torch_profiler / Timer): jax trace when requested
         profile_dir = os.environ.get("AIT_PROFILE_DIR")
         if profile_dir:
-            import jax.profiler
+            from jax import profiler as _profiler
 
-            jax.profiler.start_trace(profile_dir)
+            _profiler.start_trace(profile_dir)
             print(f"jax profiler tracing to {profile_dir}")
 
         # 10. the loop
@@ -235,9 +235,9 @@ class SDTrainProcess:
                 self._sample(state, step + 1)
 
         if profile_dir:
-            import jax.profiler
+            from jax import profiler as _profiler
 
-            jax.profiler.stop_trace()
+            _profiler.stop_trace()
 
         # 11. final save + sample
         self._save(state, tc.steps, final=True)

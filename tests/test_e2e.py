@@ -240,3 +240,24 @@ def test_vae_trainer_e2e(tmp_path):
     res = get_job(get_config(cfg_path)).run()
     assert np.isfinite(res[0]["final_loss"])
     assert os.path.isfile(res[0]["output"])
+
+
+@pytest.mark.slow
+def test_cli_run_py(tmp_path):
+    """python run.py <config> end-to-end through the real CLI."""
+    import subprocess
+    import sys
+
+    folder = make_dataset(tmp_path, n=2, size=64)
+    cfg = job_yaml(tmp_path, folder, arch="sd1", steps=2)
+    cfg["config"]["process"][0]["train"]["disable_sampling"] = True
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "run.py"), str(cfg_path)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "output" / "e2e_test" / "e2e_test.safetensors").exists()
