@@ -11,6 +11,9 @@ from typing import Any
 from ai_toolkit_tpu.config.modules import JobConfig
 
 PROCESS_TYPES = {
+    "slider": "slider",
+    "concept_slider": "slider",
+    "slider_trainer": "slider",
     "train_vae": "vae",
     "vae_trainer": "vae",
     "sd_trainer": "train",
@@ -49,6 +52,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.train_vae_process import VAETrainProcess
 
                 self.processes.append(VAETrainProcess(job_config.name, proc_cfg))
+            elif kind == "slider":
+                from ai_toolkit_tpu.jobs.slider_process import TrainSliderProcess
+
+                self.processes.append(TrainSliderProcess(job_config.name, proc_cfg))
             else:
                 raise ValueError(f"unknown process type {proc_cfg.type}")
 

@@ -261,3 +261,35 @@ def test_cli_run_py(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "output" / "e2e_test" / "e2e_test.safetensors").exists()
+
+
+@pytest.mark.slow
+def test_slider_trainer_e2e(tmp_path):
+    cfg = {
+        "job": "extension",
+        "config": {
+            "name": "age_slider",
+            "process": [{
+                "type": "slider",
+                "training_folder": str(tmp_path / "output"),
+                "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+                "slider": {
+                    "targets": [{"target_class": "person", "positive": "old person",
+                                 "negative": "young person", "weight": 1.0}],
+                    "resolutions": [[64, 64]],
+                },
+                "train": {"steps": 4, "optimizer": "adamw", "lr": 1e-3,
+                          "noise_scheduler": "ddpm", "dtype": "float32"},
+                "model": {"arch": "sd1", "model_kwargs": {"size": "tiny"}},
+                "logging": {"log_every": 2},
+            }],
+        },
+    }
+    cfg_path = tmp_path / "slider.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    res = get_job(get_config(cfg_path)).run()
+    assert np.isfinite(res[0]["final_loss"])
+    assert os.path.isfile(res[0]["output"])
