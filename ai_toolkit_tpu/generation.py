@@ -98,6 +98,66 @@ def generate_sd(
     return _to_uint8(img)
 
 
+def generate_img2img(
+    model,
+    variables: dict,
+    gen: GenerateImageConfig,
+    init_image: np.ndarray,  # [H, W, 3] uint8 or [-1,1] float
+    strength: float = 0.6,
+    lora: dict | None = None,
+    schedule: FlowMatchSchedule | None = None,
+) -> np.ndarray:
+    """Image-to-image (reference Img2ImgGenerator): encode init image, start
+    the flow/diffusion from an intermediate noise level."""
+    import numpy as _np
+
+    schedule = schedule or (FlowMatchSchedule() if model.is_flow_matching else DDPMSchedule())
+    img = _np.asarray(init_image, _np.float32)
+    if img.max() > 1.5:
+        img = img / 127.5 - 1.0
+    lat = model.encode_images(variables, jnp.asarray(img)[None])
+    if lora:
+        variables = merge_variables(variables, {"lora": lora})
+    rng = jax.random.key(gen.seed)
+    noise = jax.random.normal(rng, lat.shape, lat.dtype)
+
+    if model.is_flow_matching:
+        h, w = lat.shape[1], lat.shape[2]
+        cond = model.encode_prompt(variables, [gen.prompt])
+        pe = model.rope_table(h, w, cond["txt"].shape[1])
+        cond = {**cond, "pe": pe, "guidance": jnp.full((1,), gen.guidance_scale)}
+        sigmas = schedule.inference_sigmas(
+            gen.sample_steps, image_seq_len=model.image_seq_len(gen.height, gen.width)
+        )
+        start = int(round((1.0 - strength) * gen.sample_steps))
+        x = schedule.add_noise(lat, noise, jnp.full((1,), float(sigmas[start])))
+
+        @jax.jit
+        def denoise(x, sigma, sigma_next):
+            v = model.predict(variables, x, jnp.full((1,), sigma), cond)
+            return schedule.euler_step(x, v, sigma, sigma_next)
+
+        for i in range(start, gen.sample_steps):
+            x = denoise(x, sigmas[i], sigmas[i + 1])
+    else:
+        cond = model.encode_prompt(variables, [gen.prompt])
+        ts = schedule.ddim_timesteps(gen.sample_steps)
+        start = int(round((1.0 - strength) * len(ts)))
+        x = schedule.add_noise(lat, noise, jnp.array([int(ts[start])]))
+
+        @jax.jit
+        def denoise(x, t, t_prev):
+            pred = model.predict(variables, x, jnp.full((1,), t, jnp.float32), cond)
+            return schedule.ddim_step(x, pred, jnp.full((1,), t, jnp.int32),
+                                      jnp.full((1,), t_prev, jnp.int32))
+
+        for i in range(start, len(ts)):
+            t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            x = denoise(x, int(ts[i]), t_prev)
+
+    return _to_uint8(model.decode_latents(variables, x))
+
+
 def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None) -> np.ndarray:
     if model.is_flow_matching:
         return generate_flux(model, variables, gen, lora, schedule)

@@ -23,6 +23,8 @@ PROCESS_TYPES = {
     "generate": "generate",
     "extract_lora": "extract",
     "mod_rescale": "mod",
+    "merge_lora": "merge",
+    "merge_locon": "merge",
 }
 
 
@@ -52,6 +54,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.train_vae_process import VAETrainProcess
 
                 self.processes.append(VAETrainProcess(job_config.name, proc_cfg))
+            elif kind == "merge":
+                from ai_toolkit_tpu.jobs.merge_process import MergeLoraProcess
+
+                self.processes.append(MergeLoraProcess(job_config.name, proc_cfg))
             elif kind == "slider":
                 from ai_toolkit_tpu.jobs.slider_process import TrainSliderProcess
 

@@ -293,3 +293,42 @@ def test_slider_trainer_e2e(tmp_path):
     res = get_job(get_config(cfg_path)).run()
     assert np.isfinite(res[0]["final_loss"])
     assert os.path.isfile(res[0]["output"])
+
+
+@pytest.mark.slow
+def test_merge_job_and_img2img(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig, ModelConfig, ProcessConfig
+    from ai_toolkit_tpu.io.checkpoint import CheckpointManager
+    from ai_toolkit_tpu.jobs.merge_process import MergeLoraProcess
+    from ai_toolkit_tpu.jobs.train_process import SDTrainProcess
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("sd1")(ModelConfig(arch="sd1", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    lora = build_lora(variables["unet"], LoRASpec(rank=2, target_patterns=model.lora_targets()),
+                      jax.random.key(1))
+    lora = jax.tree.map(lambda v: jnp.ones(v.shape) * 0.01, lora)
+    km = SDTrainProcess._key_map(model, lora)
+    ckpt = CheckpointManager(str(tmp_path), "l", fmt="kohya", prefix="lora_unet", key_map=km)
+    lora_path = ckpt.save(jax.tree.map(np.asarray, lora), 10, final=True)
+
+    proc = ProcessConfig.from_dict({
+        "type": "merge_lora", "training_folder": str(tmp_path),
+        "lora_path": lora_path, "multiplier": 1.0,
+        "model": {"arch": "sd1", "model_kwargs": {"size": "tiny"}},
+    })
+    out = MergeLoraProcess("merge_test", proc).run()
+    assert os.path.isfile(out["output"])
+
+    # img2img runs end to end on tiny sd1
+    from ai_toolkit_tpu.generation import generate_img2img
+
+    init = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    gen = GenerateImageConfig(prompt="a cat", width=64, height=64, sample_steps=4,
+                              guidance_scale=1.0, seed=3)
+    img = generate_img2img(model, variables, gen, init, strength=0.5)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
