@@ -35,7 +35,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 @register_model
 class FluxModel(BaseTpuModel):
     arch = "flux"
-    archs = ["flux", "flex1", "flux_schnell", "flux_kontext"]
+    archs = ["flux", "flex1", "flux_schnell", "flux_kontext", "chroma", "krea2"]
     is_flow_matching = True
     bucket_divisibility = 16
     max_txt_len = 512
@@ -61,7 +61,9 @@ class FluxModel(BaseTpuModel):
             self.vae_config = VAEConfig.flux()
             self.clip_config = CLIPTextConfig.clip_l()
             self.t5_config = T5Config.xxl()
-        if config.arch == "flux_schnell":
+        if config.arch in ("flux_schnell", "chroma"):
+            # chroma is a flux-schnell-derived arch (guidance-distilled, pruned
+            # modulation); trained here with the schnell-config graph
             self.dit_config = FluxConfig(**{**self.dit_config.__dict__, "guidance_embed": False})
         if config.model_kwargs.get("control") or config.arch in ("flux_kontext", "flex2"):
             # control/edit conditioning: packed control latents concat to img tokens
