@@ -100,20 +100,21 @@ class QKNorm(nn.Module):
         return q, k
 
 
-def _attend(q, k, v, pe):
-    """RoPE-rotate then joint attention. q,k,v: [B,S,H,D]; pe: [B,S,D/2,2,2]."""
+def _attend(q, k, v, pe, mask=None):
+    """RoPE-rotate then joint attention. q,k,v: [B,S,H,D]; pe: [B,S,D/2,2,2];
+    mask: [B,1,S,S] bool (key-padding; forces the XLA attention path)."""
     from ai_toolkit_tpu.ops.rope import apply_rope
 
     q = apply_rope(q, pe)
     k = apply_rope(k, pe)
-    return dot_product_attention(q, k, v)
+    return dot_product_attention(q, k, v, mask=mask)
 
 
 class DoubleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, img, txt, vec, pe):
+    def __call__(self, img, txt, vec, pe, mask=None):
         cfg = self.cfg
         dt = cfg.dtype
         pdt = cfg.param_dtype
@@ -143,7 +144,7 @@ class DoubleBlock(nn.Module):
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)
         v = jnp.concatenate([tv, iv], axis=1)
-        attn = _attend(q, k, v, pe)
+        attn = _attend(q, k, v, pe, mask)
         s_txt = txt.shape[1]
         t_attn, i_attn = attn[:, :s_txt], attn[:, s_txt:]
         b = img.shape[0]
@@ -170,7 +171,7 @@ class SingleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe):
+    def __call__(self, x, vec, pe, mask=None):
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
@@ -183,7 +184,7 @@ class SingleBlock(nn.Module):
         qkv, mlp = lin1[..., : h * 3], lin1[..., h * 3 :]
         q, k, v = jnp.split(qkv.reshape(b, s, 3 * nh, hd), 3, axis=2)
         q, k = QKNorm(hd, dt, name="qknorm")(q, k)
-        attn = _attend(q, k, v, pe)
+        attn = _attend(q, k, v, pe, mask)
         out = jnp.concatenate([attn.reshape(b, s, nh * hd), jax.nn.gelu(mlp, approximate=True)], axis=-1)
         return x + gate[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="linear2")(out)
 
@@ -194,9 +195,9 @@ class _DoubleCarry(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, carry, vec, pe):
+    def __call__(self, carry, vec, pe, mask):
         img, txt = carry
-        img, txt = DoubleBlock(self.cfg, name="block")(img, txt, vec, pe)
+        img, txt = DoubleBlock(self.cfg, name="block")(img, txt, vec, pe, mask)
         return (img, txt), None
 
 
@@ -204,8 +205,8 @@ class _SingleCarry(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe):
-        return SingleBlock(self.cfg, name="block")(x, vec, pe), None
+    def __call__(self, x, vec, pe, mask):
+        return SingleBlock(self.cfg, name="block")(x, vec, pe, mask), None
 
 
 class FluxDiT(nn.Module):
@@ -220,6 +221,7 @@ class FluxDiT(nn.Module):
         y: jax.Array,  # [B, vec_dim] clip pooled
         pe: jax.Array,  # [B|1, N_txt+N_img, head_dim/2, 2, 2] rope table
         guidance: jax.Array | None = None,  # [B]
+        txt_mask: jax.Array | None = None,  # [B, N_txt] bool (attn_masking)
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
@@ -233,30 +235,40 @@ class FluxDiT(nn.Module):
             vec = vec + TimestepEmbedder(h, dtype=dt, param_dtype=pdt, name="guidance_in")(g)
         vec = vec + MLPEmbedder(h, dt, pdt, name="vector_in")(y.astype(dt))
 
+        mask = None
+        if txt_mask is not None:
+            # key-padding mask over [txt | img]: padded prompt tokens are
+            # invisible to everyone (reference train.attn_masking)
+            key_ok = jnp.concatenate(
+                [txt_mask.astype(bool), jnp.ones((txt.shape[0], img.shape[1]), bool)], axis=1
+            )
+            s_all = key_ok.shape[1]
+            mask = jnp.broadcast_to(key_ok[:, None, None, :], (key_ok.shape[0], 1, s_all, s_all))
+
         if cfg.scan_blocks:
             scan_kwargs = dict(
                 variable_axes={"params": 0, "lora": 0, "lokr": 0, "dora": 0, "quant": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},
             )
             DCarry = nn.remat(_DoubleCarry, prevent_cse=False) if cfg.remat else _DoubleCarry
             SCarry = nn.remat(_SingleCarry, prevent_cse=False) if cfg.remat else _SingleCarry
             (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
                 cfg, name="double_blocks"
-            )((img, txt), vec, pe)
+            )((img, txt), vec, pe, mask)
             x = jnp.concatenate([txt, img], axis=1)
             x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
                 cfg, name="single_blocks"
-            )(x, vec, pe)
+            )(x, vec, pe, mask)
         else:
             DBlock = nn.remat(DoubleBlock) if cfg.remat else DoubleBlock
             SBlock = nn.remat(SingleBlock) if cfg.remat else SingleBlock
             for i in range(cfg.depth_double):
-                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe)
+                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe, mask)
             x = jnp.concatenate([txt, img], axis=1)
             for i in range(cfg.depth_single):
-                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe)
+                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe, mask)
         x = x[:, txt.shape[1] :]
 
         shift, scale = jnp.split(

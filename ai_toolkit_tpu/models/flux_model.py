@@ -131,7 +131,13 @@ class FluxModel(BaseTpuModel):
         t5_ids = np.stack([self.tokenizer_t5.encode(p) for p in prompts])
         clip_out = jax.jit(self.clip.apply)({"params": variables["clip"]}, jnp.asarray(clip_ids))
         txt = jax.jit(self.t5.apply)({"params": variables["t5"]}, jnp.asarray(t5_ids))
-        return {"txt": txt, "y": clip_out["pooled_output"]}
+        out = {"txt": txt, "y": clip_out["pooled_output"]}
+        if self.config.attn_masking:
+            # non-padding = everything up to and including the first eos
+            ids = np.asarray(t5_ids)
+            is_eos = ids == 1
+            out["txt_mask"] = jnp.asarray(np.cumsum(is_eos, axis=1) - is_eos <= 0)
+        return out
 
     def rope_table(self, latent_h: int, latent_w: int, txt_len: int) -> jnp.ndarray:
         ids = image_position_ids(latent_h // 2, latent_w // 2, text_len=txt_len)
@@ -157,6 +163,7 @@ class FluxModel(BaseTpuModel):
             cond["y"],
             pe,
             cond.get("guidance"),
+            cond.get("txt_mask"),
         )
         return unpack_latents(out, h, w)
 

@@ -94,3 +94,20 @@ def test_scanned_export_roundtrip(scanned, tmp_path):
     np.testing.assert_allclose(
         np.asarray(lora["double_blocks"]["block"]["img_qkv"]["a"]), la["a"], atol=1e-6
     )
+
+
+def test_attn_masking(scanned):
+    """Padded text tokens masked out change the output; valid tokens dominate."""
+    cfg, model, variables, args = scanned
+    img, txt, t, y, pe, g = args
+    txt = jax.random.normal(jax.random.key(9), txt.shape)
+    full = model.apply(variables, img, txt, t, y, pe, g)
+    mask = jnp.ones((1, txt.shape[1]), bool).at[:, 4:].set(False)
+    masked = model.apply(variables, img, txt, t, y, pe, g, mask)
+    assert masked.shape == full.shape
+    assert not np.allclose(np.asarray(masked), np.asarray(full))
+    # masking everything-beyond-4 == replacing those tokens' effect entirely:
+    # changing PADDED token values must not change the masked output
+    txt2 = txt.at[:, 4:].set(123.0)
+    masked2 = model.apply(variables, img, txt2, t, y, pe, g, mask)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(masked2), atol=2e-5)
