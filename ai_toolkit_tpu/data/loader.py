@@ -56,6 +56,8 @@ class DataLoader:
             imgs = np.stack([load_pixels(it) for it in batch])
             lat = np.asarray(self.encode_fn(imgs))
         out["latents"] = lat.astype(np.float32)
+        if ds.cfg.do_i2v and batch[0].kind == "video":
+            out["first_frame"] = np.stack([it.load_video()[0] for it in batch])
         out["captions"] = [ds.processed_caption(it) for it in batch]
         controls = [it.load_control() for it in batch]
         if any(c is not None for c in controls):

@@ -406,6 +406,10 @@ class SDTrainProcess:
                 neg_cond["pe"] = cond["pe"]
                 neg_cond["guidance"] = cond.get("guidance")
             batch["neg_cond"] = neg_cond
+        if "first_frame" in raw and hasattr(model, "encode_image_cond"):
+            cond["img_cond"] = jnp.asarray(
+                model.encode_image_cond(self._ctrl_variables, jnp.asarray(raw["first_frame"]))
+            )
         if "control_pixels" in raw:
             cond["control_latents"] = jnp.asarray(self._encode_control(raw["control_pixels"]))
         if "pixel_mask" in raw:

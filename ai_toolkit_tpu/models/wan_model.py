@@ -20,6 +20,7 @@ from ai_toolkit_tpu.config.modules import ModelConfig
 from ai_toolkit_tpu.models.base import BaseTpuModel
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import T5Config, T5Encoder
+from ai_toolkit_tpu.models.text_encoders.clip_vision import CLIPVisionConfig, CLIPVisionModel
 from ai_toolkit_tpu.models.video_vae import VideoAutoencoderKL, VideoVAEConfig
 from ai_toolkit_tpu.models.wan_dit import (
     WanConfig,
@@ -53,21 +54,26 @@ class WanModel(BaseTpuModel):
         )
         self.stage_boundary = float(config.model_kwargs.get("stage_boundary", 0.875))
         if size == "tiny":
-            self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v})
+            self.vision_config = CLIPVisionConfig.tiny() if i2v else None
+            self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v,
+                                           "img_cond_dim": 64})
             self.vae_config = VideoVAEConfig.tiny()
             self.t5_config = T5Config.tiny()
             self.max_txt_len = 16
         elif size in ("14b", "14B"):
+            self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_14b().__dict__, "i2v": i2v})
             self.vae_config = VideoVAEConfig.wan()
             self.t5_config = T5Config.xxl()
         else:
+            self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_1_3b().__dict__, "i2v": i2v})
             self.vae_config = VideoVAEConfig.wan()
             self.t5_config = T5Config.xxl()
         self.dit = WanDiT(self.dit_config)
         self.vae = VideoAutoencoderKL(self.vae_config)
         self.t5 = T5Encoder(self.t5_config)
+        self.clip_vision = CLIPVisionModel(self.vision_config) if self.vision_config else None
         self.tokenizer = load_tokenizer(
             config.name_or_path, "tokenizer", vocab_size=self.t5_config.vocab_size,
             eos_id=1, max_len=self.max_txt_len,
@@ -91,6 +97,11 @@ class WanModel(BaseTpuModel):
         )
         t5_vars = self.t5.init(r_t5, jnp.zeros((1, self.max_txt_len), jnp.int32))
         out = {"dit": dit_vars["params"], "vae": vae_vars["params"], "t5": t5_vars["params"]}
+        if self.clip_vision is not None:
+            sz = self.vision_config.image_size
+            out["clip_vision"] = self.clip_vision.init(
+                jax.random.fold_in(r_dit, 7), jnp.zeros((1, sz, sz, 3))
+            )["params"]
         if self.multistage:
             # second expert (low-noise); "dit" is the high-noise expert
             r_low = jax.random.fold_in(r_dit, 1)
@@ -107,6 +118,14 @@ class WanModel(BaseTpuModel):
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
         txt = jax.jit(self.t5.apply)({"params": variables["t5"]}, jnp.asarray(ids))
         return {"txt": txt}
+
+    def encode_image_cond(self, variables: dict, first_frame: jax.Array) -> jax.Array:
+        """i2v conditioning: first frame [B, H, W, 3] -> clip-vision tokens
+        [B, N, img_cond_dim] (penultimate hidden states, wan i2v convention)."""
+        sz = self.vision_config.image_size
+        px = jax.image.resize(first_frame, (first_frame.shape[0], sz, sz, 3), "bilinear")
+        out = self.clip_vision.apply({"params": variables["clip_vision"]}, px)
+        return out["penultimate_hidden_state"]
 
     def rope_table(self, t: int, h: int, w: int) -> jnp.ndarray:
         cfg = self.dit_config

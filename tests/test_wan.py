@@ -86,3 +86,20 @@ def test_wan22_multistage_routing():
     assert out_hi.shape == noisy.shape
     # different experts -> different outputs
     assert not np.allclose(np.asarray(out_hi), np.asarray(out_lo))
+
+
+def test_wan_i2v_clip_vision_cond():
+    model = get_model_class("wan21_i2v")(
+        ModelConfig(arch="wan21_i2v", model_kwargs={"size": "tiny"})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    assert "clip_vision" in variables
+    frame = jax.random.uniform(jax.random.key(1), (1, 48, 48, 3)) * 2 - 1
+    img_cond = model.encode_image_cond(variables, frame)
+    assert img_cond.shape[-1] == model.dit_config.img_cond_dim
+    t_, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    cond = {**model.encode_prompt(variables, ["x"]), "pe": model.rope_table(t_, h, w),
+            "img_cond": img_cond}
+    noisy = jax.random.normal(jax.random.key(2), (1, t_, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), cond)
+    assert out.shape == noisy.shape
