@@ -34,3 +34,4 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.wan_model  # noqa: F401
     import ai_toolkit_tpu.models.audio_model  # noqa: F401
     import ai_toolkit_tpu.models.sd3_model  # noqa: F401
+    import ai_toolkit_tpu.models.pixart_model  # noqa: F401
