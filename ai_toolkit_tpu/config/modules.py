@@ -395,6 +395,7 @@ class DatasetConfig:
     random_scale: bool = False
     alpha_mask: bool = False
     mask_path: str | None = None
+    unconditional_path: str | None = None  # paired negative images (sliders)
     mask_min_value: float = 0.0
     control_path: Any = None
     num_repeats: int = 1

@@ -37,6 +37,7 @@ class FileItem:
     control_paths: list[str] = field(default_factory=list)
     dataset_config: DatasetConfig | None = None
     flip: bool = False
+    unconditional_path: str | None = None  # paired negative image (sliders)
     kind: str = "image"  # image | video | audio
     num_frames: int = 1
     num_samples: int = 0  # audio sample count
@@ -121,6 +122,21 @@ class FileItem:
                 data = np.pad(data, ((0, num_samples - len(data)), (0, 0)))
         return data.astype(np.float32)
 
+    def load_unconditional(self) -> np.ndarray | None:
+        """Paired negative image at the same bucket geometry (sliders)."""
+        if not self.unconditional_path:
+            return None
+        from PIL import Image
+
+        img = Image.open(self.unconditional_path).convert("RGB")
+        bw, bh = self.bucket
+        rw, rh, x0, y0 = resize_and_crop_size(img.width, img.height, bw, bh)
+        img = img.resize((rw, rh), Image.BICUBIC).crop((x0, y0, x0 + bw, y0 + bh))
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        if self.flip:
+            arr = arr[:, ::-1]
+        return arr
+
     def load_control(self) -> np.ndarray | None:
         """First control image resized to the bucket, [-1,1] float32 HWC."""
         if not self.control_paths:
@@ -202,6 +218,11 @@ class FolderDataset:
             mask_path = None
             if self.cfg.mask_path:
                 mask_path = os.path.join(self.cfg.mask_path, os.path.basename(p))
+            unconditional_path = None
+            if self.cfg.unconditional_path:
+                up = os.path.join(self.cfg.unconditional_path, os.path.basename(p))
+                if os.path.isfile(up):
+                    unconditional_path = up
             control_paths = []
             ctrl = self.cfg.control_path
             if ctrl:
@@ -228,6 +249,7 @@ class FolderDataset:
                             resolution=res, is_reg=self.cfg.is_reg, mask_path=mask_path,
                             dataset_config=self.cfg, flip=flip, kind=kind,
                             control_paths=control_paths,
+                            unconditional_path=unconditional_path,
                             num_frames=self.cfg.num_frames if kind == "video" else 1,
                             num_samples=num_samples,
                         )

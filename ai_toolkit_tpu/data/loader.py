@@ -59,6 +59,9 @@ class DataLoader:
         if ds.cfg.do_i2v and batch[0].kind == "video":
             out["first_frame"] = np.stack([it.load_video()[0] for it in batch])
         out["captions"] = [ds.processed_caption(it) for it in batch]
+        uncond = [it.load_unconditional() for it in batch]
+        if all(u is not None for u in uncond) and uncond:
+            out["unconditional_pixels"] = np.stack(uncond)
         controls = [it.load_control() for it in batch]
         if any(c is not None for c in controls):
             bw, bh = batch[0].bucket

@@ -147,7 +147,33 @@ class SDTrainProcess:
         predict_fn = getattr(model, "predict_train", model.predict)
         # split-jit: frozen params are input-only (no output copy), small state
         # donated; model_variables buffers stay valid for encode/sample closures.
-        train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
+        guidance_kind = tc.extras.get("guidance_loss") or cfg.extras.get("guidance_loss")
+        if guidance_kind == "polarity":
+            # image-pair slider: batches must carry unconditional_latents
+            from ai_toolkit_tpu.train.slider import make_polarity_train_step
+
+            base = make_polarity_train_step(
+                predict_fn, schedule, step_cfg,
+                network_weight=float(tc.extras.get("network_weight", 1.0)),
+            )
+            import functools as _ft
+
+            _inner = jax.jit(
+                lambda mv, tr, os_, ema, st, batch, rng, image_seq_len=None: (
+                    lambda s2: ((s2[0].trainable, s2[0].opt_state, s2[0].ema, s2[0].step), s2[1])
+                )(base(TrainState(step=st, model_variables=mv, trainable=tr, opt_state=os_,
+                                  ema=ema, tx=tx), batch, rng, image_seq_len)),
+                static_argnames=("image_seq_len",),
+            )
+
+            def train_step(state, batch, rng, image_seq_len=None):
+                (tr, os_, ema, st), metrics = _inner(
+                    state.model_variables, state.trainable, state.opt_state, state.ema,
+                    state.step, batch, rng, image_seq_len=image_seq_len,
+                )
+                return state.replace(trainable=tr, opt_state=os_, ema=ema, step=st), metrics
+        else:
+            train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
 
         # 9. validation setup (fixed batch + fixed rng -> comparable loss curve)
         val_batch, val_seq_len, eval_step = None, None, None
@@ -406,6 +432,10 @@ class SDTrainProcess:
                 neg_cond["pe"] = cond["pe"]
                 neg_cond["guidance"] = cond.get("guidance")
             batch["neg_cond"] = neg_cond
+        if "unconditional_pixels" in raw:
+            batch["unconditional_latents"] = jnp.asarray(
+                self._encode_control(raw["unconditional_pixels"])
+            )
         if "first_frame" in raw and hasattr(model, "encode_image_cond"):
             cond["img_cond"] = jnp.asarray(
                 model.encode_image_cond(self._ctrl_variables, jnp.asarray(raw["first_frame"]))

@@ -39,9 +39,12 @@ def make_polarity_train_step(
         neg = batch["unconditional_latents"]
         b = pos.shape[0]
         rng_t, rng_n = jax.random.split(rng)
-        t = schedule.sample_timesteps(
-            rng_t, b, timestep_type=cfg.timestep_type, image_seq_len=seq_len
-        )
+        if hasattr(schedule, "euler_step"):  # flow matching
+            t = schedule.sample_timesteps(
+                rng_t, b, timestep_type=cfg.timestep_type, image_seq_len=seq_len
+            )
+        else:
+            t = schedule.sample_timesteps(rng_t, b)
         noise = jax.random.normal(rng_n, pos.shape, pos.dtype)
 
         target_pos = schedule.target(pos, noise, t)

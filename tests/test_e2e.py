@@ -332,3 +332,30 @@ def test_merge_job_and_img2img(tmp_path):
                               guidance_scale=1.0, seed=3)
     img = generate_img2img(model, variables, gen, init, strength=0.5)
     assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_image_pair_polarity_slider_e2e(tmp_path):
+    """Image-pair slider: +w on positive images, -w on paired negatives."""
+    folder = make_dataset(tmp_path, n=2, size=64)
+    neg = tmp_path / "neg"
+    neg.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            neg / f"im_{i}.png"
+        )
+    cfg = job_yaml(tmp_path, folder, arch="sd1", steps=2)
+    proc = cfg["config"]["process"][0]
+    proc["datasets"][0]["unconditional_path"] = str(neg)
+    proc["datasets"][0]["cache_latents_to_disk"] = False
+    proc["datasets"][0]["cache_latents"] = False
+    proc["train"]["guidance_loss"] = "polarity"
+    proc["train"]["disable_sampling"] = True
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    res = get_job(get_config(cfg_path)).run()
+    assert np.isfinite(res[0]["final_loss"])
