@@ -11,6 +11,8 @@ from typing import Any
 from ai_toolkit_tpu.config.modules import JobConfig
 
 PROCESS_TYPES = {
+    "train_esrgan": "esrgan",
+    "esrgan_trainer": "esrgan",
     "slider": "slider",
     "concept_slider": "slider",
     "slider_trainer": "slider",
@@ -62,6 +64,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.slider_process import TrainSliderProcess
 
                 self.processes.append(TrainSliderProcess(job_config.name, proc_cfg))
+            elif kind == "esrgan":
+                from ai_toolkit_tpu.jobs.train_esrgan_process import ESRGANTrainProcess
+
+                self.processes.append(ESRGANTrainProcess(job_config.name, proc_cfg))
             else:
                 raise ValueError(f"unknown process type {proc_cfg.type}")
 

@@ -359,3 +359,30 @@ def test_image_pair_polarity_slider_e2e(tmp_path):
 
     res = get_job(get_config(cfg_path)).run()
     assert np.isfinite(res[0]["final_loss"])
+
+
+@pytest.mark.slow
+def test_esrgan_trainer_e2e(tmp_path):
+    folder = make_dataset(tmp_path, n=2, size=32)
+    cfg = {
+        "job": "extension",
+        "config": {
+            "name": "esrgan_ft",
+            "process": [{
+                "type": "train_esrgan",
+                "training_folder": str(tmp_path / "output"),
+                "size": "tiny", "critic_weight": 0.05,
+                "datasets": [{"folder_path": folder, "resolution": 32}],
+                "train": {"batch_size": 2, "steps": 3, "optimizer": "adamw", "lr": 1e-4},
+                "logging": {"log_every": 1},
+            }],
+        },
+    }
+    cfg_path = tmp_path / "esr.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    res = get_job(get_config(cfg_path)).run()
+    assert np.isfinite(res[0]["final_loss"])
+    assert os.path.isfile(res[0]["output"])
