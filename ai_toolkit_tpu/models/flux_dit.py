@@ -50,6 +50,9 @@ class FluxConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    # remat policy: 'full' recomputes the block; 'dots' saves matmul outputs
+    # and recomputes only elementwise ops (more memory, less recompute)
+    remat_policy: str = "full"
     # nn.scan over blocks: compile time O(1) in depth (params stacked [L, ...]);
     # the standard layout for deep DiT stacks on TPU.
     scan_blocks: bool = True
@@ -252,8 +255,11 @@ class FluxDiT(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},
             )
-            DCarry = nn.remat(_DoubleCarry, prevent_cse=False) if cfg.remat else _DoubleCarry
-            SCarry = nn.remat(_SingleCarry, prevent_cse=False) if cfg.remat else _SingleCarry
+            remat_kwargs = {"prevent_cse": False}
+            if cfg.remat_policy == "dots":
+                remat_kwargs["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            DCarry = nn.remat(_DoubleCarry, **remat_kwargs) if cfg.remat else _DoubleCarry
+            SCarry = nn.remat(_SingleCarry, **remat_kwargs) if cfg.remat else _SingleCarry
             (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
                 cfg, name="double_blocks"
             )((img, txt), vec, pe, mask)

@@ -63,12 +63,13 @@ def flops_per_step(cfg: FluxConfig, n_img: int, n_txt: int, batch: int) -> float
     attn = 2 * 2 * n * n * h
     sgl = 2 * n * (3 * h * h + h * mlp + (h + mlp) * h + 3 * h * h)
     fwd = cfg.depth_double * (dbl + attn) + cfg.depth_single * (sgl + attn)
-    mult = 4.0 if cfg.remat else 3.0
+    # dots-saveable remat recomputes only elementwise ops: ~3x fwd matmul cost
+    mult = 3.0 if (not cfg.remat or cfg.remat_policy == "dots") else 4.0
     return mult * fwd * batch
 
 
 def main():
-    cfg = FluxConfig(depth_double=4, depth_single=8, remat=True, scan_blocks=True)
+    cfg = FluxConfig(depth_double=4, depth_single=8, remat=True, remat_policy="dots", scan_blocks=True)
     model = FluxDiT(cfg)
     rng = jax.random.key(0)
 
@@ -125,7 +126,10 @@ def main():
 
     fps = flops_per_step(cfg, n_img, TXT_TOKENS, BATCH)
     achieved = fps * steps_per_sec
-    baseline_sps = (A100_BF16_PEAK * A100_ASSUMED_UTIL) / fps
+    # The 24GB A100 reference must fully gradient-checkpoint (4x fwd flops);
+    # the dots-saveable policy here only recomputes elementwise ops (3x).
+    baseline_fps = fps / 3.0 * 4.0
+    baseline_sps = (A100_BF16_PEAK * A100_ASSUMED_UTIL) / baseline_fps
     dev = jax.devices()[0]
     print(
         f"{dt*1000:.1f} ms/step, {achieved/1e12:.1f} TFLOP/s achieved on {dev.device_kind}",
