@@ -207,6 +207,7 @@ def t5_rules() -> list[Rule]:
     p = r"encoder\.block\.(\d+)\.layer\."
     return [
         (r"shared\.weight", "token_embedding", "direct"),
+        (r"encoder\.embed_tokens\.weight", "token_embedding", "direct"),
         (r"encoder\.block\.0\.layer\.0\.SelfAttention\.relative_attention_bias\.weight",
          "relative_attention_bias", "direct"),
         (p + r"0\.SelfAttention\.q\.weight", "layer_{0}/q/kernel", "linear"),

@@ -1,0 +1,81 @@
+"""Golden-activation tests: our Flax modules vs torch/transformers references.
+
+SURVEY §7.3 names exact-numerics model ports as the top risk; these tests
+instantiate real torch reference models (random weights), export their state
+dicts through our import rules, and compare activations on identical inputs.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from ai_toolkit_tpu.io.sd_import import clip_rules, t5_rules  # noqa: E402
+from ai_toolkit_tpu.io.torch_import import torch_to_tree  # noqa: E402
+
+
+def test_clip_text_encoder_matches_transformers():
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModelWithProjection
+
+    from ai_toolkit_tpu.models.text_encoders import CLIPTextConfig, CLIPTextModel
+
+    hf_cfg = HFCfg(
+        vocab_size=1000, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=77, hidden_act="quick_gelu",
+        projection_dim=64, eos_token_id=999, bos_token_id=998,
+    )
+    torch_model = CLIPTextModelWithProjection(hf_cfg).eval()
+    flat = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, clip_rules())
+    # everything except position_ids buffers should map
+    assert all("position_ids" in k for k in unmatched), unmatched
+
+    ours = CLIPTextModel(
+        CLIPTextConfig(
+            vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, projection_dim=64, eos_token_id=999, dtype=jnp.float32,
+        )
+    )
+    ids = np.random.default_rng(0).integers(1, 900, (2, 77)).astype(np.int64)
+    ids[:, -1] = 999  # eos
+
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids))
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]), ref.last_hidden_state.numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pooled_output"]), ref.text_embeds.numpy(), atol=2e-4
+    )
+
+
+def test_t5_encoder_matches_transformers():
+    from transformers import T5Config as HFT5Cfg, T5EncoderModel
+
+    from ai_toolkit_tpu.models.text_encoders import T5Config, T5Encoder
+
+    hf_cfg = HFT5Cfg(
+        vocab_size=1000, d_model=64, d_kv=16, d_ff=128, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=32, relative_attention_max_distance=128,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False, use_cache=False,
+        tie_word_embeddings=False,
+    )
+    torch_model = T5EncoderModel(hf_cfg).eval()
+    flat = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, t5_rules())
+    assert not [k for k in unmatched if "weight" in k and "lm_head" not in k], unmatched
+
+    ours = T5Encoder(
+        T5Config(vocab_size=1000, d_model=64, d_kv=16, d_ff=128, num_layers=2, num_heads=4,
+                 dtype=jnp.float32)
+    )
+    ids = np.random.default_rng(1).integers(1, 900, (2, 16)).astype(np.int64)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).last_hidden_state.numpy()
+    out = np.asarray(ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32))))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
