@@ -30,12 +30,14 @@ class DataLoader:
         encode_fn: Callable[[np.ndarray], np.ndarray] | None = None,
         prefetch: int = 2,
         seed: int = 42,
+        want_pixels: bool = False,
     ):
         self.datasets = datasets
         self.batch_size = batch_size
         self.latent_cache_dir = latent_cache_dir
         self.encode_fn = encode_fn
         self.prefetch = prefetch
+        self.want_pixels = want_pixels
         self.epoch = 0
         if latent_cache_dir is None and encode_fn is None:
             raise ValueError("need latent_cache_dir (cached) or encode_fn (on-the-fly)")
@@ -56,6 +58,8 @@ class DataLoader:
             imgs = np.stack([load_pixels(it) for it in batch])
             lat = np.asarray(self.encode_fn(imgs))
         out["latents"] = lat.astype(np.float32)
+        if self.want_pixels and batch[0].kind == "image":
+            out["pixels"] = np.stack([load_pixels(it) for it in batch])
         if ds.cfg.do_i2v and batch[0].kind == "video":
             out["first_frame"] = np.stack([it.load_video()[0] for it in batch])
         out["captions"] = [ds.processed_caption(it) for it in batch]
@@ -123,11 +127,13 @@ def build_dataloader(
     latent_cache_dir: str | None = None,
     encode_fn=None,
     seed: int = 42,
+    want_pixels: bool = False,
 ) -> DataLoader:
     datasets = [
         FolderDataset(cfg, bucket_divisibility, trigger_word, seed=seed + i)
         for i, cfg in enumerate(dataset_configs)
     ]
     return DataLoader(
-        datasets, batch_size, latent_cache_dir=latent_cache_dir, encode_fn=encode_fn, seed=seed
+        datasets, batch_size, latent_cache_dir=latent_cache_dir, encode_fn=encode_fn, seed=seed,
+        want_pixels=want_pixels,
     )

@@ -50,6 +50,7 @@ class SDTrainProcess:
         self.logger: RunLogger | None = None
         self.progress_hook = None  # UI integration point (step, loss, status)
         self.ti_trigger = None
+        self.ip_mode = False
 
     # ---- lifecycle ----
 
@@ -281,6 +282,38 @@ class SDTrainProcess:
         cfg = self.cfg
         net = cfg.network
         main_key = self._main_component(variables)
+        if cfg.adapter and cfg.adapter.get("type") == "ip_adapter":
+            from ai_toolkit_tpu.adapters.ip_adapter import init_ip_adapter
+            from ai_toolkit_tpu.models.text_encoders.clip_vision import (
+                CLIPVisionConfig,
+                CLIPVisionModel,
+            )
+
+            vis_cfg = (
+                CLIPVisionConfig.tiny()
+                if cfg.model.model_kwargs.get("size") == "tiny"
+                else CLIPVisionConfig.vit_h()
+            )
+            self.vision_tower = CLIPVisionModel(vis_cfg)
+            vkey = jax.random.fold_in(rng, 99)
+            sz = vis_cfg.image_size
+            variables["clip_vision"] = self.vision_tower.init(
+                vkey, jnp.zeros((1, sz, sz, 3))
+            )["params"]
+            self.vision_size = sz
+            n_tokens = int(cfg.adapter.get("num_tokens", 4))
+            ip, proj_params, proj = init_ip_adapter(
+                variables[self._main_component(variables)],
+                model.unet_config.cross_attention_dim,
+                vis_cfg.projection_dim,
+                n_tokens,
+                jax.random.fold_in(rng, 98),
+            )
+            model.ip_proj = proj
+            self.ip_mode = True
+            print(f"IP-Adapter: {sum(1 for _ in jax.tree.leaves(ip)) // 3} cross-attn sites, "
+                  f"{n_tokens} tokens")
+            return {"ip": ip, "ip_proj": proj_params}, None, "ip_adapter", ""
         if cfg.embedding:
             # textual inversion: trainable token bank, trigger -> virtual ids
             from ai_toolkit_tpu.adapters.embedding import TriggerTokenizer, init_embedding_bank
@@ -400,6 +433,7 @@ class SDTrainProcess:
             trigger_word=cfg.trigger_word,
             latent_cache_dir=cache_dir,
             encode_fn=None if cache_dir else encode_fn,
+            want_pixels=self.ip_mode,
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
         return loader, text_cache
@@ -432,6 +466,17 @@ class SDTrainProcess:
                 neg_cond["pe"] = cond["pe"]
                 neg_cond["guidance"] = cond.get("guidance")
             batch["neg_cond"] = neg_cond
+        if self.ip_mode and "pixels" in raw:
+            if not hasattr(self, "_vision_encode"):
+                vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]
+                sz = self.vision_size
+
+                def _enc(px):
+                    px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
+                    return vt.apply({"params": vv}, px)["pooled_output"]
+
+                self._vision_encode = jax.jit(_enc)
+            cond["ip_embeds"] = self._vision_encode(jnp.asarray(raw["pixels"]))
         if "unconditional_pixels" in raw:
             batch["unconditional_latents"] = jnp.asarray(
                 self._encode_control(raw["unconditional_pixels"])
@@ -470,6 +515,19 @@ class SDTrainProcess:
                     f"{self.job_name}.safetensors" if final else f"{self.job_name}_{step:09d}.safetensors",
                 )
                 save_embedding(np.asarray(bank), path, name=self.ti_trigger, step=step)
+                print(f"saved: {path}")
+                return
+            if "ip" in state.trainable:
+                from ai_toolkit_tpu.adapters.ip_adapter import save_ip_adapter
+
+                path = (
+                    self.ckpt.final_path() if final else self.ckpt.path_for_step(step)
+                )
+                save_ip_adapter(
+                    jax.tree.map(np.asarray, state.trainable["ip"]),
+                    jax.tree.map(np.asarray, state.trainable["ip_proj"]),
+                    path, metadata={"step": step},
+                )
                 print(f"saved: {path}")
                 return
             if "lokr" in state.trainable or "dora" in state.trainable:

@@ -108,7 +108,11 @@ class SDModel(BaseTpuModel):
     def predict_train(self, variables, noisy_latents, t, cond):
         """Train-time forward. When the batch carries token ids (textual
         inversion / TE training), the text encoder runs inside the step so
-        grads reach the embedding bank ('emb' collection)."""
+        grads reach the embedding bank ('emb' collection). IP-Adapter training
+        projects clip-vision embeds to ip tokens in-graph (trainable proj)."""
+        if "ip_embeds" in cond and "ip_proj" in variables and hasattr(self, "ip_proj"):
+            tokens = self.ip_proj.apply({"params": variables["ip_proj"]}, cond["ip_embeds"])
+            cond = {**cond, "ip_tokens": tokens}
         if "input_ids" in cond:
             clip_colls = {"params": variables["clip"]}
             if "emb" in variables:

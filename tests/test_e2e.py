@@ -386,3 +386,28 @@ def test_esrgan_trainer_e2e(tmp_path):
     res = get_job(get_config(cfg_path)).run()
     assert np.isfinite(res[0]["final_loss"])
     assert os.path.isfile(res[0]["output"])
+
+
+@pytest.mark.slow
+def test_ip_adapter_training_e2e(tmp_path):
+    """IP-Adapter training: trainable ip K/V + image projection, std export."""
+    folder = make_dataset(tmp_path, n=2, size=64)
+    cfg = job_yaml(tmp_path, folder, arch="sd1", steps=2)
+    proc = cfg["config"]["process"][0]
+    proc.pop("network")
+    proc["adapter"] = {"type": "ip_adapter", "num_tokens": 4}
+    proc["train"]["disable_sampling"] = True
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    res = get_job(get_config(cfg_path)).run()
+    assert np.isfinite(res[0]["final_loss"])
+    out = tmp_path / "output" / "e2e_test" / "e2e_test.safetensors"
+    from safetensors import safe_open
+
+    with safe_open(str(out), framework="numpy") as f:
+        keys = list(f.keys())
+    assert "image_proj.proj.weight" in keys
+    assert any(k.startswith("ip_adapter.") for k in keys)
