@@ -358,7 +358,13 @@ class SDTrainProcess:
         n = count_lora_params(lora)
         print(f"LoRA: {len(lora)} top-level modules, {n:,} trainable params (rank {spec.rank})")
         key_map = self._key_map(model, lora)
-        fmt = "peft" if model.is_flow_matching else "kohya"
+        # per-arch export layout override (e.g. qwen_image -> ComfyUI
+        # 'diffusion_model.' keys, reference qwen_image.py:420-433)
+        layout = model.lora_key_layout()
+        if layout != "kohya":
+            fmt = layout
+        else:
+            fmt = "peft" if model.is_flow_matching else "kohya"
         prefix = "lora_transformer" if model.is_flow_matching else "lora_unet"
         return {"lora": lora}, key_map, fmt, prefix
 

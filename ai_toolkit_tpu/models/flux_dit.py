@@ -56,6 +56,12 @@ class FluxConfig:
     # nn.scan over blocks: compile time O(1) in depth (params stacked [L, ...]);
     # the standard layout for deep DiT stacks on TPU.
     scan_blocks: bool = True
+    # MoE FFN (hidream-class): DeepSeek-style routed SwiGLU experts with
+    # unnormalized top-k softmax gates + a half-width shared expert
+    # (reference: extensions_built_in/diffusion_models/hidream/src/models/moe.py).
+    # 0 disables (dense GELU MLP, flux semantics).
+    moe_experts: int = 0
+    moe_top_k: int = 2
 
     @classmethod
     def dev(cls) -> "FluxConfig":
@@ -113,6 +119,73 @@ def _attend(q, k, v, pe, mask=None):
     return dot_product_attention(q, k, v, mask=mask)
 
 
+class SwiGLU(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        g = Linear(self.hidden, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="w1")(x)
+        u = Linear(self.hidden, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="w3")(x)
+        return Linear(self.dim, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="w2")(
+            jax.nn.silu(g) * u
+        )
+
+
+class MoEFFN(nn.Module):
+    """Dropless MoE FFN: dense expert compute + gate-weighted sum.
+
+    Exact (every token sees its true top-k mixture, no capacity drops).
+    Dense dispatch costs E× FFN FLOPs instead of top_k×; for E=4 on the MXU
+    this is a large-batched einsum and stays compute-friendly. A Pallas
+    gather-dispatch kernel is the planned optimization once an 'ep' mesh
+    axis is profiled.
+    """
+
+    dim: int
+    hidden: int
+    experts: int
+    top_k: int
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        scores = jax.nn.softmax(
+            Linear(self.experts, use_bias=False, dtype=jnp.float32, param_dtype=jnp.float32,
+                   name="gate")(x.astype(jnp.float32)),
+            axis=-1,
+        )
+        topv, topi = jax.lax.top_k(scores, self.top_k)
+        # hidream/DeepSeek norm_topk_prob=False: use raw softmax scores as gates
+        gates = (jax.nn.one_hot(topi, self.experts, dtype=scores.dtype) * topv[..., None]).sum(-2)
+        ExpertBank = nn.vmap(
+            SwiGLU,
+            variable_axes={"params": 0, "lora": 0, "lokr": 0, "dora": 0, "quant": 0},
+            split_rngs={"params": True},
+            in_axes=None,
+            out_axes=0,
+            axis_size=self.experts,
+        )
+        outs = ExpertBank(self.dim, self.hidden, self.dtype, self.param_dtype, name="experts")(x)
+        routed = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), gates).astype(x.dtype)
+        return routed + SwiGLU(self.dim, self.hidden // 2, self.dtype, self.param_dtype, name="shared")(x)
+
+
+def _ffn(cfg: FluxConfig, x, name: str):
+    """Block FFN: flux dense GELU MLP, or MoE SwiGLU when cfg.moe_experts > 0."""
+    mlp_dim = int(cfg.hidden_size * cfg.mlp_ratio)
+    if cfg.moe_experts > 0:
+        return MoEFFN(cfg.hidden_size, mlp_dim, cfg.moe_experts, cfg.moe_top_k,
+                      cfg.dtype, cfg.param_dtype, name=f"{name}_moe")(x)
+    h = Linear(mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_in")(x)
+    return Linear(cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_out")(
+        jax.nn.gelu(h, approximate=True)
+    )
+
+
 class DoubleBlock(nn.Module):
     cfg: FluxConfig
 
@@ -125,6 +198,7 @@ class DoubleBlock(nn.Module):
         nh, hd = cfg.num_heads, cfg.head_dim
         mlp_dim = int(h * cfg.mlp_ratio)
 
+        del mlp_dim  # FFN width is resolved inside _ffn
         i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = AdaLayerNormZero(
             h, 6, dtype=dt, param_dtype=pdt, name="img_mod"
         )(vec)
@@ -156,17 +230,13 @@ class DoubleBlock(nn.Module):
             i_attn.reshape(b, -1, nh * hd)
         )
         img_m = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="img_norm2")(img), i_shift2, i_scale2)
-        img_mlp = Linear(mlp_dim, dtype=dt, param_dtype=pdt, name="img_mlp_in")(img_m)
-        img_mlp = Linear(h, dtype=dt, param_dtype=pdt, name="img_mlp_out")(jax.nn.gelu(img_mlp, approximate=True))
-        img = img + i_gate2[:, None] * img_mlp
+        img = img + i_gate2[:, None] * _ffn(cfg, img_m, "img_mlp")
 
         txt = txt + t_gate1[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="txt_proj")(
             t_attn.reshape(b, -1, nh * hd)
         )
         txt_m = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="txt_norm2")(txt), t_shift2, t_scale2)
-        txt_mlp = Linear(mlp_dim, dtype=dt, param_dtype=pdt, name="txt_mlp_in")(txt_m)
-        txt_mlp = Linear(h, dtype=dt, param_dtype=pdt, name="txt_mlp_out")(jax.nn.gelu(txt_mlp, approximate=True))
-        txt = txt + t_gate2[:, None] * txt_mlp
+        txt = txt + t_gate2[:, None] * _ffn(cfg, txt_m, "txt_mlp")
         return img, txt
 
 
@@ -179,6 +249,22 @@ class SingleBlock(nn.Module):
         dt, pdt = cfg.dtype, cfg.param_dtype
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
         mlp_dim = int(h * cfg.mlp_ratio)
+        if cfg.moe_experts > 0:
+            # hidream-style single block: separate attn + MoE FFN sublayers
+            shift1, scale1, gate1, shift2, scale2, gate2 = AdaLayerNormZero(
+                h, 6, dtype=dt, param_dtype=pdt, name="mod"
+            )(vec)
+            xn = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="pre_norm")(x), shift1, scale1)
+            b, s, _ = xn.shape
+            qkv = Linear(h * 3, dtype=dt, param_dtype=pdt, name="qkv")(xn)
+            q, k, v = jnp.split(qkv.reshape(b, s, 3 * nh, hd), 3, axis=2)
+            q, k = QKNorm(hd, dt, name="qknorm")(q, k)
+            attn = _attend(q, k, v, pe, mask)
+            x = x + gate1[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="proj")(
+                attn.reshape(b, s, nh * hd)
+            )
+            xm = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="ffn_norm")(x), shift2, scale2)
+            return x + gate2[:, None] * _ffn(cfg, xm, "mlp")
         shift, scale, gate = AdaLayerNormZero(h, 3, dtype=dt, param_dtype=pdt, name="mod")(vec)
         xn = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="pre_norm")(x), shift, scale)
         b, s, _ = xn.shape
@@ -260,13 +346,15 @@ class FluxDiT(nn.Module):
                 remat_kwargs["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             DCarry = nn.remat(_DoubleCarry, **remat_kwargs) if cfg.remat else _DoubleCarry
             SCarry = nn.remat(_SingleCarry, **remat_kwargs) if cfg.remat else _SingleCarry
-            (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
-                cfg, name="double_blocks"
-            )((img, txt), vec, pe, mask)
+            if cfg.depth_double > 0:
+                (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
+                    cfg, name="double_blocks"
+                )((img, txt), vec, pe, mask)
             x = jnp.concatenate([txt, img], axis=1)
-            x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
-                cfg, name="single_blocks"
-            )(x, vec, pe, mask)
+            if cfg.depth_single > 0:
+                x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
+                    cfg, name="single_blocks"
+                )(x, vec, pe, mask)
         else:
             DBlock = nn.remat(DoubleBlock) if cfg.remat else DoubleBlock
             SBlock = nn.remat(SingleBlock) if cfg.remat else SingleBlock

@@ -1,0 +1,173 @@
+"""Qwen-Image model family (qwen_image / qwen_image_edit / qwen_image_edit_plus).
+
+Parity target: the reference plugin
+``extensions_built_in/diffusion_models/qwen_image/qwen_image.py`` — a 60-layer
+dual-stream MMDiT (diffusers ``QwenImageTransformer2DModel``): hidden 3072,
+24 heads x 128, joint text+image attention every layer (no single-stream
+stage), modulation from the timestep only (no pooled text vector, no guidance
+embed), text conditioning from Qwen2.5-VL hidden states (3584-d) with an
+attention mask over padded tokens, 16-ch VAE latents packed 2x2, flow matching
+with dynamic shift, loss target = noise - latents
+(``qwen_image.py:408-411``). Edit variants condition on a control image whose
+packed latents are concatenated along the *sequence* axis
+(``qwen_image_edit.py:61-62`` encodes the control into the joint stream);
+the output is sliced back to the image tokens.
+
+TPU design: reuses FluxDiT with depth_single=0 — joint blocks are flux double
+blocks; the timestep-only modulation is expressed by passing a zero pooled
+vector (the vector MLP then contributes a learned constant, numerically a
+bias). LoRA save/load uses the reference's ComfyUI convention
+(``transformer.`` -> ``diffusion_model.``, ``qwen_image.py:420-433``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+from ai_toolkit_tpu.models.base import BaseTpuModel
+from ai_toolkit_tpu.models.flux_dit import (
+    FluxConfig,
+    FluxDiT,
+    flux_lora_targets,
+    flux_partition_rules,
+    pack_latents,
+    unpack_latents,
+)
+from ai_toolkit_tpu.models.registry import register_model
+from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+from ai_toolkit_tpu.models.vae import AutoencoderKL, VAEConfig
+from ai_toolkit_tpu.ops.rope import image_position_ids, multi_axis_rope
+from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
+
+
+@register_model
+class QwenImageModel(BaseTpuModel):
+    arch = "qwen_image"
+    archs = ["qwen_image", "qwen_image_edit", "qwen_image_edit_plus"]
+    is_flow_matching = True
+    bucket_divisibility = 32  # 16 VAE * 2 patch (reference get_bucket_divisibility)
+    max_txt_len = 256
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.is_edit = config.arch in ("qwen_image_edit", "qwen_image_edit_plus")
+        size = config.model_kwargs.get("size", "full")
+        if size == "tiny":
+            base = FluxConfig.tiny()
+            self.dit_config = FluxConfig(**{
+                **base.__dict__, "depth_double": 2, "depth_single": 0, "guidance_embed": False,
+            })
+            self.vae_config = VAEConfig.tiny()
+            self.llm_config = LLMConfig.tiny()
+            self.max_txt_len = 16
+        else:
+            self.dit_config = FluxConfig(
+                in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
+                depth_double=60, depth_single=0, context_dim=3584, vec_dim=256,
+                guidance_embed=False, axes_dim=(16, 56, 56),
+            )
+            self.vae_config = VAEConfig.flux()  # 16-ch latents (qwen 3D VAE at t=1)
+            self.llm_config = LLMConfig.qwen25_7b()
+        self.dit = FluxDiT(self.dit_config)
+        self.vae = AutoencoderKL(self.vae_config)
+        self.te = LLMEncoder(self.llm_config)
+        self.tokenizer = load_tokenizer(
+            config.name_or_path, "tokenizer", vocab_size=self.llm_config.vocab_size,
+            eos_id=2, max_len=self.max_txt_len,
+        )
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        r_dit, r_vae, r_te = jax.random.split(rng, 3)
+        cfg = self.dit_config
+        n_img, n_txt = 16, 8
+        pe = jnp.zeros((1, n_txt + n_img, cfg.head_dim // 2, 2, 2))
+        dit_vars = self.dit.init(
+            r_dit,
+            jnp.zeros((1, n_img, cfg.in_channels), cfg.dtype),
+            jnp.zeros((1, n_txt, cfg.context_dim), cfg.dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, cfg.vec_dim)),
+            pe,
+            None,
+        )
+        vae_vars = self.vae.init(
+            r_vae, jnp.zeros((1, 2 * self.vae_config.downscale, 2 * self.vae_config.downscale, 3))
+        )
+        te_vars = self.te.init(r_te, jnp.zeros((1, self.max_txt_len), jnp.int32))
+        return {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        return self.init_variables(rng)
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        ids = np.stack([self.tokenizer.encode(p) for p in prompts])
+        # valid = everything up to and including the first eos (rest is pad)
+        is_eos = ids == self.tokenizer.eos_id
+        mask = (np.cumsum(is_eos, axis=1) - is_eos <= 0).astype(np.int32)
+        txt = jax.jit(self.te.apply)(
+            {"params": variables["te"]}, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        return {"txt": txt, "y": jnp.zeros((len(prompts), self.dit_config.vec_dim)),
+                "txt_mask": jnp.asarray(mask, bool)}
+
+    def rope_table(self, latent_h: int, latent_w: int, txt_len: int) -> jnp.ndarray:
+        n_ctrl_rows = latent_h // 2 if self.is_edit else 0
+        ids = image_position_ids(latent_h // 2, latent_w // 2, text_len=txt_len)
+        table = multi_axis_rope(
+            jnp.asarray(ids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
+        )
+        if self.is_edit:
+            # control tokens reuse the image grid shifted on the frame axis
+            # (edit image is "frame 1" in the qwen edit convention)
+            cids = np.asarray(image_position_ids(latent_h // 2, latent_w // 2, text_len=0))
+            cids = cids.copy()
+            cids[:, 0] = 1  # frame index axis
+            ctable = multi_axis_rope(
+                jnp.asarray(cids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
+            )
+            table = jnp.concatenate([table, ctable], axis=1)
+        return table
+
+    def predict(self, variables, noisy_latents, t, cond):
+        """cond: txt, y, pe, optional txt_mask, optional control_latents
+        [B, h, w, C] sequence-concatenated for edit archs."""
+        b, h, w, c = noisy_latents.shape
+        img = pack_latents(noisy_latents)
+        n_img = img.shape[1]
+        if self.is_edit and cond.get("control_latents") is not None:
+            img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=1)
+        colls = {"params": variables["dit"]}
+        for k in ("lora", "lokr", "dora", "quant"):
+            if k in variables:
+                colls[k] = variables[k]
+        txt_mask = cond.get("txt_mask")
+        out = self.dit.apply(
+            colls, img, cond["txt"], t, cond["y"], cond["pe"], None, txt_mask
+        )
+        return unpack_latents(out[:, :n_img], h, w)
+
+    def encode_images(self, variables, images, rng=None):
+        return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
+
+    def decode_latents(self, variables, latents):
+        return self.vae.apply({"params": variables["vae"]}, latents, method=AutoencoderKL.decode)
+
+    def latent_shape(self, height: int, width: int):
+        d = self.vae_config.downscale
+        return height // d, width // d, self.vae_config.latent_channels
+
+    def image_seq_len(self, height: int, width: int) -> int:
+        h, w, _ = self.latent_shape(height, width)
+        return (h // 2) * (w // 2)
+
+    def lora_targets(self):
+        return flux_lora_targets()
+
+    def partition_rules(self):
+        return flux_partition_rules(self.dit_config.scan_blocks)
+
+    def lora_key_layout(self) -> str:
+        return "comfy"

@@ -35,3 +35,7 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.audio_model  # noqa: F401
     import ai_toolkit_tpu.models.sd3_model  # noqa: F401
     import ai_toolkit_tpu.models.pixart_model  # noqa: F401
+    import ai_toolkit_tpu.models.qwen_model  # noqa: F401
+    import ai_toolkit_tpu.models.auraflow_model  # noqa: F401
+    import ai_toolkit_tpu.models.lumina2_model  # noqa: F401
+    import ai_toolkit_tpu.models.hidream_model  # noqa: F401

@@ -1,0 +1,164 @@
+"""Decoder-LLM text encoders (Llama / Gemma2 / Qwen2.5 families).
+
+Several reference archs condition on hidden states of a causal LLM rather
+than CLIP/T5: qwen_image uses Qwen2.5-VL's text tower
+(``/root/reference/extensions_built_in/diffusion_models/qwen_image/qwen_image.py:148-196``),
+hidream feeds Llama-3.1-8B per-layer hidden states to every block
+(``extensions_built_in/diffusion_models/hidream/hidream_model.py``), and
+lumina2 uses Gemma2-2B (``toolkit/stable_diffusion_model.py`` is_lumina2 path).
+
+One Flax module covers the family: token embedding -> N pre-norm decoder
+layers (GQA attention with RoPE + SwiGLU MLP) -> final RMSNorm, with the
+small per-family deltas expressed as config flags:
+
+- ``qkv_bias``      — Qwen2 adds biases to q/k/v projections.
+- ``post_norms``    — Gemma2 adds post-attention/post-MLP RMSNorms and
+                      scales embeddings by sqrt(d_model).
+- ``gemma_gelu``    — Gemma2 uses GELU-tanh gating instead of SiLU.
+- ``collect_layers``— return hidden states after the listed layers stacked
+                      on a leading axis (hidream consumes one per block).
+
+TPU notes: the whole stack is static-shape; attention is one fused
+dot_product_attention with a causal+padding mask; GQA KV heads are
+broadcast with a reshape (no gather).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ai_toolkit_tpu.ops.attention import dot_product_attention
+from ai_toolkit_tpu.ops.layers import Linear, RMSNorm
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 128256
+    d_model: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    head_dim: int = 128
+    d_ff: int = 14336
+    rope_theta: float = 500_000.0
+    qkv_bias: bool = False
+    post_norms: bool = False
+    gemma_gelu: bool = False
+    # Gemma2 multiplies token embeddings by sqrt(d_model)
+    scale_embeddings: bool = False
+    collect_layers: tuple[int, ...] = ()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def llama31_8b(cls) -> "LLMConfig":
+        return cls()
+
+    @classmethod
+    def gemma2_2b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=256_000, d_model=2304, n_layers=26, n_heads=8, n_kv_heads=4,
+            head_dim=256, d_ff=9216, rope_theta=10_000.0, post_norms=True,
+            gemma_gelu=True, scale_embeddings=True,
+        )
+
+    @classmethod
+    def qwen25_7b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=152_064, d_model=3584, n_layers=28, n_heads=28, n_kv_heads=4,
+            head_dim=128, d_ff=18944, rope_theta=1_000_000.0, qkv_bias=True,
+        )
+
+    @classmethod
+    def tiny(cls, **kw) -> "LLMConfig":
+        base = dict(
+            vocab_size=1000, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            head_dim=16, d_ff=128, dtype=jnp.float32,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+def _llm_rope(x: jax.Array, theta: float) -> jax.Array:
+    """Standard half-split RoPE (llama layout). x: [B, S, H, D]."""
+    b, s, h, d = x.shape
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = jnp.arange(s, dtype=jnp.float32)[:, None] * freqs[None, :]  # [S, D/2]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
+
+
+class LLMLayer(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cfg = self.cfg
+        dt = cfg.dtype
+        b, s, _ = x.shape
+        nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+        h = RMSNorm(dtype=dt, name="input_norm")(x)
+        q = Linear(nh * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="q")(h)
+        k = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="k")(h)
+        v = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="v")(h)
+        q = _llm_rope(q.reshape(b, s, nh, hd), cfg.rope_theta)
+        k = _llm_rope(k.reshape(b, s, nkv, hd), cfg.rope_theta)
+        v = v.reshape(b, s, nkv, hd)
+        if nkv != nh:  # GQA: repeat kv heads
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        attn = dot_product_attention(q, k, v, mask=mask).reshape(b, s, nh * hd)
+        attn = Linear(cfg.d_model, use_bias=False, dtype=dt, param_dtype=dt, name="o")(attn)
+        if cfg.post_norms:
+            attn = RMSNorm(dtype=dt, name="post_attn_norm")(attn)
+        x = x + attn
+
+        h = RMSNorm(dtype=dt, name="pre_mlp_norm")(x)
+        gate = Linear(cfg.d_ff, use_bias=False, dtype=dt, param_dtype=dt, name="gate")(h)
+        up = Linear(cfg.d_ff, use_bias=False, dtype=dt, param_dtype=dt, name="up")(h)
+        act = jax.nn.gelu(gate, approximate=True) if cfg.gemma_gelu else jax.nn.silu(gate)
+        mlp = Linear(cfg.d_model, use_bias=False, dtype=dt, param_dtype=dt, name="down")(act * up)
+        if cfg.post_norms:
+            mlp = RMSNorm(dtype=dt, name="post_mlp_norm")(mlp)
+        return x + mlp
+
+
+class LLMEncoder(nn.Module):
+    """Causal LM used as a text encoder: returns hidden states, no LM head."""
+
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attn_mask: jax.Array | None = None):
+        cfg = self.cfg
+        b, s = input_ids.shape
+        emb = self.param(
+            "token_embedding", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.d_model),
+            jnp.float32,
+        )
+        x = emb[input_ids].astype(cfg.dtype)
+        if cfg.scale_embeddings:
+            x = x * jnp.sqrt(float(cfg.d_model)).astype(cfg.dtype)
+
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        if attn_mask is not None:
+            causal = causal & attn_mask[:, None, None, :].astype(bool)
+        mask = jnp.broadcast_to(causal, (b, 1, s, s))
+
+        collected = []
+        for i in range(cfg.n_layers):
+            x = LLMLayer(cfg, name=f"layer_{i}")(x, mask)
+            if i in cfg.collect_layers:
+                collected.append(x)
+        x = RMSNorm(dtype=cfg.dtype, name="final_norm")(x)
+        if cfg.collect_layers:
+            return {"last_hidden_state": x, "collected": jnp.stack(collected, axis=0)}
+        return x

@@ -1,0 +1,43 @@
+"""SDXL rank-16 LoRA @1024px train-step timing (BASELINE config #2)."""
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp, numpy as np
+from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora, count_lora_params
+from ai_toolkit_tpu.models.unet import UNet2DCondition, UNetConfig, unet_lora_targets
+from ai_toolkit_tpu.samplers import DDPMSchedule
+from ai_toolkit_tpu.train.optimizers import get_optimizer
+from ai_toolkit_tpu.train.state import TrainState
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
+
+cfg = UNetConfig.sdxl()
+unet = UNet2DCondition(cfg)
+B = int(os.environ.get("BS", 1))
+lat = jnp.zeros((B, 128, 128, 4), jnp.bfloat16)
+t = jnp.zeros((B,))
+ctx = jnp.zeros((B, 77, cfg.cross_attention_dim), jnp.bfloat16)
+added = {"time_ids": jnp.zeros((B, 6)), "text_embeds": jnp.zeros((B, 1280), jnp.bfloat16)}
+t0 = time.time()
+params = jax.jit(unet.init)(jax.random.key(0), lat, t, ctx, added)["params"]
+n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+print(f"init {n/1e9:.2f}B params {time.time()-t0:.0f}s", flush=True)
+lora = build_lora(params, LoRASpec(rank=16, alpha=16, target_patterns=unet_lora_targets()),
+                  jax.random.key(1))
+print(f"lora {count_lora_params(lora)/1e6:.1f}M", flush=True)
+
+def predict_fn(variables, noisy, tt, cond):
+    colls = {"params": variables["params"]}
+    if "lora" in variables: colls["lora"] = variables["lora"]
+    return unet.apply(colls, noisy, tt, cond["context"], cond.get("added_cond"))
+
+tx = get_optimizer("adamw8bit", 1e-4)
+step = make_jitted_train_step(predict_fn, DDPMSchedule(), TrainStepConfig(min_snr_gamma=5.0, ema_decay=0.99), tx)
+state = TrainState.create({"params": params}, {"lora": lora}, tx, use_ema=True)
+batch = {"latents": lat, "cond": {"context": ctx, "added_cond": added}}
+t0=time.time()
+state, m = step(state, batch, jax.random.key(2)); l=float(m["loss"])
+print(f"compile+first {time.time()-t0:.0f}s", flush=True)
+t0=time.time()
+for _ in range(5):
+    state, m = step(state, batch, jax.random.key(2)); l=float(m["loss"])
+dt=(time.time()-t0)/5
+print(f"SDXL LoRA @1024 bs{B}: {dt*1000:.0f} ms/step -> {1/dt:.2f} steps/s, {B/dt:.2f} imgs/s", flush=True)
