@@ -1,0 +1,159 @@
+"""LTX-2 video model wrapper.
+
+Parity target: the reference plugin
+``extensions_built_in/diffusion_models/ltx2/ltx2.py`` (+ its converter
+configs ``convert_ltx2_to_diffusers.py:275-312``): a 48-layer video DiT —
+hidden 4096 (32 heads x 128), self-attention with RoPE over (t, y, x) +
+cross-attention to text (Gemma-family encoder, 3840-d caption states) with
+per-block adaLN modulation, patch size 1 (the VAE already compresses
+32x spatial / 8x temporal into 128-ch latents), flow matching.
+
+Structure maps 1:1 onto WanDiT (self-attn -> cross-attn -> FFN with a
+shared modulation table); the LTX geometry differs only in dims and the
+heavier VAE compression.
+
+Known gap vs the reference (documented in PARITY.md): LTX-2's joint
+*audio* stream (audio latents + a2v cross-attention,
+``ltx2.py:106-143,806-812``) — video-only training here; the audio VAE
+exists for ace_step and will be joined in a later round.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+from ai_toolkit_tpu.models.base import BaseTpuModel
+from ai_toolkit_tpu.models.registry import register_model
+from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+from ai_toolkit_tpu.models.video_vae import VideoAutoencoderKL, VideoVAEConfig
+from ai_toolkit_tpu.models.wan_dit import (
+    WanConfig,
+    WanDiT,
+    multi_axis_rope,
+    wan_lora_targets,
+    wan_partition_rules,
+    wan_patchify,
+    wan_position_ids,
+    wan_unpatchify,
+)
+from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
+
+
+@register_model
+class LTX2Model(BaseTpuModel):
+    arch = "ltx2"
+    archs = ["ltx2", "ltx2_3", "ltxv"]
+    is_flow_matching = True
+    bucket_divisibility = 32  # 32x spatial VAE
+    max_txt_len = 256
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        size = config.model_kwargs.get("size", "full")
+        if size == "tiny":
+            self.dit_config = WanConfig.tiny()
+            self.vae_config = VideoVAEConfig.tiny()
+            self.llm_config = LLMConfig.tiny()
+            self.max_txt_len = 16
+        else:
+            self.dit_config = WanConfig(
+                in_channels=128, dim=4096, ffn_dim=16384, num_heads=32, num_layers=48,
+                text_dim=3840, patch_size=(1, 1, 1), axes_dim=(32, 48, 48),
+            )
+            # 128-ch latents, 32x spatial / 8x temporal (vae_scale_factors (8,32,32))
+            self.vae_config = VideoVAEConfig(
+                latent_channels=128, base_channels=64,
+                channel_multipliers=(1, 2, 4, 4, 8, 8),
+                temporal_downscales=(False, True, True, True, False, False),
+            )
+            # Gemma-family caption encoder (3840-d states)
+            self.llm_config = LLMConfig(
+                vocab_size=256_000, d_model=3840, n_layers=48, n_heads=16, n_kv_heads=8,
+                head_dim=240, d_ff=15360, post_norms=True, gemma_gelu=True,
+                scale_embeddings=True,
+            )
+        self.dit = WanDiT(self.dit_config)
+        self.vae = VideoAutoencoderKL(self.vae_config)
+        self.te = LLMEncoder(self.llm_config)
+        self.tokenizer = load_tokenizer(
+            config.name_or_path, "tokenizer", vocab_size=self.llm_config.vocab_size,
+            eos_id=1, max_len=self.max_txt_len,
+        )
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        r_dit, r_vae, r_te = jax.random.split(rng, 3)
+        cfg = self.dit_config
+        pt, ph, pw = cfg.patch_size
+        n = 8
+        patch_dim = cfg.in_channels * pt * ph * pw
+        pe = jnp.zeros((1, n, cfg.head_dim // 2, 2, 2))
+        dit_vars = self.dit.init(
+            r_dit, jnp.zeros((1, n, patch_dim)), jnp.zeros((1, 8, cfg.text_dim)),
+            jnp.zeros((1,)), pe, None,
+        )
+        td, sd_ = self.vae_config.temporal_downscale, self.vae_config.spatial_downscale
+        vae_vars = self.vae.init(r_vae, jnp.zeros((1, td, 2 * sd_, 2 * sd_, 3)))
+        te_vars = self.te.init(r_te, jnp.zeros((1, self.max_txt_len), jnp.int32))
+        return {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        return self.init_variables(rng)
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        ids = np.stack([self.tokenizer.encode(p) for p in prompts])
+        txt = jax.jit(self.te.apply)({"params": variables["te"]}, jnp.asarray(ids))
+        if isinstance(txt, dict):
+            txt = txt["last_hidden_state"]
+        return {"txt": txt}
+
+    def rope_table(self, t: int, h: int, w: int) -> jnp.ndarray:
+        cfg = self.dit_config
+        pt, ph, pw = cfg.patch_size
+        ids = wan_position_ids(max(1, t // pt), h // ph, w // pw)
+        return multi_axis_rope(ids, list(cfg.axes_dim))
+
+    def predict(self, variables, noisy_latents, t, cond):
+        """noisy_latents: [B, T, h, w, C] video latents (T=1 for images)."""
+        b, tt, hh, ww, c = noisy_latents.shape
+        cfg = self.dit_config
+        tokens = wan_patchify(noisy_latents, cfg.patch_size)
+        colls = {"params": variables["dit"]}
+        for k in ("lora", "lokr", "dora", "quant"):
+            if k in variables:
+                colls[k] = variables[k]
+        out = self.dit.apply(colls, tokens, cond["txt"], t, cond["pe"], None)
+        return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
+
+    def encode_images(self, variables, images, rng=None):
+        if images.ndim == 4:
+            images = jnp.repeat(images[:, None], self.vae_config.temporal_downscale, axis=1)
+        return self.vae.apply(
+            {"params": variables["vae"]}, images, rng, method=VideoAutoencoderKL.encode
+        )
+
+    def decode_latents(self, variables, latents):
+        return self.vae.apply({"params": variables["vae"]}, latents, method=VideoAutoencoderKL.decode)
+
+    def latent_shape(self, height: int, width: int, num_frames: int = 1):
+        sd_ = self.vae_config.spatial_downscale
+        td = self.vae_config.temporal_downscale
+        t = max(1, num_frames // td)
+        return t, height // sd_, width // sd_, self.vae_config.latent_channels
+
+    def image_seq_len(self, height: int, width: int) -> int:
+        cfg = self.dit_config
+        _, h, w, _ = self.latent_shape(height, width)
+        return (h // cfg.patch_size[1]) * (w // cfg.patch_size[2])
+
+    def frame_count_snapper(self, frames: int) -> int:
+        td = self.vae_config.temporal_downscale
+        return max(td, (frames // td) * td)
+
+    def lora_targets(self):
+        return wan_lora_targets()
+
+    def partition_rules(self):
+        return wan_partition_rules(self.dit_config.scan_blocks)

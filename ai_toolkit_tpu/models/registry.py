@@ -39,3 +39,6 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.auraflow_model  # noqa: F401
     import ai_toolkit_tpu.models.lumina2_model  # noqa: F401
     import ai_toolkit_tpu.models.hidream_model  # noqa: F401
+    import ai_toolkit_tpu.models.ltx2_model  # noqa: F401
+    import ai_toolkit_tpu.models.cogview4_model  # noqa: F401
+    import ai_toolkit_tpu.models.omnigen2_model  # noqa: F401

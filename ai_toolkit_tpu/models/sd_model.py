@@ -192,3 +192,56 @@ class SDXLModel(SDModel):
             jnp.asarray([height, width, 0, 0, height, width], jnp.float32)[None], (b, 1)
         )
         return {"time_ids": time_ids, "text_embeds": pooled}
+
+
+@register_model
+class SDXLRefinerModel(SDXLModel):
+    """SDXL refiner arch.
+
+    Parity target: the reference's refiner support
+    (``toolkit/stable_diffusion_model.py`` ``load_refiner:1088`` and the
+    ``stable_diffusion_refiner`` keymap): a 4-level UNet (384/768/1536/1536,
+    transformer depth 4 on the middle levels), conditioned ONLY on
+    OpenCLIP-G penultimate states (1280-d context) with pooled embeds plus
+    5-element micro-conds ``[h, w, crop_top, crop_left, aesthetic_score]``
+    (projection dim 1280 + 256*5 = 2560).
+    """
+
+    arch = "sdxl_refiner"
+    archs = ["sdxl_refiner", "ssd_refiner"]
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        size = config.model_kwargs.get("size", "full")
+        if size == "tiny":
+            self.unet_config = UNetConfig(
+                block_out_channels=(32, 64), layers_per_block=1, transformer_layers=(0, 1),
+                num_heads=2, cross_attention_dim=64, addition_time_embed_dim=32,
+                projection_class_embeddings_dim=64 + 32 * 5, dtype=jnp.float32,
+                param_dtype=jnp.float32, remat=False,
+            )
+        else:
+            self.unet_config = UNetConfig(
+                block_out_channels=(384, 768, 1536, 1536),
+                layers_per_block=2,
+                transformer_layers=(0, 4, 4, 0),
+                cross_attention_dim=1280,
+                num_heads=20,
+                addition_time_embed_dim=256,
+                projection_class_embeddings_dim=2560,
+            )
+        self.unet = UNet2DCondition(self.unet_config)
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        """Refiner uses only the OpenCLIP-G tower."""
+        ids = jnp.asarray(np.stack([self.tokenizer.encode(p) for p in prompts]))
+        o2 = jax.jit(self.clip2.apply, static_argnums=2)({"params": variables["clip2"]}, ids, 1)
+        return {"context": o2["last_hidden_state"], "pooled": o2["pooled_output"]}
+
+    def added_cond(self, pooled: jax.Array, height: int, width: int,
+                   aesthetic_score: float = 6.0) -> dict:
+        b = pooled.shape[0]
+        time_ids = jnp.tile(
+            jnp.asarray([height, width, 0, 0, aesthetic_score], jnp.float32)[None], (b, 1)
+        )
+        return {"time_ids": time_ids, "text_embeds": pooled}

@@ -138,3 +138,56 @@ def test_llm_encoder_families():
     b = enc.apply(v, ids.at[:, -1].set(7))
     np.testing.assert_allclose(np.asarray(a[:, :-1]), np.asarray(b[:, :-1]), atol=1e-5)
     assert float(jnp.abs(a[:, -1] - b[:, -1]).max()) > 1e-6
+
+
+@pytest.mark.parametrize("arch", ["cogview4", "omnigen2"])
+def test_single_stream_archs_forward(arch):
+    model, variables = _make(arch)
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["a cat"])
+    pe = model.rope_table(h, w, cond["txt"].shape[1])
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), {**cond, "pe": pe})
+    assert out.shape == noisy.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_omnigen2_incontext_reference_image():
+    model, variables = _make("omnigen2")
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["replace the sky"])
+    pe = model.rope_table(h, w, cond["txt"].shape[1])
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    ref = jax.random.normal(jax.random.key(2), (1, h, w, c))
+    out1 = model.predict(variables, noisy, jnp.array([0.5]), {**cond, "pe": pe, "control_latents": ref})
+    out2 = model.predict(variables, noisy, jnp.array([0.5]), {**cond, "pe": pe, "control_latents": -ref})
+    assert out1.shape == noisy.shape
+    assert float(jnp.abs(out1 - out2).max()) > 1e-6  # reference image conditions output
+
+
+def test_sdxl_refiner_forward():
+    model, variables = _make("sdxl_refiner")
+    cond = model.encode_prompt(variables, ["a photo"])
+    assert cond["context"].shape[-1] == 64  # single OpenCLIP-G tower only
+    added = model.added_cond(cond["pooled"], 64, 64, aesthetic_score=6.0)
+    assert added["time_ids"].shape[-1] == 5  # [h, w, top, left, aesthetic]
+    h, w, c = model.latent_shape(64, 64)
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    out = model.predict(
+        variables, noisy, jnp.array([300.0]), {"context": cond["context"], "added_cond": added}
+    )
+    assert out.shape == noisy.shape
+
+
+def test_ltx2_video_forward_and_geometry():
+    model, variables = _make("ltx2")
+    t, h, w, c = model.latent_shape(32, 32, num_frames=4)
+    cond = model.encode_prompt(variables, ["a video"])
+    pe = model.rope_table(t, h, w)
+    noisy = jax.random.normal(jax.random.key(1), (1, t, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), {**cond, "pe": pe})
+    assert out.shape == noisy.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # frame snapping follows the VAE temporal grid
+    td = model.vae_config.temporal_downscale
+    assert model.frame_count_snapper(17) % td == 0
