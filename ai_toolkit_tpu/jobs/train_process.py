@@ -51,6 +51,7 @@ class SDTrainProcess:
         self.progress_hook = None  # UI integration point (step, loss, status)
         self.ti_trigger = None
         self.ip_mode = False
+        self.custom_adapter = None  # CustomAdapterRuntime when adapter configured
 
     # ---- lifecycle ----
 
@@ -146,6 +147,11 @@ class SDTrainProcess:
         # 8. train step (jitted with shardings)
         step_cfg = TrainStepConfig.from_train_config(tc)
         predict_fn = getattr(model, "predict_train", model.predict)
+        if getattr(self, "custom_adapter", None) is not None:
+            _base_predict, _runtime = predict_fn, self.custom_adapter
+
+            def predict_fn(vars_, noisy, t, cond):  # noqa: F811
+                return _base_predict(vars_, noisy, t, _runtime.apply_cond(vars_, cond))
         # split-jit: frozen params are input-only (no output copy), small state
         # donated; model_variables buffers stay valid for encode/sample closures.
         guidance_kind = tc.extras.get("guidance_loss") or cfg.extras.get("guidance_loss")
@@ -314,6 +320,55 @@ class SDTrainProcess:
             print(f"IP-Adapter: {sum(1 for _ in jax.tree.leaves(ip)) // 3} cross-attn sites, "
                   f"{n_tokens} tokens")
             return {"ip": ip, "ip_proj": proj_params}, None, "ip_adapter", ""
+        if cfg.adapter and cfg.adapter.get("type") in (
+            "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
+            "photo_maker",
+        ):
+            # CustomAdapter umbrella (reference toolkit/custom_adapter.py:104-286)
+            from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
+
+            atype = cfg.adapter["type"]
+            ctx_key = "txt" if hasattr(model, "dit_config") else "context"
+            if ctx_key == "txt":
+                ctx_dim = model.dit_config.context_dim
+            else:
+                ctx_dim = model.unet_config.cross_attention_dim
+            vision_dim = 0
+            if atype != "single_value":
+                from ai_toolkit_tpu.models.text_encoders.clip_vision import (
+                    CLIPVisionConfig,
+                    CLIPVisionModel,
+                )
+
+                vis_cfg = (
+                    CLIPVisionConfig.tiny()
+                    if cfg.model.model_kwargs.get("size") == "tiny"
+                    else CLIPVisionConfig.vit_h()
+                )
+                self.vision_tower = CLIPVisionModel(vis_cfg)
+                sz = vis_cfg.image_size
+                variables["clip_vision"] = self.vision_tower.init(
+                    jax.random.fold_in(rng, 99), jnp.zeros((1, sz, sz, 3))
+                )["params"]
+                self.vision_size = sz
+                vision_dim = (
+                    vis_cfg.projection_dim if atype == "photo_maker" else vis_cfg.hidden_size
+                )
+            params, runtime = init_custom_adapter(
+                cfg.adapter, ctx_dim, ctx_key, vision_dim, jax.random.fold_in(rng, 98)
+            )
+            self.custom_adapter = runtime
+            trainable = {"adapter": params}
+            if atype == "vision_direct":
+                from ai_toolkit_tpu.adapters.ip_adapter import build_ip_collection
+
+                trainable["ip"] = build_ip_collection(
+                    variables[main_key], ctx_dim,
+                    scale=float(cfg.adapter.get("scale", 1.0)),
+                )
+            n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(trainable))
+            print(f"CustomAdapter[{atype}]: {n:,} trainable params")
+            return trainable, None, "custom_adapter", ""
         if cfg.embedding:
             # textual inversion: trainable token bank, trigger -> virtual ids
             from ai_toolkit_tpu.adapters.embedding import TriggerTokenizer, init_embedding_bank
@@ -439,7 +494,10 @@ class SDTrainProcess:
             trigger_word=cfg.trigger_word,
             latent_cache_dir=cache_dir,
             encode_fn=None if cache_dir else encode_fn,
-            want_pixels=self.ip_mode,
+            want_pixels=self.ip_mode or (
+                self.custom_adapter is not None
+                and self.custom_adapter.adapter_type != "single_value"
+            ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
         return loader, text_cache
@@ -457,9 +515,38 @@ class SDTrainProcess:
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
         }
         lat = raw["latents"]
+        extra_ctx_tokens = 0
+        if self.custom_adapter is not None:
+            atype = self.custom_adapter.adapter_type
+            if atype == "single_value":
+                vals = raw.get("extra_values") or self.cfg.adapter.get("extra_values", [1.0])
+                nv = int(self.cfg.adapter.get("num_tokens", 1))
+                arr = np.asarray(vals, np.float32).reshape(-1)[:nv]
+                cond["extra_values"] = jnp.tile(jnp.asarray(arr)[None], (lat.shape[0], 1))
+                extra_ctx_tokens = nv
+            elif "pixels" in raw:
+                if not hasattr(self, "_vision_tokens_encode"):
+                    vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]
+                    sz = self.vision_size
+
+                    def _enc_tokens(px):
+                        px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
+                        out = vt.apply({"params": vv}, px)
+                        return out["penultimate_hidden_state"], out["pooled_output"]
+
+                    self._vision_tokens_encode = jax.jit(_enc_tokens)
+                tokens, pooled = self._vision_tokens_encode(jnp.asarray(raw["pixels"]))
+                cond["vision_tokens"] = tokens
+                cond["vision_pooled"] = pooled
+                if atype == "redux":
+                    extra_ctx_tokens = int(tokens.shape[1])
+                elif atype in ("clip_fusion",):
+                    extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 8))
+                elif atype == "photo_maker":
+                    extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 2))
         if model.is_flow_matching and hasattr(model, "rope_table"):
             h, w = lat.shape[1], lat.shape[2]
-            cond["pe"] = model.rope_table(h, w, int(cond["txt"].shape[1]))
+            cond["pe"] = model.rope_table(h, w, int(cond["txt"].shape[1]) + extra_ctx_tokens)
             cond["guidance"] = jnp.full((lat.shape[0],), 1.0)
             batch["image_seq_len"] = (h // 2) * (w // 2)
         if "pooled" in cond and hasattr(model, "added_cond"):
@@ -521,6 +608,33 @@ class SDTrainProcess:
                     f"{self.job_name}.safetensors" if final else f"{self.job_name}_{step:09d}.safetensors",
                 )
                 save_embedding(np.asarray(bank), path, name=self.ti_trigger, step=step)
+                print(f"saved: {path}")
+                return
+            if "adapter" in state.trainable:
+                from ai_toolkit_tpu.adapters.custom_adapter import save_custom_adapter
+
+                path = self.ckpt.final_path() if final else self.ckpt.path_for_step(step)
+                tree = state.trainable["adapter"]
+                if state.ema is not None and "adapter" in state.ema:
+                    tree = state.ema["adapter"]
+                meta = {"step": step}
+                if "ip" in state.trainable:  # vision_direct: bundle the kv collection
+                    flat_ip = {}
+
+                    def _w(node, prefix):
+                        for k in sorted(node.keys()):
+                            v = node[k]
+                            if isinstance(v, dict):
+                                _w(v, f"{prefix}{k}.")
+                            else:
+                                flat_ip[f"vd.{prefix}{k}"] = v
+
+                    _w(jax.tree.map(np.asarray, state.trainable["ip"]), "")
+                    tree = {**jax.tree.map(np.asarray, tree), **flat_ip}
+                save_custom_adapter(
+                    jax.tree.map(np.asarray, tree), self.custom_adapter.adapter_type, path,
+                    metadata=meta,
+                )
                 print(f"saved: {path}")
                 return
             if "ip" in state.trainable:

@@ -1,0 +1,131 @@
+"""CustomAdapter umbrella (reference toolkit/custom_adapter.py types)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from ai_toolkit_tpu.adapters.custom_adapter import (
+    CustomAdapterRuntime,
+    init_custom_adapter,
+    load_custom_adapter,
+    save_custom_adapter,
+)
+
+
+@pytest.mark.parametrize("atype,feed", [
+    ("redux", "vision_tokens"),
+    ("clip_fusion", "vision_tokens"),
+    ("te_augmenter", "vision_tokens"),
+    ("vision_direct", "vision_tokens"),
+    ("single_value", "extra_values"),
+    ("photo_maker", "vision_pooled"),
+])
+def test_adapter_types_transform_cond(atype, feed):
+    ctx_dim, vis_dim = 32, 24
+    params, runtime = init_custom_adapter(
+        {"type": atype, "num_tokens": 3}, ctx_dim, "txt", vis_dim, jax.random.key(0)
+    )
+    cond = {"txt": jnp.ones((2, 5, ctx_dim))}
+    if feed == "vision_tokens":
+        cond["vision_tokens"] = jax.random.normal(jax.random.key(1), (2, 7, vis_dim))
+    elif feed == "extra_values":
+        cond["extra_values"] = jnp.asarray([[0.5, -0.5, 1.0]] * 2)[:, :3]
+    else:
+        cond["vision_pooled"] = jax.random.normal(jax.random.key(1), (2, vis_dim))
+    out = runtime.apply_cond({"adapter": params}, cond)
+    if atype == "vision_direct":
+        assert out["ip_tokens"].shape == (2, 7, ctx_dim)
+        assert out["txt"].shape == cond["txt"].shape  # context untouched
+    elif atype == "te_augmenter":
+        assert out["txt"].shape == cond["txt"].shape  # in-place augmentation
+        assert float(jnp.abs(out["txt"] - cond["txt"]).max()) == 0.0  # zero-init gate
+    else:
+        assert out["txt"].shape[1] > cond["txt"].shape[1]  # tokens appended
+    # no adapter params -> identity
+    same = runtime.apply_cond({}, cond)
+    assert same["txt"].shape == cond["txt"].shape
+
+
+def test_adapter_append_extends_txt_mask():
+    params, runtime = init_custom_adapter(
+        {"type": "redux"}, 16, "txt", 8, jax.random.key(0)
+    )
+    cond = {
+        "txt": jnp.ones((1, 4, 16)),
+        "txt_mask": jnp.asarray([[True, True, False, False]]),
+        "vision_tokens": jnp.ones((1, 3, 8)),
+    }
+    out = runtime.apply_cond({"adapter": params}, cond)
+    assert out["txt"].shape[1] == 7
+    assert out["txt_mask"].shape[1] == 7
+    assert bool(out["txt_mask"][0, -1])  # appended tokens visible
+
+
+def test_adapter_save_load_roundtrip(tmp_path):
+    params, runtime = init_custom_adapter(
+        {"type": "redux"}, 16, "txt", 8, jax.random.key(0)
+    )
+    p = str(tmp_path / "redux.safetensors")
+    save_custom_adapter(jax.tree.map(np.asarray, params), "redux", p, metadata={"step": 5})
+    loaded, atype = load_custom_adapter(p)
+    assert atype == "redux"
+    np.testing.assert_allclose(
+        np.asarray(params["redux_up"]["kernel"]), loaded["redux_up"]["kernel"], atol=1e-7
+    )
+
+
+@pytest.mark.slow
+def test_redux_adapter_training_e2e(tmp_path):
+    """Full trainer run with adapter: {type: redux} on tiny flux."""
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text(f"photo {i}")
+
+    cfg = {
+        "job": "extension",
+        "config": {
+            "name": "redux_e2e",
+            "process": [{
+                "type": "sd_trainer",
+                "training_folder": str(tmp_path / "output"),
+                "adapter": {"type": "redux"},
+                "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+                "save": {"save_every": 100},
+                "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                              "resolution": 32}],
+                "train": {"batch_size": 2, "steps": 3, "noise_scheduler": "flowmatch",
+                          "timestep_type": "sigmoid", "optimizer": "adamw", "lr": 1e-3,
+                          "dtype": "float32", "ema_config": {"use_ema": False}},
+                "model": {"name_or_path": "", "arch": "flux",
+                          "model_kwargs": {"size": "tiny"}},
+                "sample": {"sample_every": 0, "prompts": []},
+                "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+            }],
+        },
+    }
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(cfg_path))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    out_dir = tmp_path / "output" / "redux_e2e"
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".safetensors") for f in files)
+    loaded, atype = load_custom_adapter(
+        os.path.join(out_dir, "redux_e2e.safetensors")
+    )
+    assert atype == "redux" and "redux_up" in loaded
