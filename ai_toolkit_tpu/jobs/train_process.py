@@ -155,14 +155,21 @@ class SDTrainProcess:
         # split-jit: frozen params are input-only (no output copy), small state
         # donated; model_variables buffers stay valid for encode/sample closures.
         guidance_kind = tc.extras.get("guidance_loss") or cfg.extras.get("guidance_loss")
-        if guidance_kind == "polarity":
-            # image-pair slider: batches must carry unconditional_latents
-            from ai_toolkit_tpu.train.slider import make_polarity_train_step
-
-            base = make_polarity_train_step(
-                predict_fn, schedule, step_cfg,
-                network_weight=float(tc.extras.get("network_weight", 1.0)),
+        _GUIDED = ("targeted", "targeted_polarity", "direct", "tnt", "targeted_flow")
+        if guidance_kind == "polarity" or guidance_kind in _GUIDED:
+            # paired-image guidance: batches must carry unconditional_latents
+            from ai_toolkit_tpu.train.slider import (
+                make_guided_train_step,
+                make_polarity_train_step,
             )
+
+            nw = float(tc.extras.get("network_weight", 1.0))
+            if guidance_kind == "polarity":
+                base = make_polarity_train_step(predict_fn, schedule, step_cfg, network_weight=nw)
+            else:
+                base = make_guided_train_step(
+                    guidance_kind, predict_fn, schedule, step_cfg, network_weight=nw
+                )
             import functools as _ft
 
             _inner = jax.jit(
