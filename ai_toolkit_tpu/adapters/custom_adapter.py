@@ -43,6 +43,7 @@ from ai_toolkit_tpu.ops.layers import LayerNorm, Linear
 
 ADAPTER_TYPES = (
     "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value", "photo_maker",
+    "mean_flow",
 )
 
 
@@ -154,6 +155,29 @@ class PhotoMakerLite(nn.Module):
         return LayerNorm(dtype=dt, name="norm")(x)
 
 
+class MeanFlowTimeEncoder(nn.Module):
+    """Second-timestep r -> n context tokens (mean_flow_adapter equivalent:
+    the reference injects an r embedding into the modulation path; here the
+    r tokens ride the text sequence so any arch gains dual-time inputs)."""
+
+    ctx_dim: int
+    n_tokens: int = 1
+    freq_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, r):  # [B]
+        half = self.freq_dim // 2
+        freqs = jnp.exp(-jnp.log(10_000.0) * jnp.arange(half) / half)
+        ang = r.astype(jnp.float32)[:, None] * freqs[None] * 1000.0
+        emb = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        x = Linear(self.ctx_dim, dtype=self.dtype, param_dtype=self.dtype, name="in")(emb)
+        x = Linear(self.ctx_dim * self.n_tokens, dtype=self.dtype, param_dtype=self.dtype,
+                   name="out")(nn.silu(x))
+        x = x.reshape(r.shape[0], self.n_tokens, self.ctx_dim)
+        return LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
 class VisionDirectProj(nn.Module):
     """vision hidden states [B, N, E] -> [B, N, cross_dim] ip tokens."""
 
@@ -207,6 +231,11 @@ class CustomAdapterRuntime:
         if t == "vision_direct" and cond.get("vision_tokens") is not None:
             tokens = self.module.apply({"params": params}, cond["vision_tokens"])
             return {**cond, "ip_tokens": tokens}
+        if t == "mean_flow" and cond.get("mean_flow_r") is not None:
+            extra = self.module.apply({"params": params}, cond["mean_flow_r"])
+            out = _append_ctx(cond, self.ctx_key, extra)
+            out.pop("mean_flow_r", None)
+            return out
         return cond
 
 
@@ -251,6 +280,9 @@ def init_custom_adapter(
     elif t == "vision_direct":
         mod = VisionDirectProj(ctx_dim)
         params = mod.init(rng, jnp.zeros((1, 4, vision_dim)))["params"]
+    elif t == "mean_flow":
+        mod = MeanFlowTimeEncoder(ctx_dim, n_tokens=int(adapter_cfg.get("num_tokens", 1)))
+        params = mod.init(rng, jnp.zeros((1,)))["params"]
     else:
         raise ValueError(f"unknown custom adapter type '{t}'; known: {ADAPTER_TYPES}")
     return params, CustomAdapterRuntime(t, mod, ctx_key)

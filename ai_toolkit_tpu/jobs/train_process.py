@@ -156,6 +156,7 @@ class SDTrainProcess:
         # donated; model_variables buffers stay valid for encode/sample closures.
         guidance_kind = tc.extras.get("guidance_loss") or cfg.extras.get("guidance_loss")
         _GUIDED = ("targeted", "targeted_polarity", "direct", "tnt", "targeted_flow")
+        base = None  # custom train-step factory (guidance / mean-flow paths)
         if guidance_kind == "polarity" or guidance_kind in _GUIDED:
             # paired-image guidance: batches must carry unconditional_latents
             from ai_toolkit_tpu.train.slider import (
@@ -170,8 +171,14 @@ class SDTrainProcess:
                 base = make_guided_train_step(
                     guidance_kind, predict_fn, schedule, step_cfg, network_weight=nw
                 )
-            import functools as _ft
+        elif self.custom_adapter is not None and self.custom_adapter.adapter_type == "mean_flow":
+            from ai_toolkit_tpu.train.mean_flow import make_mean_flow_train_step
 
+            base = make_mean_flow_train_step(
+                predict_fn, schedule, step_cfg,
+                flow_ratio=float((cfg.adapter or {}).get("flow_ratio", 0.25)),
+            )
+        if base is not None:
             _inner = jax.jit(
                 lambda mv, tr, os_, ema, st, batch, rng, image_seq_len=None: (
                     lambda s2: ((s2[0].trainable, s2[0].opt_state, s2[0].ema, s2[0].step), s2[1])
@@ -329,7 +336,7 @@ class SDTrainProcess:
             return {"ip": ip, "ip_proj": proj_params}, None, "ip_adapter", ""
         if cfg.adapter and cfg.adapter.get("type") in (
             "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
-            "photo_maker",
+            "photo_maker", "mean_flow",
         ):
             # CustomAdapter umbrella (reference toolkit/custom_adapter.py:104-286)
             from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
@@ -341,7 +348,7 @@ class SDTrainProcess:
             else:
                 ctx_dim = model.unet_config.cross_attention_dim
             vision_dim = 0
-            if atype != "single_value":
+            if atype not in ("single_value", "mean_flow"):
                 from ai_toolkit_tpu.models.text_encoders.clip_vision import (
                     CLIPVisionConfig,
                     CLIPVisionModel,
@@ -373,6 +380,11 @@ class SDTrainProcess:
                     variables[main_key], ctx_dim,
                     scale=float(cfg.adapter.get("scale", 1.0)),
                 )
+            if atype == "mean_flow" and net:
+                # reference MeanFlowAdapter bundles a LoRA with the time embed
+                # (toolkit/models/mean_flow_adapter.py:160-185)
+                spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
+                trainable["lora"] = build_lora(variables[main_key], spec, rng)
             n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(trainable))
             print(f"CustomAdapter[{atype}]: {n:,} trainable params")
             return trainable, None, "custom_adapter", ""
@@ -503,7 +515,7 @@ class SDTrainProcess:
             encode_fn=None if cache_dir else encode_fn,
             want_pixels=self.ip_mode or (
                 self.custom_adapter is not None
-                and self.custom_adapter.adapter_type != "single_value"
+                and self.custom_adapter.adapter_type not in ("single_value", "mean_flow")
             ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
@@ -531,6 +543,10 @@ class SDTrainProcess:
                 arr = np.asarray(vals, np.float32).reshape(-1)[:nv]
                 cond["extra_values"] = jnp.tile(jnp.asarray(arr)[None], (lat.shape[0], 1))
                 extra_ctx_tokens = nv
+            elif atype == "mean_flow":
+                # r is sampled inside the train step; reserve rope slots for
+                # the appended r tokens
+                extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 1))
             elif "pixels" in raw:
                 if not hasattr(self, "_vision_tokens_encode"):
                     vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]
@@ -625,8 +641,11 @@ class SDTrainProcess:
                 if state.ema is not None and "adapter" in state.ema:
                     tree = state.ema["adapter"]
                 meta = {"step": step}
-                if "ip" in state.trainable:  # vision_direct: bundle the kv collection
-                    flat_ip = {}
+                # bundle sibling collections (vision_direct kv, mean_flow lora)
+                for sib, pre in (("ip", "vd"), ("lora", "lora")):
+                    if sib not in state.trainable:
+                        continue
+                    flat_sib = {}
 
                     def _w(node, prefix):
                         for k in sorted(node.keys()):
@@ -634,10 +653,10 @@ class SDTrainProcess:
                             if isinstance(v, dict):
                                 _w(v, f"{prefix}{k}.")
                             else:
-                                flat_ip[f"vd.{prefix}{k}"] = v
+                                flat_sib[f"{pre}.{prefix}{k}"] = v
 
-                    _w(jax.tree.map(np.asarray, state.trainable["ip"]), "")
-                    tree = {**jax.tree.map(np.asarray, tree), **flat_ip}
+                    _w(jax.tree.map(np.asarray, state.trainable[sib]), "")
+                    tree = {**jax.tree.map(np.asarray, tree), **flat_sib}
                 save_custom_adapter(
                     jax.tree.map(np.asarray, tree), self.custom_adapter.adapter_type, path,
                     metadata=meta,

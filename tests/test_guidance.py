@@ -52,3 +52,49 @@ def test_guided_kinds_train_and_update_lora(flux_pair_setup, kind):
     before = jax.tree.leaves(lora)[0]
     after = jax.tree.leaves(state.trainable["lora"])[0]
     assert float(jnp.abs(jnp.asarray(after) - jnp.asarray(before)).max()) > 0.0
+
+
+def test_mean_flow_step_and_sampler(flux_pair_setup):
+    """MeanFlow identity training via jax.jvp + few-step average-velocity sampling."""
+    from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
+    from ai_toolkit_tpu.train.mean_flow import make_mean_flow_train_step, mean_flow_sample
+
+    model, variables, lora, batch = flux_pair_setup
+    ctx_dim = model.dit_config.context_dim
+    params, runtime = init_custom_adapter(
+        {"type": "mean_flow", "num_tokens": 1}, ctx_dim, "txt", 0, jax.random.key(0)
+    )
+
+    def predict_fn(vars_, noisy, t, cond):
+        return model.predict(vars_, noisy, t, runtime.apply_cond(vars_, cond))
+
+    # rope table must cover the appended r token
+    h, w, c = model.latent_shape(32, 32)
+    cond = dict(batch["cond"])
+    cond["pe"] = model.rope_table(h, w, cond["txt"].shape[1] + 1)
+    mf_batch = {"latents": batch["latents"], "cond": cond}
+
+    state = TrainState.create(
+        variables, {"adapter": params, "lora": jax.tree.map(jnp.copy, lora)},
+        get_optimizer("adamw", 1e-3),
+    )
+    step = jax.jit(make_mean_flow_train_step(
+        predict_fn, FlowMatchSchedule(), TrainStepConfig(timestep_type="sigmoid"),
+        flow_ratio=0.5,
+    ))
+    for _ in range(3):
+        state, m = step(state, mf_batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0.0
+    # both the time encoder and the lora got gradients
+    moved = lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()) > 0
+    assert moved(jax.tree.leaves(state.trainable["adapter"])[0], jax.tree.leaves(params)[0])
+    assert moved(jax.tree.leaves(state.trainable["lora"])[0], jax.tree.leaves(lora)[0])
+
+    # one-step sampler jump runs and keeps shape
+    from ai_toolkit_tpu.train.state import merge_variables
+    z = jax.random.normal(jax.random.key(7), batch["latents"].shape)
+    out = mean_flow_sample(
+        predict_fn, merge_variables(variables, state.trainable), z, cond, steps=2
+    )
+    assert out.shape == z.shape and np.isfinite(np.asarray(out)).all()
