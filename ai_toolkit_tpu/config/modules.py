@@ -398,6 +398,9 @@ class DatasetConfig:
     unconditional_path: str | None = None  # paired negative images (sliders)
     mask_min_value: float = 0.0
     control_path: Any = None
+    # auto-generated control maps (reference DatasetConfig.controls,
+    # config_modules.py:1070): e.g. ["depth", "line", "inpaint"]
+    controls: list = field(default_factory=list)
     num_repeats: int = 1
     num_workers: int = 4
     buckets: bool = True

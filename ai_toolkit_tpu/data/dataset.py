@@ -186,7 +186,9 @@ class FolderDataset:
         if not os.path.isdir(folder):
             raise FileNotFoundError(f"dataset folder not found: {folder}")
         paths: list[tuple[str, str]] = []
-        for root, _, files in os.walk(folder):
+        for root, dirs, files in os.walk(folder):
+            # auto-generated control maps live in _controls/ — never dataset images
+            dirs[:] = [d for d in dirs if d != "_controls"]
             for f in sorted(files):
                 lf = f.lower()
                 if lf.endswith(IMAGE_EXTS):
@@ -230,6 +232,15 @@ class FolderDataset:
                     cp = os.path.join(croot, os.path.basename(p))
                     if os.path.isfile(cp):
                         control_paths.append(cp)
+            if getattr(self.cfg, "controls", None) and kind == "image":
+                # auto-generate + cache control maps (reference
+                # ControlCachingMixin / toolkit/control_generator.py)
+                from ai_toolkit_tpu.data.control_generator import ControlGenerator
+
+                if not hasattr(self, "_control_gen"):
+                    self._control_gen = ControlGenerator()
+                for ctype in self.cfg.controls:
+                    control_paths.append(self._control_gen.get_or_generate(p, ctype))
             num_samples = 0
             if kind == "audio":
                 dur = self.cfg.audio_duration or 10.0

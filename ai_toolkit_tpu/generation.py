@@ -33,6 +33,18 @@ def generate_flux(
     cond = model.encode_prompt(variables, [gen.prompt])
     pe = model.rope_table(h, w, cond["txt"].shape[1])
     cond = {**cond, "pe": pe, "guidance": jnp.full((1,), gen.guidance_scale)}
+    if getattr(getattr(model, "dit_config", None), "control_channels", 0):
+        # control/edit archs expect concat control latents; use the provided
+        # control image or zeros (reference samples control models the same way
+        # when no ctrl_img is given)
+        if getattr(gen, "ctrl_img", None):
+            from PIL import Image
+
+            im = Image.open(gen.ctrl_img).convert("RGB").resize((gen.width, gen.height))
+            px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
+            cond["control_latents"] = model.encode_images(variables, px)
+        else:
+            cond["control_latents"] = jnp.zeros((1, h, w, c), jnp.float32)
     if lora:
         variables = merge_variables(variables, {"lora": lora})
 

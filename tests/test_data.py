@@ -162,3 +162,74 @@ def test_native_loader_matches_pil(tmp_path):
                    np.float32) / 127.5 - 1
     )
     assert np.abs(ref - out[0]).mean() < 0.01
+
+
+def test_control_generator_types(tmp_path):
+    """Auto control maps: deterministic classical generators + caching."""
+    import numpy as np
+    from PIL import Image
+
+    from ai_toolkit_tpu.data.control_generator import CONTROL_TYPES, ControlGenerator
+
+    arr = np.full((64, 48, 3), 110, dtype=np.uint8)  # uniform background
+    arr[16:40, 12:36] = [200, 30, 30]  # a "foreground" block
+    p = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(p)
+
+    gen = ControlGenerator()
+    for ctype in CONTROL_TYPES:
+        out = gen.get_or_generate(p, ctype)
+        assert out.endswith(("png", "jpg"))
+        img = Image.open(out)
+        assert img.size == (48, 64)
+        if ctype == "inpaint":
+            assert img.mode == "RGBA"
+            a = np.asarray(img)[..., 3]
+            assert (a == 0).any() and (a == 255).any()  # some region erased
+        if ctype == "mask":
+            m = np.asarray(img.convert("L"))
+            # the red block should be foreground
+            assert m[28, 24] == 255 and m[2, 2] == 0
+        # cached: second call returns the same file without regenerating
+        mtime = os.path.getmtime(out)
+        assert gen.get_or_generate(p, ctype) == out
+        assert os.path.getmtime(out) == mtime
+
+    # model hook overrides the classical path
+    gen2 = ControlGenerator(cache_subdir="_controls2")
+    gen2.set_model_fn("depth", lambda im: np.full(im.shape[:2], 7, np.uint8))
+    out = gen2.get_or_generate(p, "depth")
+    assert (np.asarray(Image.open(out).convert("L")) == 7).all()
+
+
+def test_dataset_controls_autogenerate(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from ai_toolkit_tpu.config.modules import DatasetConfig
+    from ai_toolkit_tpu.data.dataset import FolderDataset
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text("x")
+    ds = FolderDataset(
+        DatasetConfig(folder_path=str(folder), caption_ext="txt", resolution=[64],
+                      controls=["line", "depth"]),
+        bucket_divisibility=16,
+    )
+    assert len(ds.items) == 2
+    for item in ds.items:
+        assert len(item.control_paths) == 2
+        assert all(os.path.isfile(cp) for cp in item.control_paths)
+        assert "_controls" in item.control_paths[0]
+    # generated maps are not re-listed as dataset images on a rebuild
+    ds2 = FolderDataset(
+        DatasetConfig(folder_path=str(folder), caption_ext="txt", resolution=[64]),
+        bucket_divisibility=16,
+    )
+    assert len(ds2.items) == 2
