@@ -52,7 +52,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 @register_model
 class HiDreamModel(BaseTpuModel):
     arch = "hidream"
-    archs = ["hidream", "hidream_e1"]
+    archs = ["hidream", "hidream_e1", "hidream_o1"]
     is_flow_matching = True
     bucket_divisibility = 16
     max_txt_len = 128

@@ -45,7 +45,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 @register_model
 class LTX2Model(BaseTpuModel):
     arch = "ltx2"
-    archs = ["ltx2", "ltx2_3", "ltxv"]
+    archs = ["ltx2", "ltx2_3", "ltx2.3", "ltxv", "minimax_h3"]
     is_flow_matching = True
     bucket_divisibility = 32  # 32x spatial VAE
     max_txt_len = 256

@@ -191,3 +191,19 @@ def test_ltx2_video_forward_and_geometry():
     # frame snapping follows the VAE temporal grid
     td = model.vae_config.temporal_downscale
     assert model.frame_count_snapper(17) % td == 0
+
+
+def test_flux2_forward_and_conditioning():
+    model, variables = _make("flux2")
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["a cat"])
+    # context = concat of collected LLM layers on the feature dim
+    assert cond["txt"].shape[-1] == model.dit_config.context_dim
+    pe = model.rope_table(h, w, cond["txt"].shape[1])
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    out = model.predict(
+        variables, noisy, jnp.array([0.5]), {**cond, "pe": pe, "guidance": jnp.ones((1,))}
+    )
+    assert out.shape == noisy.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert model.lora_key_layout() == "comfy"
