@@ -27,6 +27,12 @@ PROCESS_TYPES = {
     "mod_rescale": "mod",
     "merge_lora": "merge",
     "merge_locon": "merge",
+    "captioner": "caption",
+    "qwen3_vl_captioner": "caption",
+    "ideogram4_captioner": "caption",
+    "ace_step_captioner": "caption",
+    "dataset_tools": "dataset_tools",
+    "super_tagger": "dataset_tools",
 }
 
 
@@ -68,6 +74,14 @@ class Job:
                 from ai_toolkit_tpu.jobs.train_esrgan_process import ESRGANTrainProcess
 
                 self.processes.append(ESRGANTrainProcess(job_config.name, proc_cfg))
+            elif kind == "caption":
+                from ai_toolkit_tpu.jobs.caption_process import CaptionProcess
+
+                self.processes.append(CaptionProcess(job_config.name, proc_cfg))
+            elif kind == "dataset_tools":
+                from ai_toolkit_tpu.jobs.dataset_tools_process import DatasetToolsProcess
+
+                self.processes.append(DatasetToolsProcess(job_config.name, proc_cfg))
             else:
                 raise ValueError(f"unknown process type {proc_cfg.type}")
 
