@@ -88,6 +88,11 @@ class SDTrainProcess:
         rules = model.partition_rules()
         var_specs = apply_rules(variables, mesh, rules)
         variables = jax.device_put(variables, named_sharding_tree(var_specs, mesh))
+        # optional host-offload of frozen weights (reference layer_offloading /
+        # MemoryManager path; here XLA streams pinned_host inputs per step)
+        from ai_toolkit_tpu.parallel.offload import offload_model_variables
+
+        variables = offload_model_variables(variables, cfg.model, mesh=mesh)
 
         # 3. schedule
         schedule = get_schedule(tc.noise_scheduler, cfg.model.arch)

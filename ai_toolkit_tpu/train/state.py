@@ -69,6 +69,15 @@ def merge_variables(model_variables: dict, trainable: dict) -> dict:
             out[key] = _deep_merge(out[key], tree)
         else:
             out[key] = tree
+    # host-offloaded frozen leaves (parallel/offload.py) must be fetched to
+    # device memory before entering compute; no-op when nothing is offloaded
+    if any(
+        "host" in str(getattr(getattr(x, "aval", None), "memory_space", "")).lower()
+        for x in jax.tree.leaves(out)
+    ):
+        from ai_toolkit_tpu.parallel.offload import fetch_to_device
+
+        out = fetch_to_device(out)
     return out
 
 

@@ -86,3 +86,48 @@ def test_sharded_matmul_runs(mesh8):
 
     out = f(x, w)
     np.testing.assert_allclose(np.asarray(out), np.full((16, 128), 64.0))
+
+
+def test_host_offload_roundtrip_and_train():
+    """pinned_host offload of frozen params still trains (split-jit inputs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+    from ai_toolkit_tpu.parallel.offload import offload_to_host
+    from ai_toolkit_tpu.samplers import FlowMatchSchedule
+    from ai_toolkit_tpu.train.optimizers import get_optimizer
+    from ai_toolkit_tpu.train.state import TrainState
+    from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
+
+    model = get_model_class("flux")(ModelConfig(arch="flux", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    off_dit, stats = offload_to_host(variables["dit"], fraction=1.0, min_bytes=0)
+    assert stats["offloaded_leaves"] == stats["total_leaves"]
+    kinds = {x.sharding.memory_kind for x in jax.tree.leaves(off_dit)}
+    assert kinds == {"pinned_host"}
+    variables = {**variables, "dit": off_dit}
+
+    lora = build_lora(
+        variables["dit"], LoRASpec(rank=4, alpha=4.0, target_patterns=model.lora_targets()),
+        jax.random.key(1),
+    )
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["x"])
+    pe = model.rope_table(h, w, cond["txt"].shape[1])
+    batch = {"latents": jax.random.normal(jax.random.key(2), (1, h, w, c)),
+             "cond": {**cond, "pe": pe, "guidance": jnp.ones((1,))}}
+    state = TrainState.create(variables, {"lora": lora}, get_optimizer("adamw", 1e-3))
+    step = make_jitted_train_step(
+        model.predict, FlowMatchSchedule(), TrainStepConfig(timestep_type="sigmoid"),
+        state.tx,
+    )
+    state, m = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    # partial offload: fraction 0.3 leaves small tensors in device memory
+    part, pstats = offload_to_host(model.init_variables(jax.random.key(0))["dit"], 0.3,
+                                   min_bytes=0)
+    assert 0 < pstats["offloaded_bytes"] <= 0.6 * pstats["total_bytes"]
