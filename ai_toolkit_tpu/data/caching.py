@@ -108,3 +108,47 @@ class TextEmbedCache:
         return {
             k: np.stack([self.cache[p][k] for p in prompts]) for k in first
         }
+
+
+def clip_vision_cache_path(item: FileItem, cache_dir: str, version: str = "v1") -> str:
+    return os.path.join(cache_dir, f"clipv_{_cache_key(item, version)}.safetensors")
+
+
+def cache_clip_vision(
+    items: Iterable[FileItem],
+    encode_fn: Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]],
+    cache_dir: str,
+    batch_size: int = 16,
+    version: str = "v1",
+) -> int:
+    """CLIP-vision embed caching (reference CLIPCachingMixin,
+    dataloader_mixins.py:2177): encode each image once, store tokens +
+    pooled to disk. encode_fn(pixels [B,H,W,3] in [-1,1]) -> (tokens, pooled).
+    Returns the number of newly cached items."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(cache_dir, exist_ok=True)
+    pending = [
+        it for it in items
+        if it.kind == "image" and not os.path.isfile(clip_vision_cache_path(it, cache_dir, version))
+    ]
+    done = 0
+    for i in range(0, len(pending), batch_size):
+        chunk = pending[i : i + batch_size]
+        imgs = np.stack([load_pixels(it) for it in chunk])
+        tokens, pooled = encode_fn(imgs)
+        tokens, pooled = np.asarray(tokens), np.asarray(pooled)
+        for j, it in enumerate(chunk):
+            save_file(
+                {"tokens": tokens[j].astype(np.float16), "pooled": pooled[j].astype(np.float16)},
+                clip_vision_cache_path(it, cache_dir, version),
+            )
+            done += 1
+    return done
+
+
+def load_cached_clip_vision(item: FileItem, cache_dir: str, version: str = "v1"):
+    from safetensors.numpy import load_file
+
+    d = load_file(clip_vision_cache_path(item, cache_dir, version))
+    return d["tokens"].astype(np.float32), d["pooled"].astype(np.float32)

@@ -233,3 +233,40 @@ def test_dataset_controls_autogenerate(tmp_path):
         bucket_divisibility=16,
     )
     assert len(ds2.items) == 2
+
+
+def test_clip_vision_cache_roundtrip(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from ai_toolkit_tpu.config.modules import DatasetConfig
+    from ai_toolkit_tpu.data.caching import (
+        cache_clip_vision,
+        load_cached_clip_vision,
+    )
+    from ai_toolkit_tpu.data.dataset import FolderDataset
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text("x")
+    ds = FolderDataset(
+        DatasetConfig(folder_path=str(folder), caption_ext="txt", resolution=[64]),
+        bucket_divisibility=16,
+    )
+
+    def fake_encode(px):
+        b = px.shape[0]
+        return np.full((b, 5, 8), px.mean()), np.full((b, 8), px.mean())
+
+    cache_dir = str(tmp_path / "clipcache")
+    n = cache_clip_vision(ds.items, fake_encode, cache_dir)
+    assert n == 3
+    tokens, pooled = load_cached_clip_vision(ds.items[0], cache_dir)
+    assert tokens.shape == (5, 8) and pooled.shape == (8,)
+    # second run: everything cached
+    assert cache_clip_vision(ds.items, fake_encode, cache_dir) == 0
