@@ -24,6 +24,8 @@ def main() -> int:
                         help="continue running remaining jobs on failure")
     parser.add_argument("-n", "--name", type=str, default=None, help="job name override")
     parser.add_argument("-l", "--log", type=str, default=None, help="tee output to log file")
+    parser.add_argument("--ui_port", type=int, default=0,
+                        help="serve the REST monitor (api/gpu, api/jobs) on this port")
     args = parser.parse_args()
 
     if args.log:
@@ -49,6 +51,15 @@ def main() -> int:
     from ai_toolkit_tpu.parallel.mesh import init_distributed
 
     init_distributed()
+
+    ui_server = None
+    if args.ui_port:
+        from ai_toolkit_tpu.ui import UIServer
+
+        ui_server = UIServer(
+            db_path=os.environ.get("AITK_DB_PATH", "aitk_db.db"), port=args.ui_port
+        ).start()
+        print(f"UI monitor on :{ui_server.port}")
 
     failures = 0
     for config_file in args.config_files:

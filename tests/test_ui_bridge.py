@@ -44,3 +44,60 @@ def test_ui_bridge_disabled_without_db(tmp_path):
     assert not bridge.enabled
     bridge.start(10)  # all no-ops
     assert bridge.should_stop() is False
+
+
+def test_rest_server_endpoints(tmp_path):
+    """REST monitor: /api/gpu, /api/jobs, stop flag round-trip, auth."""
+    import json
+    import os
+    import sqlite3
+    import urllib.request
+
+    from ai_toolkit_tpu.ui import UIServer
+
+    db = str(tmp_path / "aitk_db.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE Job (id TEXT PRIMARY KEY, status TEXT, step INT, "
+            "total_steps INT, info TEXT, stop INT DEFAULT 0, save_now INT DEFAULT 0, "
+            "sample_now INT DEFAULT 0)"
+        )
+        conn.execute("INSERT INTO Job VALUES ('j1', 'running', 5, 100, '', 0, 0, 0)")
+
+    srv = UIServer(db_path=db, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path) as r:
+                return json.loads(r.read())
+
+        assert get("/api/health") == {"ok": True}
+        gpu = get("/api/gpu")
+        assert gpu["devices"] and "platform" in gpu["devices"][0]
+        jobs = get("/api/jobs")
+        assert jobs[0]["id"] == "j1" and jobs[0]["step"] == 5
+        assert get("/api/jobs/j1")["status"] == "running"
+
+        req = urllib.request.Request(base + "/api/jobs/j1/stop", method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["updated"] == 1
+        with sqlite3.connect(db) as conn:
+            assert conn.execute("SELECT stop FROM Job WHERE id='j1'").fetchone()[0] == 1
+
+        # auth gate
+        os.environ["AI_TOOLKIT_AUTH"] = "sekrit"
+        try:
+            try:
+                get("/api/jobs")
+                assert False, "should 401"
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
+            req = urllib.request.Request(
+                base + "/api/jobs", headers={"Authorization": "Bearer sekrit"}
+            )
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())[0]["id"] == "j1"
+        finally:
+            del os.environ["AI_TOOLKIT_AUTH"]
+    finally:
+        srv.stop()
