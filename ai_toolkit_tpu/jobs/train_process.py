@@ -231,20 +231,38 @@ class SDTrainProcess:
         t_last = time.time()
         losses: list[float] = []
         final_metrics: dict = {}
+        # input-pipeline overlap: batch N+1 is prepared while the device runs
+        # step N (JAX async dispatch); the per-step loss stays a device scalar
+        # and is only fetched at log/UI points, so the host never blocks on
+        # the step unless it needs the number (reference Timer shows the same
+        # data/step split; this is the TPU-idiomatic overlap).
+        with self.timer("data"):
+            raw = next(data_iter)
+            next_batch = self._prepare_batch(model, raw, text_cache, step_cfg)
         for step in range(start_step, tc.steps):
-            with self.timer("data"):
-                raw = next(data_iter)
-                batch = self._prepare_batch(model, raw, text_cache, step_cfg)
-                seq_len = batch.pop("image_seq_len", None)
+            batch = next_batch
+            seq_len = batch.pop("image_seq_len", None)
             with self.timer("step"):
                 state, metrics = train_step(state, batch, rng_train, image_seq_len=seq_len)
-            loss = float(metrics["loss"])
-            losses.append(loss)
-            final_metrics = {"loss": loss}
+            if step + 1 < tc.steps:
+                with self.timer("data"):
+                    raw = next(data_iter)
+                    next_batch = self._prepare_batch(model, raw, text_cache, step_cfg)
+            loss_dev = metrics["loss"]
+            losses.append(loss_dev)
+            want_loss_now = (
+                self.progress_hook is not None
+                or self.ui.enabled
+                or (step + 1) % cfg.logging.log_every == 0
+                or step == start_step
+            )
+            loss = float(loss_dev) if want_loss_now else None
+            final_metrics = {"loss": loss_dev}
 
             if self.progress_hook:
                 self.progress_hook(step + 1, loss)
-            self.ui.on_step(step + 1, loss)
+            if self.ui.enabled:
+                self.ui.on_step(step + 1, loss)
             if self.ui.enabled:
                 if self.ui.should_stop():
                     print("stop requested by UI")
@@ -299,7 +317,11 @@ class SDTrainProcess:
         self.ui.finish()
         if cfg.save.push_to_hub and cfg.save.hf_repo_id:
             self._push_to_hub()
-        return {"final_loss": final_metrics.get("loss"), "steps": tc.steps}
+        final_loss = final_metrics.get("loss")
+        return {
+            "final_loss": float(final_loss) if final_loss is not None else None,
+            "steps": tc.steps,
+        }
 
     # ---- helpers ----
 
