@@ -344,6 +344,13 @@ class FluxDiT(nn.Module):
             remat_kwargs = {"prevent_cse": False}
             if cfg.remat_policy == "dots":
                 remat_kwargs["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy == "dots_flash":
+                # dots + the flash-attention residuals (out/lse): backward
+                # never re-runs the attention forward kernel
+                remat_kwargs["policy"] = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse"),
+                )
             DCarry = nn.remat(_DoubleCarry, **remat_kwargs) if cfg.remat else _DoubleCarry
             SCarry = nn.remat(_SingleCarry, **remat_kwargs) if cfg.remat else _SingleCarry
             if cfg.depth_double > 0:

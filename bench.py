@@ -64,12 +64,12 @@ def flops_per_step(cfg: FluxConfig, n_img: int, n_txt: int, batch: int) -> float
     sgl = 2 * n * (3 * h * h + h * mlp + (h + mlp) * h + 3 * h * h)
     fwd = cfg.depth_double * (dbl + attn) + cfg.depth_single * (sgl + attn)
     # dots-saveable remat recomputes only elementwise ops: ~3x fwd matmul cost
-    mult = 3.0 if (not cfg.remat or cfg.remat_policy == "dots") else 4.0
+    mult = 3.0 if (not cfg.remat or cfg.remat_policy.startswith("dots")) else 4.0
     return mult * fwd * batch
 
 
 def main():
-    cfg = FluxConfig(depth_double=4, depth_single=8, remat=True, remat_policy="dots", scan_blocks=True)
+    cfg = FluxConfig(depth_double=4, depth_single=8, remat=True, remat_policy="dots_flash", scan_blocks=True)
     model = FluxDiT(cfg)
     rng = jax.random.key(0)
 
