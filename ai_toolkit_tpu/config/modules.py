@@ -442,6 +442,8 @@ class GenerateImageConfig:
     fps: int = 16
     output_path: str | None = None
     output_ext: str = "png"
+    sampler: str | None = None  # ddim | euler_a | dpmpp_2m | flowmatch ...
+    ctrl_img: str | None = None  # control/edit image for control archs
     extras: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -465,6 +467,8 @@ class GenerateImageConfig:
             fps=item.fps or sample.fps,
             output_path=output_path,
             output_ext=sample.format,
+            sampler=sample.sampler,
+            ctrl_img=item.ctrl_img if hasattr(item, "ctrl_img") else None,
         )
 
 

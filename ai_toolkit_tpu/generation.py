@@ -90,21 +90,43 @@ def generate_sd(
 
     rng = jax.random.key(gen.seed)
     x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
-    ts = schedule.ddim_timesteps(gen.sample_steps)
 
     @jax.jit
-    def denoise(x, t, t_prev):
-        xin = jnp.concatenate([x, x]) if do_cfg else x
+    def predict_cfg(x_in, t):
+        xin = jnp.concatenate([x_in, x_in]) if do_cfg else x_in
         tin = jnp.full((xin.shape[0],), t, jnp.float32)
         pred = model.predict(variables, xin, tin, cond)
         if do_cfg:
             uncond, text = jnp.split(pred, 2)
             pred = uncond + gen.guidance_scale * (text - uncond)
-        return schedule.ddim_step(x, pred, jnp.full((1,), t, jnp.int32), jnp.full((1,), t_prev, jnp.int32))
+        return pred
 
-    for i in range(len(ts)):
-        t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
-        x = denoise(x, int(ts[i]), t_prev)
+    sampler = (gen.sampler or "ddim").lower()
+    if sampler in ("euler_a", "euler_ancestral", "dpm", "dpmpp", "dpm++", "dpmpp_2m", "dpmpp_2m_karras"):
+        # k-diffusion sigma-space samplers (reference sampler zoo)
+        sigmas = schedule.inference_sigmas(gen.sample_steps)
+        x = x * float(sigmas[0])
+        prev_denoised, sigma_prev = None, None
+        for i in range(len(sigmas) - 1):
+            sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+            t = schedule.timestep_for_sigma(sigma)
+            eps = predict_cfg(schedule.scale_model_input(x, sigma), t)
+            denoised = schedule.denoised_from_eps(x, eps, sigma)
+            if sampler.startswith(("dpm",)):
+                new_x = schedule.dpmpp_2m_step(x, denoised, prev_denoised, sigma_prev, sigma, sigma_next)
+                prev_denoised, sigma_prev = denoised, sigma
+                x = new_x
+            else:
+                rng, sub = jax.random.split(rng)
+                x = schedule.euler_ancestral_step(x, denoised, sigma, sigma_next, sub)
+    else:  # ddim / ddpm default
+        ts = schedule.ddim_timesteps(gen.sample_steps)
+        for i in range(len(ts)):
+            t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            pred = predict_cfg(x, int(ts[i]))
+            x = schedule.ddim_step(
+                x, pred, jnp.full((1,), int(ts[i]), jnp.int32), jnp.full((1,), t_prev, jnp.int32)
+            )
 
     img = model.decode_latents(variables, x)
     return _to_uint8(img)

@@ -114,3 +114,75 @@ class DDPMSchedule:
             eps = (xf - jnp.sqrt(acp_t) * x0) / jnp.sqrt(1.0 - acp_t)
         dir_xt = jnp.sqrt(1.0 - acp_prev) * eps
         return (jnp.sqrt(acp_prev) * x0 + dir_xt).astype(x_t.dtype)
+
+    # ---- k-diffusion-style inference steppers (reference get_sampler zoo:
+    # euler_a / dpm++ families, toolkit/sampler.py:120-180) ----
+
+    def sigma_table(self) -> np.ndarray:
+        """karras-convention sigmas per train timestep: sqrt((1-acp)/acp)."""
+        acp = self.alphas_cumprod
+        return np.sqrt((1.0 - acp) / acp)
+
+    def inference_sigmas(self, num_steps: int) -> np.ndarray:
+        """descending sigma schedule over the trained range, 0-terminated."""
+        table = self.sigma_table()
+        idx = np.linspace(len(table) - 1, 0, num_steps).round().astype(int)
+        return np.append(table[idx], 0.0)
+
+    def timestep_for_sigma(self, sigma: float) -> int:
+        return int(np.abs(self.sigma_table() - sigma).argmin())
+
+    @staticmethod
+    def scale_model_input(x: jax.Array, sigma: float) -> jax.Array:
+        return x / float(np.sqrt(sigma * sigma + 1.0))
+
+    def denoised_from_eps(self, x: jax.Array, eps: jax.Array, sigma: float) -> jax.Array:
+        """k-diffusion 'denoised' (x0 estimate) from an epsilon prediction on
+        the scaled input."""
+        xf = x.astype(jnp.float32)
+        ef = eps.astype(jnp.float32)
+        s = float(sigma)
+        if self.prediction_type == "v_prediction":
+            # v-pred on scaled input: denoised = x/(s^2+1) - v * s/sqrt(s^2+1)
+            return xf / (s * s + 1.0) - ef * (s / np.sqrt(s * s + 1.0))
+        return xf - s * ef
+
+    @staticmethod
+    def euler_ancestral_step(
+        x: jax.Array, denoised: jax.Array, sigma: float, sigma_next: float, rng: jax.Array
+    ) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        if sigma_next == 0:
+            return denoised.astype(x.dtype)
+        su2 = sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2
+        sigma_up = float(np.sqrt(max(su2, 0.0)))
+        sigma_down = float(np.sqrt(max(sigma_next**2 - sigma_up**2, 0.0)))
+        d = (xf - denoised.astype(jnp.float32)) / sigma
+        xf = xf + d * (sigma_down - sigma)
+        noise = jax.random.normal(rng, x.shape, jnp.float32)
+        return (xf + noise * sigma_up).astype(x.dtype)
+
+    @staticmethod
+    def dpmpp_2m_step(
+        x: jax.Array,
+        denoised: jax.Array,
+        prev_denoised: jax.Array | None,
+        sigma_prev: float | None,
+        sigma: float,
+        sigma_next: float,
+    ) -> jax.Array:
+        """DPM-Solver++(2M) (multistep second order, deterministic)."""
+        xf = x.astype(jnp.float32)
+        df = denoised.astype(jnp.float32)
+        if sigma_next == 0:
+            return df.astype(x.dtype)
+        t, t_next = -np.log(sigma), -np.log(sigma_next)
+        h = t_next - t
+        if prev_denoised is None or sigma_prev is None:
+            d_d = df
+        else:
+            h_prev = t - (-np.log(sigma_prev))
+            r = h_prev / h
+            d_d = (1 + 1 / (2 * r)) * df - (1 / (2 * r)) * prev_denoised.astype(jnp.float32)
+        out = (sigma_next / sigma) * xf - float(np.expm1(-h)) * d_d
+        return out.astype(x.dtype)

@@ -106,3 +106,43 @@ def test_factory():
     assert get_schedule("flowmatch", "sd3").shift == 3.0
     assert isinstance(get_schedule("ddim", "sd1"), DDPMSchedule)
     assert get_schedule("ddpm", "sd2").prediction_type == "v_prediction"
+
+
+def test_inference_sampler_zoo():
+    """euler_a and dpm++2m produce valid, distinct generations (tiny sd1)."""
+    import jax
+    import numpy as np
+
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig, ModelConfig
+    from ai_toolkit_tpu.generation import generate_sd
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("sd1")(ModelConfig(arch="sd1", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    outs = {}
+    for sampler in ("ddim", "euler_a", "dpmpp_2m"):
+        gen = GenerateImageConfig(
+            prompt="a cat", width=64, height=64, sample_steps=4, seed=7,
+            guidance_scale=1.0, sampler=sampler,
+        )
+        img = generate_sd(model, variables, gen)
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+        outs[sampler] = img
+    # different solvers integrate differently
+    assert np.abs(outs["ddim"].astype(int) - outs["euler_a"].astype(int)).max() > 0
+    assert np.abs(outs["dpmpp_2m"].astype(int) - outs["euler_a"].astype(int)).max() > 0
+
+
+def test_ddpm_sigma_helpers_consistency():
+    import numpy as np
+
+    from ai_toolkit_tpu.samplers import DDPMSchedule
+
+    s = DDPMSchedule()
+    sig = s.inference_sigmas(10)
+    assert len(sig) == 11 and sig[-1] == 0.0
+    assert all(sig[i] > sig[i + 1] for i in range(len(sig) - 1))
+    # timestep_for_sigma inverts sigma_table
+    table = s.sigma_table()
+    for t in (0, 250, 999):
+        assert abs(s.timestep_for_sigma(float(table[t])) - t) <= 1
