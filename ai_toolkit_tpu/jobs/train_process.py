@@ -72,6 +72,41 @@ class SDTrainProcess:
         model = model_cls(cfg.model)
         self.model = model
         variables = model.load_variables(rng)
+        # assistant/inference LoRA (reference assistant_lora.py; fuse/unfuse
+        # flow base_model.py:396-411): assistant is FUSED for training and
+        # unfused for sampling; an inference lora is the opposite.
+        self._assistant_lora = None
+        self._inference_lora = None
+        apath = cfg.model.extras.get("assistant_lora_path") or cfg.model.model_kwargs.get(
+            "assistant_lora_path"
+        )
+        ipath = cfg.model.extras.get("inference_lora_path") or cfg.model.model_kwargs.get(
+            "inference_lora_path"
+        )
+        if apath or ipath:
+            from ai_toolkit_tpu.adapters.lora import merge_lora
+            from ai_toolkit_tpu.io.lora_file import load_lora_file
+
+            main0 = self._main_component(variables)
+            km = self._key_map(model, variables[main0])
+            if model.is_flow_matching and hasattr(model, "dit_config"):
+                from ai_toolkit_tpu.models.flux_dit import flux_inverse_key_map
+
+                inv0 = flux_inverse_key_map(
+                    km, model.dit_config.depth_double, model.dit_config.depth_single
+                )
+            else:
+                inv0 = {v: k for k, v in km.items()}
+                inv0.update({v.replace(".", "_"): k for k, v in km.items()})
+            if apath:
+                tree, _ = load_lora_file(apath, inv0)
+                variables[main0] = merge_lora(variables[main0], tree)
+                self._assistant_lora = (main0, tree)
+                print(f"assistant lora fused for training: {apath}")
+            if ipath:
+                tree, _ = load_lora_file(ipath, inv0)
+                self._inference_lora = (main0, tree)
+                print(f"inference lora loaded (fused only for sampling): {ipath}")
 
         # 1b. optional int8 weight-only quantization of the frozen diffusion core
         if cfg.model.quantize:
@@ -753,6 +788,17 @@ class SDTrainProcess:
         variables = state.model_variables
         if "lora" not in state.trainable:
             variables = {**variables, **state.trainable}
+        if getattr(self, "_assistant_lora", None):
+            # reference base_model.py:396-411: assistant unfused for sampling
+            from ai_toolkit_tpu.adapters.lora import unmerge_lora
+
+            main, tree = self._assistant_lora
+            variables = {**variables, main: unmerge_lora(variables[main], tree)}
+        if getattr(self, "_inference_lora", None):
+            from ai_toolkit_tpu.adapters.lora import merge_lora
+
+            main, tree = self._inference_lora
+            variables = {**variables, main: merge_lora(variables[main], tree)}
         with self.timer("sample"):
             for i, item in enumerate(cfg.sample.prompts):
                 seed = cfg.sample.seed + (i if cfg.sample.walk_seed else 0)

@@ -129,3 +129,79 @@ def test_redux_adapter_training_e2e(tmp_path):
         os.path.join(out_dir, "redux_e2e.safetensors")
     )
     assert atype == "redux" and "redux_up" in loaded
+
+
+@pytest.mark.slow
+def test_assistant_lora_fuse_unfuse(tmp_path):
+    """assistant_lora_path fuses into the base for training, unfuses for
+    sampling (reference assistant_lora.py / base_model.py:396-411)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora, merge_lora, unmerge_lora
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.io.lora_file import save_lora_file
+    from ai_toolkit_tpu.models.flux_dit import flux_lora_key_map
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("flux")(ModelConfig(arch="flux", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    spec = LoRASpec(rank=4, alpha=4.0, target_patterns=model.lora_targets())
+    lora = build_lora(variables["dit"], spec, jax.random.key(5))
+    # make the delta nonzero (fresh loras have zero up matrices)
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+    p = str(tmp_path / "assistant.safetensors")
+    save_lora_file(lora, p, fmt="peft", key_map=flux_lora_key_map(lora))
+
+    # trainer-level fuse via config
+    import numpy as np
+    import yaml
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text("x")
+    cfg = {
+        "job": "extension",
+        "config": {"name": "asst", "process": [{
+            "type": "sd_trainer",
+            "training_folder": str(tmp_path / "out"),
+            "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+            "save": {"save_every": 100},
+            "datasets": [{"folder_path": str(folder), "caption_ext": "txt", "resolution": 32}],
+            "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                      "timestep_type": "sigmoid", "optimizer": "adamw", "lr": 1e-3,
+                      "dtype": "float32", "ema_config": {"use_ema": False}},
+            "model": {"name_or_path": "", "arch": "flux",
+                      "model_kwargs": {"size": "tiny"},
+                      "assistant_lora_path": p},
+            "sample": {"sample_every": 0, "sampler": "flowmatch", "width": 32,
+                       "height": 32, "sample_steps": 2, "prompts": ["y --seed 1"]},
+            "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+        }]},
+    }
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(cfg_path))
+    proc = job.processes[0]
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    assert proc._assistant_lora is not None
+    # fuse/unfuse round-trip is exact
+    main, tree = proc._assistant_lora
+    merged = merge_lora(variables["dit"], tree)
+    back = unmerge_lora(merged, tree)
+    a = jax.tree.leaves(variables["dit"])[0]
+    b = jax.tree.leaves(back)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # final sample was produced through the unfused path
+    samples = os.listdir(tmp_path / "out" / "asst" / "samples")
+    assert samples
