@@ -246,3 +246,34 @@ def load_sd_checkpoint(path: str, model) -> dict:
             if tree:
                 variables[comp] = _merge_imported(variables[comp], tree, f"{comp}")
     return variables
+
+
+def clip_vision_rules() -> list[Rule]:
+    """HF CLIPVisionModelWithProjection -> our CLIPVisionModel tree."""
+    p = r"vision_model\.encoder\.layers\.(\d+)\."
+    return [
+        (r"vision_model\.embeddings\.patch_embedding\.weight", "patch_embedding/kernel", "conv2d"),
+        (r"vision_model\.embeddings\.class_embedding", "class_embedding", "direct"),
+        (r"vision_model\.embeddings\.position_embedding\.weight", "position_embedding", "direct"),
+        (r"vision_model\.pre_layrnorm\.weight", "pre_ln/scale", "direct"),
+        (r"vision_model\.pre_layrnorm\.bias", "pre_ln/bias", "direct"),
+        (p + r"self_attn\.q_proj\.weight", "layer_{0}/q/kernel", "linear"),
+        (p + r"self_attn\.q_proj\.bias", "layer_{0}/q/bias", "direct"),
+        (p + r"self_attn\.k_proj\.weight", "layer_{0}/k/kernel", "linear"),
+        (p + r"self_attn\.k_proj\.bias", "layer_{0}/k/bias", "direct"),
+        (p + r"self_attn\.v_proj\.weight", "layer_{0}/v/kernel", "linear"),
+        (p + r"self_attn\.v_proj\.bias", "layer_{0}/v/bias", "direct"),
+        (p + r"self_attn\.out_proj\.weight", "layer_{0}/out/kernel", "linear"),
+        (p + r"self_attn\.out_proj\.bias", "layer_{0}/out/bias", "direct"),
+        (p + r"layer_norm1\.weight", "layer_{0}/ln1/scale", "direct"),
+        (p + r"layer_norm1\.bias", "layer_{0}/ln1/bias", "direct"),
+        (p + r"layer_norm2\.weight", "layer_{0}/ln2/scale", "direct"),
+        (p + r"layer_norm2\.bias", "layer_{0}/ln2/bias", "direct"),
+        (p + r"mlp\.fc1\.weight", "layer_{0}/fc1/kernel", "linear"),
+        (p + r"mlp\.fc1\.bias", "layer_{0}/fc1/bias", "direct"),
+        (p + r"mlp\.fc2\.weight", "layer_{0}/fc2/kernel", "linear"),
+        (p + r"mlp\.fc2\.bias", "layer_{0}/fc2/bias", "direct"),
+        (r"vision_model\.post_layernorm\.weight", "post_ln/scale", "direct"),
+        (r"vision_model\.post_layernorm\.bias", "post_ln/bias", "direct"),
+        (r"visual_projection\.weight", "visual_projection/kernel", "linear"),
+    ]

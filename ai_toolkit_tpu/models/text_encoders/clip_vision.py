@@ -74,11 +74,13 @@ class CLIPVisionModel(nn.Module):
         for i in range(cfg.num_layers):
             x = CLIPLayer(layer_cfg, name=f"layer_{i}")(x, mask=jnp.ones((b, 1, x.shape[1], x.shape[1]), bool))
             hidden.append(x)
-        post = LayerNorm(eps=1e-5, dtype=dt, name="post_ln")(x)
+        # HF semantics: last_hidden_state is the raw encoder output; the post
+        # layernorm is applied only on the CLS token for pooling/projection
+        post_cls = LayerNorm(eps=1e-5, dtype=dt, name="post_ln")(x[:, 0])
         pooled = Linear(cfg.projection_dim, use_bias=False, dtype=dt, param_dtype=dt,
-                        name="visual_projection")(post[:, 0])
+                        name="visual_projection")(post_cls)
         return {
             "pooled_output": pooled,
-            "last_hidden_state": post,
+            "last_hidden_state": x,
             "penultimate_hidden_state": hidden[-2] if cfg.num_layers > 1 else x,
         }

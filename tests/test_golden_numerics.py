@@ -79,3 +79,42 @@ def test_t5_encoder_matches_transformers():
         ref = torch_model(torch.from_numpy(ids)).last_hidden_state.numpy()
     out = np.asarray(ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32))))
     np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_clip_vision_matches_transformers():
+    from transformers import CLIPVisionConfig as HFVCfg, CLIPVisionModelWithProjection
+
+    from ai_toolkit_tpu.io.sd_import import clip_vision_rules
+    from ai_toolkit_tpu.models.text_encoders.clip_vision import (
+        CLIPVisionConfig,
+        CLIPVisionModel,
+    )
+
+    hf_cfg = HFVCfg(
+        image_size=32, patch_size=8, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, projection_dim=48,
+        hidden_act="quick_gelu",
+    )
+    torch_model = CLIPVisionModelWithProjection(hf_cfg).eval()
+    flat = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, clip_vision_rules())
+    assert all("position_ids" in k for k in unmatched), unmatched
+
+    ours = CLIPVisionModel(
+        CLIPVisionConfig(
+            image_size=32, patch_size=8, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, projection_dim=48, dtype=jnp.float32,
+        )
+    )
+    px = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(px.transpose(0, 3, 1, 2)))
+    out = ours.apply({"params": tree}, jnp.asarray(px))
+
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]), ref.last_hidden_state.numpy(), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pooled_output"]), ref.image_embeds.numpy(), atol=3e-4
+    )
