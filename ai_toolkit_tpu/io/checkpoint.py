@@ -79,6 +79,7 @@ class CheckpointManager:
         ema=None,
         extra_meta: dict | None = None,
         final: bool = False,
+        extra_flat: dict | None = None,
     ) -> str:
         meta = dict(SOFTWARE_META)
         meta["ss_training_comment"] = self.name
@@ -88,7 +89,7 @@ class CheckpointManager:
         path = self.final_path() if final else self.path_for_step(step)
         save_lora_file(
             lora, path, key_map=self.key_map, fmt=self.fmt, prefix=self.prefix,
-            metadata=meta, dtype=self.dtype,
+            metadata=meta, dtype=self.dtype, extra_flat=extra_flat,
         )
         if opt_state is not None:
             self._save_opt_state(opt_state, ema, step)

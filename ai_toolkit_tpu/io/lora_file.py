@@ -228,10 +228,13 @@ def save_lora_file(
     prefix: str = "lora_transformer",
     metadata: dict | None = None,
     dtype=np.float16,
+    extra_flat: dict | None = None,
 ) -> None:
     from safetensors.numpy import save_file
 
     flat = flatten_lora(lora, key_map, fmt, prefix, dtype)
+    if extra_flat:
+        flat.update(extra_flat)  # e.g. kohya lora_te* entries beside the unet lora
     meta = {str(k): str(v) for k, v in (metadata or {}).items()}
     save_file(flat, path, metadata=meta)
 

@@ -277,3 +277,32 @@ def clip_vision_rules() -> list[Rule]:
         (r"vision_model\.post_layernorm\.bias", "post_ln/bias", "direct"),
         (r"visual_projection\.weight", "visual_projection/kernel", "linear"),
     ]
+
+
+def clip_lora_key_map(tree: dict) -> dict[str, str]:
+    """internal clip paths -> HF dotted module names (kohya te lora keys)."""
+    import re as _re
+
+    out: dict[str, str] = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if not isinstance(v, dict):
+                continue
+            path = prefix + (k,)
+            if "kernel" in v or "a" in v:
+                p = "/".join(path)
+                m = _re.match(r"^layer_(\d+)/(q|k|v|out|fc1|fc2)$", p)
+                if m:
+                    i, mod = m.groups()
+                    sub = {
+                        "q": "self_attn.q_proj", "k": "self_attn.k_proj",
+                        "v": "self_attn.v_proj", "out": "self_attn.out_proj",
+                        "fc1": "mlp.fc1", "fc2": "mlp.fc2",
+                    }[mod]
+                    out[p] = f"text_model.encoder.layers.{i}.{sub}"
+            else:
+                walk(v, path)
+
+    walk(tree, ())
+    return out

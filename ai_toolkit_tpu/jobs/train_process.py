@@ -52,6 +52,7 @@ class SDTrainProcess:
         self.ti_trigger = None
         self.ip_mode = False
         self.custom_adapter = None  # CustomAdapterRuntime when adapter configured
+        self.train_te = False  # text-encoder LoRA training (in-graph TE)
 
     # ---- lifecycle ----
 
@@ -345,6 +346,7 @@ class SDTrainProcess:
             _profiler.stop_trace()
 
         # 11. final save + sample
+        self._final_state = state  # introspection/tests
         self._save(state, tc.steps, final=True)
         if not tc.disable_sampling and cfg.sample.prompts:
             self._sample(state, tc.steps)
@@ -493,6 +495,22 @@ class SDTrainProcess:
         lora = build_lora(variables[main_key], spec, rng)
         n = count_lora_params(lora)
         print(f"LoRA: {len(lora)} top-level modules, {n:,} trainable params (rank {spec.rank})")
+        trainable_extra: dict = {}
+        if cfg.train.train_text_encoder:
+            # TE LoRA (reference per-TE param groups, lora_special.py:762):
+            # trains the text encoder(s) in-graph alongside the unet lora
+            te_spec = LoRASpec(
+                rank=spec.rank, alpha=spec.alpha,
+                target_patterns=[r"layer_\d+/(q|k|v|out|fc1|fc2)$"],
+            )
+            for i, te_key in enumerate(k for k in ("clip", "clip2") if k in variables):
+                te_lora = build_lora(variables[te_key], te_spec, jax.random.fold_in(rng, 50 + i))
+                if te_lora:
+                    trainable_extra[f"lora_te{i + 1}" if "clip2" in variables else "lora_te"] = (
+                        te_lora
+                    )
+                    print(f"TE LoRA on {te_key}: {count_lora_params(te_lora):,} params")
+            self.train_te = True
         key_map = self._key_map(model, lora)
         # per-arch export layout override (e.g. qwen_image -> ComfyUI
         # 'diffusion_model.' keys, reference qwen_image.py:420-433)
@@ -502,7 +520,7 @@ class SDTrainProcess:
         else:
             fmt = "peft" if model.is_flow_matching else "kohya"
         prefix = "lora_transformer" if model.is_flow_matching else "lora_unet"
-        return {"lora": lora}, key_map, fmt, prefix
+        return {"lora": lora, **trainable_extra}, key_map, fmt, prefix
 
     @staticmethod
     def _main_component(variables: dict) -> str:
@@ -584,8 +602,9 @@ class SDTrainProcess:
         return loader, text_cache
 
     def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
-        if getattr(self, "ti_trigger", None):
-            # textual inversion: raw token ids into the step (TE runs in-graph)
+        if getattr(self, "ti_trigger", None) or getattr(self, "train_te", False):
+            # textual inversion / TE training: raw token ids into the step
+            # (the text encoder runs in-graph so grads reach emb/lora_te)
             ids = np.stack([model.tokenizer.encode(c) for c in raw["captions"]])
             cond = {"input_ids": jnp.asarray(ids)}
         else:
@@ -758,11 +777,28 @@ class SDTrainProcess:
                 save_tree = state.trainable["lora"]
                 if state.ema is not None and "lora" in state.ema:
                     save_tree = state.ema["lora"]
+                extra_flat = None
+                te_keys = [k for k in state.trainable if k.startswith("lora_te")]
+                if te_keys:
+                    # kohya lora_te* entries beside the unet/transformer lora
+                    from ai_toolkit_tpu.io.lora_file import flatten_lora
+                    from ai_toolkit_tpu.io.sd_import import clip_lora_key_map
+
+                    extra_flat = {}
+                    for k in te_keys:
+                        pre = {"lora_te": "lora_te", "lora_te1": "lora_te1",
+                               "lora_te2": "lora_te2"}[k]
+                        tree_k = jax.tree.map(np.asarray, state.trainable[k])
+                        extra_flat.update(flatten_lora(
+                            tree_k, key_map=clip_lora_key_map(tree_k), fmt="kohya",
+                            prefix=pre,
+                        ))
                 path = self.ckpt.save(
                     jax.tree.map(np.asarray, save_tree), step,
                     opt_state=jax.tree.map(np.asarray, state.opt_state),
                     ema=jax.tree.map(np.asarray, state.ema) if state.ema is not None else None,
                     final=final,
+                    extra_flat=extra_flat,
                 )
             else:
                 # full fine-tune: save component weights as flat safetensors
@@ -788,6 +824,11 @@ class SDTrainProcess:
         variables = state.model_variables
         if "lora" not in state.trainable:
             variables = {**variables, **state.trainable}
+        else:
+            # TE loras ride along so encode_prompt samples with the trained TEs
+            te_extra = {k: v for k, v in state.trainable.items() if k.startswith("lora_te")}
+            if te_extra:
+                variables = {**variables, **te_extra}
         if getattr(self, "_assistant_lora", None):
             # reference base_model.py:396-411: assistant unfused for sampling
             from ai_toolkit_tpu.adapters.lora import unmerge_lora

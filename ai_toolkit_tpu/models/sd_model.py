@@ -92,6 +92,8 @@ class SDModel(BaseTpuModel):
         colls = {"params": variables["clip"]}
         if "emb" in variables:  # textual-inversion bank
             colls["emb"] = variables["emb"]
+        if "lora_te" in variables:  # trained TE lora at sample time
+            colls["lora"] = variables["lora_te"]
         out = jax.jit(self.clip.apply)(colls, jnp.asarray(ids))
         return {"context": out["last_hidden_state"]}
 
@@ -117,6 +119,8 @@ class SDModel(BaseTpuModel):
             clip_colls = {"params": variables["clip"]}
             if "emb" in variables:
                 clip_colls["emb"] = variables["emb"]
+            if "lora_te" in variables:  # TE LoRA training (train_text_encoder)
+                clip_colls["lora"] = variables["lora_te"]
             out = self.clip.apply(clip_colls, cond["input_ids"])
             cond = {**cond, "context": out["last_hidden_state"]}
         return self.predict(variables, noisy_latents, t, cond)
@@ -181,8 +185,14 @@ class SDXLModel(SDModel):
         """SDXL: concat penultimate states of both TEs; pooled from TE2."""
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
         ids = jnp.asarray(ids)
-        o1 = jax.jit(self.clip.apply, static_argnums=2)({"params": variables["clip"]}, ids, 1)
-        o2 = jax.jit(self.clip2.apply, static_argnums=2)({"params": variables["clip2"]}, ids, 1)
+        c1 = {"params": variables["clip"]}
+        if "lora_te1" in variables:
+            c1["lora"] = variables["lora_te1"]
+        c2 = {"params": variables["clip2"]}
+        if "lora_te2" in variables:
+            c2["lora"] = variables["lora_te2"]
+        o1 = jax.jit(self.clip.apply, static_argnums=2)(c1, ids, 1)
+        o2 = jax.jit(self.clip2.apply, static_argnums=2)(c2, ids, 1)
         context = jnp.concatenate([o1["last_hidden_state"], o2["last_hidden_state"]], axis=-1)
         return {"context": context, "pooled": o2["pooled_output"]}
 
@@ -192,6 +202,31 @@ class SDXLModel(SDModel):
             jnp.asarray([height, width, 0, 0, height, width], jnp.float32)[None], (b, 1)
         )
         return {"time_ids": time_ids, "text_embeds": pooled}
+
+    def predict_train(self, variables, noisy_latents, t, cond):
+        """SDXL in-graph dual-TE path (TE LoRA / textual inversion)."""
+        if "input_ids" in cond:
+            ids = cond["input_ids"]
+            c1 = {"params": variables["clip"]}
+            if "emb" in variables:
+                c1["emb"] = variables["emb"]
+            if "lora_te1" in variables:
+                c1["lora"] = variables["lora_te1"]
+            c2 = {"params": variables["clip2"]}
+            if "lora_te2" in variables:
+                c2["lora"] = variables["lora_te2"]
+            o1 = self.clip.apply(c1, ids, 1)
+            o2 = self.clip2.apply(c2, ids, 1)
+            context = jnp.concatenate([o1["last_hidden_state"], o2["last_hidden_state"]], axis=-1)
+            d = self.vae_config.downscale
+            added = self.added_cond(
+                o2["pooled_output"], noisy_latents.shape[1] * d, noisy_latents.shape[2] * d
+            )
+            cond = {**cond, "context": context, "added_cond": added}
+        if "ip_embeds" in cond and "ip_proj" in variables and hasattr(self, "ip_proj"):
+            tokens = self.ip_proj.apply({"params": variables["ip_proj"]}, cond["ip_embeds"])
+            cond = {**cond, "ip_tokens": tokens}
+        return self.predict(variables, noisy_latents, t, cond)
 
 
 @register_model

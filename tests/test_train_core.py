@@ -165,3 +165,60 @@ def test_do_cfg_path():
     batch = {"latents": lat, "cond": {}, "neg_cond": {}}
     state, metrics = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_train_text_encoder_lora(tmp_path):
+    """train_text_encoder: TE LoRA trains in-graph and exports kohya lora_te keys."""
+    import yaml
+    from PIL import Image
+    from safetensors import safe_open
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text(f"photo {i}")
+    for arch in ("sd1", "sdxl"):
+        cfg = {
+            "job": "extension",
+            "config": {"name": f"te_{arch}", "process": [{
+                "type": "sd_trainer",
+                "training_folder": str(tmp_path / "out"),
+                "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+                "save": {"save_every": 100},
+                "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                              "resolution": 64}],
+                "train": {"batch_size": 1, "steps": 3, "noise_scheduler": "ddpm",
+                          "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                          "train_text_encoder": True,
+                          "ema_config": {"use_ema": False}},
+                "model": {"name_or_path": "", "arch": arch,
+                          "model_kwargs": {"size": "tiny"}},
+                "sample": {"sample_every": 0, "prompts": []},
+                "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+            }]},
+        }
+        p = tmp_path / f"{arch}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        from ai_toolkit_tpu.config import get_config
+        from ai_toolkit_tpu.jobs import get_job
+
+        job = get_job(get_config(p))
+        proc = job.processes[0]
+        results = job.run()
+        assert np.isfinite(results[0]["final_loss"])
+        # TE lora trained (moved from zero-product init)
+        te_keys = [k for k in proc._final_state.trainable if k.startswith("lora_te")]
+        assert te_keys, arch
+        with safe_open(str(tmp_path / "out" / f"te_{arch}" / f"te_{arch}.safetensors"),
+                       "np") as f:
+            keys = list(f.keys())
+        te_file_keys = [k for k in keys if k.startswith("lora_te")]
+        assert te_file_keys, (arch, keys[:5])
+        assert any("text_model_encoder_layers_0_self_attn_q_proj" in k for k in te_file_keys)
+        # unet lora present too
+        assert any(k.startswith("lora_unet") for k in keys)
