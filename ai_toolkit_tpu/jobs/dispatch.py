@@ -14,6 +14,7 @@ PROCESS_TYPES = {
     "train_esrgan": "esrgan",
     "esrgan_trainer": "esrgan",
     "slider": "slider",
+    "concept_replacer": "replacer",
     "concept_slider": "slider",
     "slider_trainer": "slider",
     "train_vae": "vae",
@@ -74,6 +75,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.train_esrgan_process import ESRGANTrainProcess
 
                 self.processes.append(ESRGANTrainProcess(job_config.name, proc_cfg))
+            elif kind == "replacer":
+                from ai_toolkit_tpu.jobs.concept_replacer_process import ConceptReplacerProcess
+
+                self.processes.append(ConceptReplacerProcess(job_config.name, proc_cfg))
             elif kind == "caption":
                 from ai_toolkit_tpu.jobs.caption_process import CaptionProcess
 

@@ -212,6 +212,13 @@ class SDTrainProcess:
                 base = make_guided_train_step(
                     guidance_kind, predict_fn, schedule, step_cfg, network_weight=nw
                 )
+        elif guidance_kind == "concept_replacer":
+            from ai_toolkit_tpu.train.slider import make_concept_replacer_train_step
+
+            base = make_concept_replacer_train_step(
+                predict_fn, schedule, step_cfg,
+                network_weight=float(tc.extras.get("network_weight", 1.0)),
+            )
         elif self.custom_adapter is not None and self.custom_adapter.adapter_type == "mean_flow":
             from ai_toolkit_tpu.train.mean_flow import make_mean_flow_train_step
 

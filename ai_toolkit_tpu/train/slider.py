@@ -275,3 +275,49 @@ def make_guided_train_step(
         return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
 
     return train_step
+
+
+def make_concept_replacer_train_step(
+    predict_fn: Callable[..., jax.Array],
+    schedule: Any,
+    cfg: TrainStepConfig,
+    network_weight: float = 1.0,
+):
+    """Concept replacement (reference extensions_built_in/concept_replacer/
+    ConceptReplacer.py:42-130): the adapter-ON prediction conditioned on the
+    concept-wrapped prompt regresses to the adapter-OFF prediction conditioned
+    on the replacement-wrapped prompt — the concept's meaning is steered to
+    the replacement. Batch carries 'cond' (concept embeds) and
+    'replacement_cond' (replacement embeds)."""
+
+    def loss_fn(trainable, model_variables, batch, rng, seq_len):
+        x = batch["latents"]
+        b = x.shape[0]
+        rng_t, rng_n = jax.random.split(rng)
+        if hasattr(schedule, "euler_step"):
+            t = schedule.sample_timesteps(
+                rng_t, b, timestep_type=cfg.timestep_type, image_seq_len=seq_len
+            )
+        else:
+            t = schedule.sample_timesteps(rng_t, b)
+        noise = jax.random.normal(rng_n, x.shape, jnp.float32).astype(x.dtype)
+        noisy = schedule.add_noise(x, noise, t)
+
+        base_vars = {k: v for k, v in model_variables.items() if k != "lora"}
+        target = jax.lax.stop_gradient(
+            predict_fn(base_vars, noisy, t, batch["replacement_cond"])
+        )
+        lora = scale_lora(trainable["lora"], jnp.full((b,), network_weight))
+        variables = merge_variables(model_variables, {**trainable, "lora": lora})
+        pred = predict_fn(variables, noisy, t, batch["cond"])
+        return jnp.mean(_mse(pred, target)), {}
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array, image_seq_len=None):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, _), grads = grad_fn(state.trainable, state.model_variables, batch, rng, image_seq_len)
+        new_state = state.apply_gradients(grads, ema_decay=cfg.ema_decay)
+        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    return train_step

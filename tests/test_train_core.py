@@ -222,3 +222,47 @@ def test_train_text_encoder_lora(tmp_path):
         assert any("text_model_encoder_layers_0_self_attn_q_proj" in k for k in te_file_keys)
         # unet lora present too
         assert any(k.startswith("lora_unet") for k in keys)
+
+
+@pytest.mark.slow
+def test_concept_replacer_process(tmp_path):
+    import yaml
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text(f"photo of a dog {i}")
+    cfg = {
+        "job": "extension",
+        "config": {"name": "cr", "process": [{
+            "type": "concept_replacer",
+            "training_folder": str(tmp_path / "out"),
+            "replacements": [{"concept": "a dog", "replacement": "a cat"}],
+            "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+            "save": {"save_every": 100},
+            "datasets": [{"folder_path": str(folder), "caption_ext": "txt", "resolution": 64}],
+            "train": {"batch_size": 1, "steps": 3, "noise_scheduler": "ddpm",
+                      "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                      "ema_config": {"use_ema": False}},
+            "model": {"name_or_path": "", "arch": "sd1", "model_kwargs": {"size": "tiny"}},
+            "sample": {"sample_every": 0, "prompts": []},
+            "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+        }]},
+    }
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    proc = job.processes[0]
+    # lora moved toward the replacement target
+    lora_leaves = jax.tree.leaves(proc._final_state.trainable["lora"])
+    assert any(float(jnp.abs(x).max()) > 0 for x in lora_leaves)
