@@ -100,6 +100,13 @@ class QwenImageModel(BaseTpuModel):
         return {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
 
     def load_variables(self, rng: jax.Array) -> dict:
+        import os
+
+        path = self.config.name_or_path
+        if path and os.path.isdir(os.path.join(path, "transformer")):
+            from ai_toolkit_tpu.io.qwen_import import load_qwen_checkpoint
+
+            return load_qwen_checkpoint(path, self)
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
