@@ -43,7 +43,7 @@ from ai_toolkit_tpu.ops.layers import LayerNorm, Linear
 
 ADAPTER_TYPES = (
     "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value", "photo_maker",
-    "mean_flow",
+    "mean_flow", "t2i",
 )
 
 
@@ -231,6 +231,9 @@ class CustomAdapterRuntime:
         if t == "vision_direct" and cond.get("vision_tokens") is not None:
             tokens = self.module.apply({"params": params}, cond["vision_tokens"])
             return {**cond, "ip_tokens": tokens}
+        if t == "t2i" and cond.get("control_pixels") is not None:
+            res = self.module.apply({"params": params}, cond["control_pixels"])
+            return {**cond, "adapter_residuals": res}
         if t == "mean_flow" and cond.get("mean_flow_r") is not None:
             extra = self.module.apply({"params": params}, cond["mean_flow_r"])
             out = _append_ctx(cond, self.ctx_key, extra)
@@ -283,6 +286,13 @@ def init_custom_adapter(
     elif t == "mean_flow":
         mod = MeanFlowTimeEncoder(ctx_dim, n_tokens=int(adapter_cfg.get("num_tokens", 1)))
         params = mod.init(rng, jnp.zeros((1,)))["params"]
+    elif t == "t2i":
+        from ai_toolkit_tpu.adapters.t2i_adapter import T2IAdapterNet
+
+        ch = tuple(adapter_cfg["_unet_channels"])
+        mod = T2IAdapterNet(channels=ch, downscale=int(adapter_cfg.get("downscale", 8)))
+        sz = int(adapter_cfg.get("_image_size", 64))
+        params = mod.init(rng, jnp.zeros((1, sz, sz, 3)))["params"]
     else:
         raise ValueError(f"unknown custom adapter type '{t}'; known: {ADAPTER_TYPES}")
     return params, CustomAdapterRuntime(t, mod, ctx_key)

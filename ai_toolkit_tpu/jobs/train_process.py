@@ -130,6 +130,30 @@ class SDTrainProcess:
 
         variables = offload_model_variables(variables, cfg.model, mesh=mesh)
 
+        # 2b. frozen ControlNet/T2I assistant (reference
+        # adapter_assist_name_or_path, SDTrainer.py:1403-1498): control-image
+        # residuals guide training; the assistant itself is never trained
+        self._assist_net = None
+        assist = cfg.extras.get("adapter_assist_name_or_path") or tc.extras.get(
+            "adapter_assist_name_or_path"
+        )
+        if assist and hasattr(model, "unet_config"):
+            from ai_toolkit_tpu.adapters.t2i_adapter import init_t2i_adapter
+
+            net, params = init_t2i_adapter(
+                model.unet_config, jax.random.fold_in(rng, 77),
+                image_size=8 * model.vae_config.downscale,
+                downscale=model.vae_config.downscale,
+            )
+            if os.path.isfile(str(assist)):
+                from ai_toolkit_tpu.adapters.custom_adapter import load_custom_adapter
+
+                loaded, _ = load_custom_adapter(str(assist))
+                if loaded:
+                    params = loaded
+            self._assist_net = (net, params)
+            print(f"assistant adapter active: {assist}")
+
         # 3. schedule
         schedule = get_schedule(tc.noise_scheduler, cfg.model.arch)
 
@@ -407,7 +431,7 @@ class SDTrainProcess:
             return {"ip": ip, "ip_proj": proj_params}, None, "ip_adapter", ""
         if cfg.adapter and cfg.adapter.get("type") in (
             "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
-            "photo_maker", "mean_flow",
+            "photo_maker", "mean_flow", "t2i",
         ):
             # CustomAdapter umbrella (reference toolkit/custom_adapter.py:104-286)
             from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
@@ -418,8 +442,11 @@ class SDTrainProcess:
                 ctx_dim = model.dit_config.context_dim
             else:
                 ctx_dim = model.unet_config.cross_attention_dim
+            if atype == "t2i":
+                cfg.adapter["_unet_channels"] = list(model.unet_config.block_out_channels)
+                cfg.adapter.setdefault("downscale", model.vae_config.downscale)
             vision_dim = 0
-            if atype not in ("single_value", "mean_flow"):
+            if atype not in ("single_value", "mean_flow", "t2i"):
                 from ai_toolkit_tpu.models.text_encoders.clip_vision import (
                     CLIPVisionConfig,
                     CLIPVisionModel,
@@ -602,7 +629,8 @@ class SDTrainProcess:
             encode_fn=None if cache_dir else encode_fn,
             want_pixels=self.ip_mode or (
                 self.custom_adapter is not None
-                and self.custom_adapter.adapter_type not in ("single_value", "mean_flow")
+                and self.custom_adapter.adapter_type
+                not in ("single_value", "mean_flow", "t2i")
             ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
@@ -690,7 +718,17 @@ class SDTrainProcess:
                 model.encode_image_cond(self._ctrl_variables, jnp.asarray(raw["first_frame"]))
             )
         if "control_pixels" in raw:
-            cond["control_latents"] = jnp.asarray(self._encode_control(raw["control_pixels"]))
+            if self.custom_adapter is not None and self.custom_adapter.adapter_type == "t2i":
+                # trainable t2i adapter consumes raw control pixels in-graph
+                cond["control_pixels"] = jnp.asarray(raw["control_pixels"])
+            else:
+                cond["control_latents"] = jnp.asarray(self._encode_control(raw["control_pixels"]))
+        if getattr(self, "_assist_net", None) is not None and "control_pixels" in raw:
+            # frozen ControlNet/T2I assistant (reference adapter_assist_name_or_path)
+            if not hasattr(self, "_assist_apply"):
+                net, params = self._assist_net
+                self._assist_apply = jax.jit(lambda px: net.apply({"params": params}, px))
+            cond["adapter_residuals"] = self._assist_apply(jnp.asarray(raw["control_pixels"]))
         if "pixel_mask" in raw:
             # downscale pixel mask to latent resolution (area mean)
             m = raw["pixel_mask"]

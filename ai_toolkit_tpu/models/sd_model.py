@@ -104,7 +104,7 @@ class SDModel(BaseTpuModel):
                 collections[k] = variables[k]
         return self.unet.apply(
             collections, noisy_latents, t, cond["context"], cond.get("added_cond"),
-            cond.get("ip_tokens"),
+            cond.get("ip_tokens"), cond.get("adapter_residuals"),
         )
 
     def predict_train(self, variables, noisy_latents, t, cond):

@@ -177,6 +177,7 @@ class UNet2DCondition(nn.Module):
         context: jax.Array,  # [B, S, cross_dim] text states
         added_cond: dict | None = None,  # sdxl: {"time_ids": [B,6], "text_embeds": [B,1280]}
         ip_context: jax.Array | None = None,  # [B, N_ip, cross_dim] image tokens
+        adapter_residuals: tuple | None = None,  # T2I-Adapter per-level features
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
@@ -206,6 +207,11 @@ class UNet2DCondition(nn.Module):
                 if cfg.transformer_layers[i] > 0:
                     h = Attn(cfg, cfg.transformer_layers[i], name=f"down_{i}_attn_{j}")(h, context, ip_context)
                 skips.append(h)
+            if adapter_residuals is not None and i < len(adapter_residuals):
+                # T2I-Adapter assist: per-level control features added to the
+                # hidden states (reference adapter_assist, SDTrainer.py:1403)
+                h = h + adapter_residuals[i].astype(h.dtype)
+                skips[-1] = h
             if i < len(cfg.block_out_channels) - 1:
                 h = Conv(ch, (3, 3), strides=(2, 2), dtype=dt, param_dtype=pdt,
                          name=f"down_{i}_downsample")(h)

@@ -205,3 +205,41 @@ def test_assistant_lora_fuse_unfuse(tmp_path):
     # final sample was produced through the unfused path
     samples = os.listdir(tmp_path / "out" / "asst" / "samples")
     assert samples
+
+
+def test_t2i_adapter_trainable_and_assist():
+    """t2i adapter: residual net trains; frozen assist changes the UNet output."""
+    from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
+    from ai_toolkit_tpu.adapters.t2i_adapter import init_t2i_adapter
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("sd1")(ModelConfig(arch="sd1", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    h, w, c = model.latent_shape(64, 64)
+    cond = model.encode_prompt(variables, ["a house"])
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    ctrl = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3)) * 2 - 1
+
+    # frozen assist path: residuals injected -> output changes
+    ds = model.vae_config.downscale
+    net, params = init_t2i_adapter(model.unet_config, jax.random.key(3), image_size=64,
+                                   downscale=ds)
+    res = net.apply({"params": params}, ctrl)
+    assert len(res) == len(model.unet_config.block_out_channels)
+    out_plain = model.predict(variables, noisy, jnp.array([100.0]), cond)
+    out_assist = model.predict(
+        variables, noisy, jnp.array([100.0]), {**cond, "adapter_residuals": res}
+    )
+    assert float(jnp.abs(out_plain - out_assist).max()) > 1e-6
+
+    # trainable t2i through the CustomAdapterRuntime
+    params2, runtime = init_custom_adapter(
+        {"type": "t2i", "_unet_channels": list(model.unet_config.block_out_channels),
+         "_image_size": 64, "downscale": model.vae_config.downscale},
+        ctx_dim=0, ctx_key="context", vision_dim=0, rng=jax.random.key(4),
+    )
+    cond2 = runtime.apply_cond({"adapter": params2}, {**cond, "control_pixels": ctrl})
+    assert "adapter_residuals" in cond2
+    out2 = model.predict(variables, noisy, jnp.array([100.0]), cond2)
+    assert np.isfinite(np.asarray(out2)).all()
