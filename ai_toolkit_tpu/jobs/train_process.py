@@ -154,8 +154,10 @@ class SDTrainProcess:
             self._assist_net = (net, params)
             print(f"assistant adapter active: {assist}")
 
-        # 3. schedule
-        schedule = get_schedule(tc.noise_scheduler, cfg.model.arch)
+        # 3. schedule (+ user overrides, e.g. weighting_table / shift)
+        schedule = get_schedule(
+            tc.noise_scheduler, cfg.model.arch, **(tc.extras.get("scheduler_params") or {})
+        )
 
         # 4. trainable (LoRA / full fine-tune)
         trainable, key_map, fmt, prefix = self._build_trainable(model, variables, rng)

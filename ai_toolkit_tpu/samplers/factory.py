@@ -11,6 +11,20 @@ from .flowmatch import FlowMatchSchedule
 def get_schedule(name: str, arch: str | None = None, **overrides: Any):
     """name: 'flowmatch' | 'ddpm' | 'ddim' (+ per-arch defaults)."""
     name = (name or "flowmatch").lower()
+    # weighting_table may arrive as a file path (npy/json of 1000 floats)
+    wt = overrides.get("weighting_table")
+    if isinstance(wt, str):
+        import json
+        import os
+
+        import numpy as np
+
+        if wt.endswith(".npy"):
+            overrides["weighting_table"] = tuple(np.load(wt).tolist())
+        elif os.path.isfile(wt):
+            overrides["weighting_table"] = tuple(json.load(open(wt)))
+    elif isinstance(wt, list):
+        overrides["weighting_table"] = tuple(wt)
     if name in ("flowmatch", "flowmatch_euler", "mean_flow"):
         defaults: dict[str, Any] = {}
         if arch in ("sd3",):

@@ -61,6 +61,10 @@ class FlowMatchSchedule:
     max_image_seq_len: int = 4096
     base_shift: float = 0.5
     max_shift: float = 1.16
+    # user-provided per-timestep loss-weight table (reference
+    # timestep_weighing/default_weighing_scheme.py precomputed scheme);
+    # tuple of num_train_timesteps floats, used by timestep_type='weighted'
+    weighting_table: tuple | None = None
 
     # ---- training ----
 
@@ -122,7 +126,11 @@ class FlowMatchSchedule:
             (t * self.num_train_timesteps).astype(jnp.int32), 0, self.num_train_timesteps - 1
         )
         if timestep_type == "weighted":
-            table = _bell_weights(self.num_train_timesteps)  # stand-in table; see timestep_weighing
+            if self.weighting_table is not None:
+                table = jnp.asarray(self.weighting_table, jnp.float32)
+                table = table / jnp.mean(table)  # mean-normalized like the reference
+            else:
+                table = _bell_weights(self.num_train_timesteps)  # built-in fallback
             return table[idx]
         table = _half_bell_weights(self.num_train_timesteps) if v2 else _bell_weights(
             self.num_train_timesteps

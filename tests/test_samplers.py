@@ -146,3 +146,24 @@ def test_ddpm_sigma_helpers_consistency():
     table = s.sigma_table()
     for t in (0, 250, 999):
         assert abs(s.timestep_for_sigma(float(table[t])) - t) <= 1
+
+
+def test_weighted_timestep_table(tmp_path):
+    """User weighting table: file + list forms, mean-normalized lookup."""
+    import json
+
+    import numpy as np
+
+    from ai_toolkit_tpu.samplers import get_schedule
+
+    table = (np.linspace(0.5, 2.0, 1000) ** 2).tolist()
+    p = tmp_path / "w.json"
+    p.write_text(json.dumps(table))
+    for src in (table, str(p)):
+        s = get_schedule("flowmatch", weighting_table=src)
+        t = jnp.asarray([0.01, 0.5, 0.99])
+        w = s.loss_weights(t, timestep_type="weighted")
+        assert w.shape == (3,)
+        assert float(w[2]) > float(w[0])  # increasing table
+        full = s.loss_weights(jnp.linspace(0.001, 0.999, 1000), timestep_type="weighted")
+        np.testing.assert_allclose(float(jnp.mean(full)), 1.0, atol=0.02)
