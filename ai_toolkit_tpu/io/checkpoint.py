@@ -130,6 +130,19 @@ class CheckpointManager:
         step = int(meta.get("step", 0))
         return lora, step
 
+    def load_latest_split(
+        self, inverse_key_map=None, te_inverse_maps: dict | None = None
+    ) -> tuple[dict | None, dict, int]:
+        """Returns (lora_tree | None, {te_collection: tree}, step) — TE LoRA
+        entries (train_text_encoder) restored into their own collections."""
+        from ai_toolkit_tpu.io.lora_file import load_lora_file_split
+
+        path = self.latest_save_path()
+        if path is None:
+            return None, {}, 0
+        lora, te_trees, meta = load_lora_file_split(path, inverse_key_map, te_inverse_maps)
+        return lora, te_trees, int(meta.get("step", 0))
+
     def load_opt_state(self, template) -> tuple[object | None, object | None, int]:
         """Restore optimizer state against a template pytree (shape-checked).
 

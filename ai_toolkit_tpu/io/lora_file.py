@@ -249,3 +249,47 @@ def load_lora_file(path: str, inverse_key_map=None) -> tuple[dict, dict]:
         for k in f.keys():
             flat[k] = f.get_tensor(k)
     return unflatten_lora(flat, inverse_key_map), meta
+
+
+_TE_PREFIXES = ("lora_te1_", "lora_te2_", "lora_te_")
+
+
+def split_flat_by_te_prefix(flat: dict[str, np.ndarray]) -> tuple[dict, dict[str, dict]]:
+    """Partition a flat checkpoint dict into (main, {collection: flat}) where
+    collection is 'lora_te'/'lora_te1'/'lora_te2' (kohya TE entries saved beside
+    the unet/transformer lora, reference lora_special.py:455-502)."""
+    main: dict[str, np.ndarray] = {}
+    te: dict[str, dict[str, np.ndarray]] = {}
+    for k, v in flat.items():
+        for pre in _TE_PREFIXES:
+            if k.startswith(pre):
+                te.setdefault(pre[:-1], {})[k] = v
+                break
+        else:
+            main[k] = v
+    return main, te
+
+
+def load_lora_file_split(
+    path: str,
+    inverse_key_map=None,
+    te_inverse_maps: dict[str, dict] | None = None,
+) -> tuple[dict, dict[str, dict], dict]:
+    """Returns (main_lora_tree, {te_collection: lora_tree}, metadata).
+
+    Unlike load_lora_file, lora_te* entries are unflattened into their own
+    trees with their own inverse key maps instead of polluting the main tree
+    (needed to resume train_text_encoder runs)."""
+    from safetensors import safe_open
+
+    flat = {}
+    with safe_open(path, framework="numpy") as f:
+        meta = dict(f.metadata() or {})
+        for k in f.keys():
+            flat[k] = f.get_tensor(k)
+    main_flat, te_flat = split_flat_by_te_prefix(flat)
+    te_trees = {
+        coll: unflatten_lora(fl, (te_inverse_maps or {}).get(coll))
+        for coll, fl in te_flat.items()
+    }
+    return unflatten_lora(main_flat, inverse_key_map), te_trees, meta

@@ -187,7 +187,16 @@ class SDTrainProcess:
                 inverse = {v: k for k, v in key_map.items()}
                 inverse.update({v.replace(".", "_"): k for k, v in key_map.items()})
         start_step = 0
-        resumed_lora, resume_step = ckpt.load_latest(inverse)
+        te_inverse: dict[str, dict] = {}
+        for k in trainable:
+            if k.startswith("lora_te"):
+                from ai_toolkit_tpu.io.sd_import import clip_lora_key_map
+
+                fwd = clip_lora_key_map(trainable[k])
+                inv = {v: p for p, v in fwd.items()}
+                inv.update({v.replace(".", "_"): p for p, v in fwd.items()})
+                te_inverse[k] = inv
+        resumed_lora, resumed_te, resume_step = ckpt.load_latest_split(inverse, te_inverse)
         if resumed_lora is not None and "lora" in trainable:
             cur = jax.tree.map(lambda x: x.shape, trainable["lora"])
             new = jax.tree.map(lambda x: x.shape, resumed_lora)
@@ -196,7 +205,20 @@ class SDTrainProcess:
                 print("resume checkpoint has different network shape — starting fresh "
                       "(reference skips the optimizer in this case too)")
             if shape_ok:
-                state = state.replace(trainable={"lora": jax.tree.map(jnp.asarray, resumed_lora)})
+                new_trainable = {"lora": jax.tree.map(jnp.asarray, resumed_lora)}
+                for k in trainable:
+                    if not k.startswith("lora_te"):
+                        continue
+                    got = resumed_te.get(k)
+                    if got is not None and (
+                        jax.tree.map(lambda x: x.shape, trainable[k])
+                        == jax.tree.map(lambda x: x.shape, got)
+                    ):
+                        new_trainable[k] = jax.tree.map(jnp.asarray, got)
+                        print(f"resumed {k} (TE LoRA)")
+                    else:
+                        new_trainable[k] = trainable[k]  # shape drift: fresh TE lora
+                state = state.replace(trainable=new_trainable)
                 start_step = resume_step
                 opt_state, ema, _ = ckpt.load_opt_state(
                     {"opt_state": state.opt_state, "ema": state.ema, "step": np.int64(0)}

@@ -225,6 +225,65 @@ def test_train_text_encoder_lora(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_text_encoder_resume(tmp_path, capfd):
+    """TE LoRA must survive a resume (reference resumes the whole network;
+    our lora_te* collections are restored from the kohya entries)."""
+    import yaml
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text(f"photo {i}")
+
+    def make_cfg(steps):
+        return {
+            "job": "extension",
+            "config": {"name": "te_resume", "process": [{
+                "type": "sd_trainer",
+                "training_folder": str(tmp_path / "out"),
+                "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+                "save": {"save_every": 2},
+                "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                              "resolution": 64}],
+                "train": {"batch_size": 1, "steps": steps, "noise_scheduler": "ddpm",
+                          "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                          "train_text_encoder": True,
+                          "ema_config": {"use_ema": False}},
+                "model": {"name_or_path": "", "arch": "sd1",
+                          "model_kwargs": {"size": "tiny"}},
+                "sample": {"sample_every": 0, "prompts": []},
+                "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+            }]},
+        }
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(make_cfg(2)))
+    job = get_job(get_config(p))
+    job.run()
+    te1 = jax.tree.map(np.asarray, job.processes[0]._final_state.trainable["lora_te"])
+    capfd.readouterr()
+
+    p.write_text(yaml.safe_dump(make_cfg(4)))
+    job2 = get_job(get_config(p))
+    job2.run()
+    out = capfd.readouterr().out
+    assert "resumed lora_te (TE LoRA)" in out
+    assert "resumed from step 2" in out
+    # resumed TE lora kept training (differs from the step-2 values after 2 more steps)
+    te2 = job2.processes[0]._final_state.trainable["lora_te"]
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()), te1, te2)
+    assert any(d > 0 for d in jax.tree.leaves(diffs))
+
+
+@pytest.mark.slow
 def test_concept_replacer_process(tmp_path):
     import yaml
     from PIL import Image
