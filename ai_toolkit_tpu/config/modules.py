@@ -412,6 +412,9 @@ class DatasetConfig:
     # audio
     audio_sample_rate: int = 44100
     audio_duration: float | None = None
+    # joint AV training (LTX-2): load sidecar audio (<stem>.wav/.flac) for
+    # each video (reference DatasetConfig.do_audio)
+    do_audio: bool = False
     extras: dict[str, Any] = field(default_factory=dict)
 
     @classmethod

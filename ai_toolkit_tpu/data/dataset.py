@@ -122,6 +122,27 @@ class FileItem:
                 data = np.pad(data, ((0, num_samples - len(data)), (0, 0)))
         return data.astype(np.float32)
 
+    def load_sidecar_audio(
+        self, sample_rate: int, num_samples: int
+    ) -> np.ndarray | None:
+        """Audio track for a video item: a same-stem sidecar file
+        (<stem>.wav) next to the video (reference extracts the embedded
+        track via torchaudio; sidecar files keep the host pipeline
+        ffmpeg-free). Returns [num_samples, 2] or None."""
+        import os
+
+        stem = os.path.splitext(self.path)[0]
+        for ext in (".wav",):  # scipy wavfile decoder
+            p = stem + ext
+            if os.path.isfile(p):
+                saved_path = self.path
+                try:
+                    self.path = p
+                    return self.load_audio(sample_rate, num_samples)
+                finally:
+                    self.path = saved_path
+        return None
+
     def load_unconditional(self) -> np.ndarray | None:
         """Paired negative image at the same bucket geometry (sliders)."""
         if not self.unconditional_path:
@@ -197,6 +218,13 @@ class FolderDataset:
                     paths.append((os.path.join(root, f), "video"))
                 elif lf.endswith(AUDIO_EXTS):
                     paths.append((os.path.join(root, f), "audio"))
+        if self.cfg.do_audio:
+            # sidecar audio belongs to its video (joint AV), not the item list
+            video_stems = {os.path.splitext(p)[0] for p, k in paths if k == "video"}
+            paths = [
+                (p, k) for p, k in paths
+                if not (k == "audio" and os.path.splitext(p)[0] in video_stems)
+            ]
         resolutions = self.cfg.resolution
         for p, kind in paths:
             w = h = 0

@@ -62,6 +62,17 @@ class DataLoader:
             out["pixels"] = np.stack([load_pixels(it) for it in batch])
         if ds.cfg.do_i2v and batch[0].kind == "video":
             out["first_frame"] = np.stack([it.load_video()[0] for it in batch])
+        if ds.cfg.do_audio and batch[0].kind == "video":
+            # joint AV (LTX-2): sidecar audio clipped to the video duration
+            sr = ds.cfg.audio_sample_rate
+            dur = ds.cfg.audio_duration or (
+                batch[0].num_frames / float(ds.cfg.fps or 16)
+            )
+            n = int(dur * sr)
+            wavs = [it.load_sidecar_audio(sr, n) for it in batch]
+            out["audio_waveform"] = np.stack(
+                [w if w is not None else np.zeros((n, 2), np.float32) for w in wavs]
+            )
         out["captions"] = [ds.processed_caption(it) for it in batch]
         uncond = [it.load_unconditional() for it in batch]
         if all(u is not None for u in uncond) and uncond:

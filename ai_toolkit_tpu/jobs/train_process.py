@@ -708,10 +708,28 @@ class SDTrainProcess:
                 elif atype == "photo_maker":
                     extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 2))
         if model.is_flow_matching and hasattr(model, "rope_table"):
-            h, w = lat.shape[1], lat.shape[2]
-            cond["pe"] = model.rope_table(h, w, int(cond["txt"].shape[1]) + extra_ctx_tokens)
-            cond["guidance"] = jnp.full((lat.shape[0],), 1.0)
-            batch["image_seq_len"] = (h // 2) * (w // 2)
+            if lat.ndim == 5:
+                # video latents [B,T,h,w,C]: wan/ltx rope over (t, y, x)
+                tt, h, w = lat.shape[1], lat.shape[2], lat.shape[3]
+                cond["pe"] = model.rope_table(tt, h, w)
+                pt, ph, pw = model.dit_config.patch_size
+                batch["image_seq_len"] = (tt // pt) * (h // ph) * (w // pw)
+            else:
+                h, w = lat.shape[1], lat.shape[2]
+                cond["pe"] = model.rope_table(h, w, int(cond["txt"].shape[1]) + extra_ctx_tokens)
+                cond["guidance"] = jnp.full((lat.shape[0],), 1.0)
+                batch["image_seq_len"] = (h // 2) * (w // 2)
+        if "audio_waveform" in raw and getattr(model, "joint_audio", False):
+            # joint AV stream: encode sidecar audio to latents; its noise is
+            # drawn inside the train step at the shared sigma
+            if not hasattr(self, "_audio_encode"):
+                variables = self._ctrl_variables
+                self._audio_encode = jax.jit(
+                    lambda w: model.encode_audio(variables, w)
+                )
+            a_lat = self._audio_encode(jnp.asarray(raw["audio_waveform"]))
+            batch["audio_latents"] = a_lat
+            cond["pe_audio"] = model.audio_rope_table(int(a_lat.shape[1]))
         if "pooled" in cond and hasattr(model, "added_cond"):
             d = model.vae_config.downscale
             cond["added_cond"] = model.added_cond(cond.pop("pooled"), lat.shape[1] * d, lat.shape[2] * d)

@@ -12,10 +12,12 @@ Structure maps 1:1 onto WanDiT (self-attn -> cross-attn -> FFN with a
 shared modulation table); the LTX geometry differs only in dims and the
 heavier VAE compression.
 
-Known gap vs the reference (documented in PARITY.md): LTX-2's joint
-*audio* stream (audio latents + a2v cross-attention,
-``ltx2.py:106-143,806-812``) — video-only training here; the audio VAE
-exists for ace_step and will be joined in a later round.
+Joint audio stream (``model_kwargs: {joint_audio: true}``): the DiT becomes
+``LTX2AVDiT`` (see ``ltx2_av.py``) — audio latent tokens run beside the
+video tokens with bidirectional a2v/v2a cross-attention per block
+(reference ``ltx2.py:945-1079``); audio latents come from the causal 1D
+waveform VAE; loss is flow matching on both streams (shared sigma, the
+reference's default — ``use_cross_timestep`` off).
 """
 
 from __future__ import annotations
@@ -53,6 +55,7 @@ class LTX2Model(BaseTpuModel):
     def __init__(self, config: ModelConfig):
         super().__init__(config)
         size = config.model_kwargs.get("size", "full")
+        self.joint_audio = bool(config.model_kwargs.get("joint_audio", False))
         if size == "tiny":
             self.dit_config = WanConfig.tiny()
             self.vae_config = VideoVAEConfig.tiny()
@@ -75,7 +78,22 @@ class LTX2Model(BaseTpuModel):
                 head_dim=240, d_ff=15360, post_norms=True, gemma_gelu=True,
                 scale_embeddings=True,
             )
-        self.dit = WanDiT(self.dit_config)
+        if self.joint_audio:
+            from ai_toolkit_tpu.models.audio_vae import AudioAutoencoderKL, AudioVAEConfig
+            from ai_toolkit_tpu.models.ltx2_av import LTX2AVConfig, LTX2AVDiT
+
+            if size == "tiny":
+                self.av_config = LTX2AVConfig.tiny()
+                self.audio_vae_config = AudioVAEConfig.tiny()
+            else:
+                self.av_config = LTX2AVConfig(video=self.dit_config)
+                # 128-ch audio latents at ~47 latent frames/sec (256x compression
+                # of 48kHz stereo ≈ the reference's mel+VAE total compression)
+                self.audio_vae_config = AudioVAEConfig(latent_channels=128)
+            self.dit = LTX2AVDiT(self.av_config)
+            self.audio_vae = AudioAutoencoderKL(self.audio_vae_config)
+        else:
+            self.dit = WanDiT(self.dit_config)
         self.vae = VideoAutoencoderKL(self.vae_config)
         self.te = LLMEncoder(self.llm_config)
         self.tokenizer = load_tokenizer(
@@ -90,14 +108,31 @@ class LTX2Model(BaseTpuModel):
         n = 8
         patch_dim = cfg.in_channels * pt * ph * pw
         pe = jnp.zeros((1, n, cfg.head_dim // 2, 2, 2))
-        dit_vars = self.dit.init(
-            r_dit, jnp.zeros((1, n, patch_dim)), jnp.zeros((1, 8, cfg.text_dim)),
-            jnp.zeros((1,)), pe, None,
-        )
+        if self.joint_audio:
+            na = 4
+            pe_a = jnp.zeros((1, na, self.av_config.audio_head_dim // 2, 2, 2))
+            dit_vars = self.dit.init(
+                r_dit, jnp.zeros((1, n, patch_dim)),
+                jnp.zeros((1, na, self.av_config.audio_in_channels)),
+                jnp.zeros((1, 8, cfg.text_dim)), jnp.zeros((1,)), pe, pe_a,
+            )
+        else:
+            dit_vars = self.dit.init(
+                r_dit, jnp.zeros((1, n, patch_dim)), jnp.zeros((1, 8, cfg.text_dim)),
+                jnp.zeros((1,)), pe, None,
+            )
         td, sd_ = self.vae_config.temporal_downscale, self.vae_config.spatial_downscale
         vae_vars = self.vae.init(r_vae, jnp.zeros((1, td, 2 * sd_, 2 * sd_, 3)))
         te_vars = self.te.init(r_te, jnp.zeros((1, self.max_txt_len), jnp.int32))
-        return {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
+        out = {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
+        if self.joint_audio:
+            avae = self.audio_vae.init(
+                jax.random.fold_in(r_vae, 3),
+                jnp.zeros((1, 4 * self.audio_vae_config.downscale,
+                           self.audio_vae_config.in_channels)),
+            )
+            out["audio_vae"] = avae["params"]
+        return out
 
     def load_variables(self, rng: jax.Array) -> dict:
         return self.init_variables(rng)
@@ -116,7 +151,10 @@ class LTX2Model(BaseTpuModel):
         return multi_axis_rope(ids, list(cfg.axes_dim))
 
     def predict(self, variables, noisy_latents, t, cond):
-        """noisy_latents: [B, T, h, w, C] video latents (T=1 for images)."""
+        """noisy_latents: [B, T, h, w, C] video latents (T=1 for images).
+
+        Joint audio: when ``cond['noisy_audio']`` ([B, T_a, C_a]) is present,
+        returns (video_pred, audio_pred)."""
         b, tt, hh, ww, c = noisy_latents.shape
         cfg = self.dit_config
         tokens = wan_patchify(noisy_latents, cfg.patch_size)
@@ -124,8 +162,35 @@ class LTX2Model(BaseTpuModel):
         for k in ("lora", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
+        if self.joint_audio:
+            if "noisy_audio" in cond:
+                out_v, out_a = self.dit.apply(
+                    colls, tokens, cond["noisy_audio"], cond["txt"], t,
+                    cond["pe"], cond["pe_audio"],
+                )
+                return wan_unpatchify(out_v, tt, hh, ww, cfg.patch_size, c), out_a
+            # video-only batch on the AV model: single silent audio token
+            xa = jnp.zeros((b, 1, self.av_config.audio_in_channels), tokens.dtype)
+            out_v, _ = self.dit.apply(
+                colls, tokens, xa, cond["txt"], t, cond["pe"], self.audio_rope_table(1)
+            )
+            return wan_unpatchify(out_v, tt, hh, ww, cfg.patch_size, c)
         out = self.dit.apply(colls, tokens, cond["txt"], t, cond["pe"], None)
         return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
+
+    def encode_audio(self, variables, waveform, rng=None):
+        """[B, S, C] waveform -> [B, S/downscale, latent_channels] audio latents."""
+        from ai_toolkit_tpu.models.audio_vae import AudioAutoencoderKL
+
+        return self.audio_vae.apply(
+            {"params": variables["audio_vae"]}, waveform, rng,
+            method=AudioAutoencoderKL.encode,
+        )
+
+    def audio_rope_table(self, n_tokens: int) -> jnp.ndarray:
+        """1D rope over audio latent time (reference audio_rope coords)."""
+        ids = jnp.arange(n_tokens, dtype=jnp.int32)[None, :, None]
+        return multi_axis_rope(ids, [self.av_config.audio_head_dim])
 
     def encode_images(self, variables, images, rng=None):
         if images.ndim == 4:
@@ -156,4 +221,8 @@ class LTX2Model(BaseTpuModel):
         return wan_lora_targets()
 
     def partition_rules(self):
+        if self.joint_audio:
+            from ai_toolkit_tpu.models.ltx2_av import av_partition_rules
+
+            return av_partition_rules(self.dit_config.scan_blocks)
         return wan_partition_rules(self.dit_config.scan_blocks)

@@ -112,7 +112,22 @@ def make_train_step(
 
         variables = merge_variables(model_variables, trainable)
         cond = batch.get("cond", {})
+
+        # joint audio-video stream (LTX-2 a2v, reference ltx2.py:945-1079):
+        # audio latents get their own noise at the SAME sigma; the model
+        # returns (video_pred, audio_pred) and both streams hit the target.
+        audio_target = None
+        if "audio_latents" in batch:
+            a_lat = batch["audio_latents"]
+            noise_a = jax.random.normal(jax.random.fold_in(rng_n, 1), a_lat.shape, a_lat.dtype)
+            noisy_a = schedule.add_noise(a_lat, noise_a, t)
+            audio_target = schedule.target(a_lat, noise_a, t)
+            cond = {**cond, "noisy_audio": noisy_a}
+
         pred = predict_fn(variables, noisy, t, cond)
+        audio_pred = None
+        if audio_target is not None:
+            pred, audio_pred = pred
         if cfg.do_cfg and "neg_cond" in batch:
             # CFG-trained negatives (reference train.do_cfg): regress the
             # guidance-combined prediction so sampling at cfg_scale is baked in
@@ -145,6 +160,13 @@ def make_train_step(
         )
         if cfg.diff_output_preservation and prior_pred is not None:
             loss = loss + diff_output_preservation_loss(pred, prior_pred, cfg.dop_multiplier)
+        if audio_pred is not None:
+            audio_loss, _ = compute_loss(
+                audio_pred, audio_target, loss_type=cfg.loss_type, huber_c=cfg.huber_c,
+                timestep_weights=tw, loss_multiplier=batch.get("loss_multiplier"),
+            )
+            loss = loss + audio_loss
+            aux = {**aux, "audio_loss": audio_loss}
         return loss, aux
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
