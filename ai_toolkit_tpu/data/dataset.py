@@ -218,9 +218,16 @@ class FolderDataset:
                     paths.append((os.path.join(root, f), "video"))
                 elif lf.endswith(AUDIO_EXTS):
                     paths.append((os.path.join(root, f), "audio"))
-        if self.cfg.do_audio:
-            # sidecar audio belongs to its video (joint AV), not the item list
-            video_stems = {os.path.splitext(p)[0] for p, k in paths if k == "video"}
+        video_stems = {os.path.splitext(p)[0] for p, k in paths if k == "video"}
+        if video_stems and any(
+            k == "audio" and os.path.splitext(p)[0] in video_stems for p, k in paths
+        ):
+            # sidecar audio belongs to its video (joint AV), never the item
+            # list — even when do_audio is off (a stray standalone-audio item
+            # would otherwise hit the video VAE with 2D data)
+            if not self.cfg.do_audio:
+                print(f"dataset {folder}: ignoring sidecar audio files "
+                      "(set do_audio: true to train the joint AV stream)")
             paths = [
                 (p, k) for p, k in paths
                 if not (k == "audio" and os.path.splitext(p)[0] in video_stems)

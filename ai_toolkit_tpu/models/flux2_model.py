@@ -68,6 +68,7 @@ class Flux2Model(BaseTpuModel):
             self.dit_config = FluxConfig(**{
                 **base.__dict__, "mlp_ratio": 3.0, "theta": 2000.0,
                 "axes_dim": (4, 4, 4, 4), "context_dim": 2 * 64,
+                "gated_mlp": True,
             })
             self.vae_config = VAEConfig.tiny()
             self.llm_config = LLMConfig.tiny(collect_layers=(0, 1))
@@ -79,7 +80,7 @@ class Flux2Model(BaseTpuModel):
                 in_channels=128, hidden_size=h, num_heads=nh, head_dim=128,
                 depth_double=dd, depth_single=ds, context_dim=ctx, vec_dim=256,
                 mlp_ratio=3.0, theta=2000.0, axes_dim=(32, 32, 32, 32),
-                guidance_embed=guid,
+                guidance_embed=guid, gated_mlp=True,
             )
             # FLUX.2 uses a 32-ch VAE (packed 2x2 -> 128 in_channels)
             self.vae_config = VAEConfig(
@@ -123,6 +124,13 @@ class Flux2Model(BaseTpuModel):
         return {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
 
     def load_variables(self, rng: jax.Array) -> dict:
+        import os
+
+        path = self.config.name_or_path
+        if path and os.path.exists(path):
+            from ai_toolkit_tpu.io.dit_importers import load_flux2_checkpoint
+
+            return load_flux2_checkpoint(path, self)
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:

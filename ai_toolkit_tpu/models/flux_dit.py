@@ -62,6 +62,9 @@ class FluxConfig:
     # 0 disables (dense GELU MLP, flux semantics).
     moe_experts: int = 0
     moe_top_k: int = 2
+    # FLUX.2 MLP: mlp_in emits 2x width, silu(x1)*x2 gate (vendored flux2
+    # src/model.py SiLUActivation); single-block linear1 widens accordingly
+    gated_mlp: bool = False
 
     @classmethod
     def dev(cls) -> "FluxConfig":
@@ -180,9 +183,15 @@ def _ffn(cfg: FluxConfig, x, name: str):
     if cfg.moe_experts > 0:
         return MoEFFN(cfg.hidden_size, mlp_dim, cfg.moe_experts, cfg.moe_top_k,
                       cfg.dtype, cfg.param_dtype, name=f"{name}_moe")(x)
-    h = Linear(mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_in")(x)
+    if cfg.gated_mlp:
+        h = Linear(2 * mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_in")(x)
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        act = jax.nn.silu(x1) * x2
+    else:
+        h = Linear(mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_in")(x)
+        act = jax.nn.gelu(h, approximate=True)
     return Linear(cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_out")(
-        jax.nn.gelu(h, approximate=True)
+        act
     )
 
 
@@ -269,12 +278,18 @@ class SingleBlock(nn.Module):
         xn = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="pre_norm")(x), shift, scale)
         b, s, _ = xn.shape
         # fused qkv + mlp-in projection (flux single-stream trick -> one big MXU matmul)
-        lin1 = Linear(h * 3 + mlp_dim, dtype=dt, param_dtype=pdt, name="linear1")(xn)
+        mlp_w = 2 * mlp_dim if cfg.gated_mlp else mlp_dim
+        lin1 = Linear(h * 3 + mlp_w, dtype=dt, param_dtype=pdt, name="linear1")(xn)
         qkv, mlp = lin1[..., : h * 3], lin1[..., h * 3 :]
         q, k, v = jnp.split(qkv.reshape(b, s, 3 * nh, hd), 3, axis=2)
         q, k = QKNorm(hd, dt, name="qknorm")(q, k)
         attn = _attend(q, k, v, pe, mask)
-        out = jnp.concatenate([attn.reshape(b, s, nh * hd), jax.nn.gelu(mlp, approximate=True)], axis=-1)
+        if cfg.gated_mlp:
+            m1, m2 = jnp.split(mlp, 2, axis=-1)
+            act = jax.nn.silu(m1) * m2
+        else:
+            act = jax.nn.gelu(mlp, approximate=True)
+        out = jnp.concatenate([attn.reshape(b, s, nh * hd), act], axis=-1)
         return x + gate[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="linear2")(out)
 
 

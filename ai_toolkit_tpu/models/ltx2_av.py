@@ -69,15 +69,18 @@ class LTX2AVConfig:
 
 
 def _attn(h_q, h_kv, d_q, d_inner, d_out, nh, name, dt, pdt, pe_q=None, pe_k=None):
-    """One attention sub-layer: returns the output projection input→d_out."""
+    """One attention sub-layer: returns the output projection input→d_out.
+    QK RMSNorm is across-heads (ltx/wan `rms_norm_across_heads` semantics)."""
     b, n, _ = h_q.shape
     s = h_kv.shape[1]
     hd = d_inner // nh
-    q = Linear(d_inner, dtype=dt, param_dtype=pdt, name=f"{name}_q")(h_q).reshape(b, n, nh, hd)
-    k = Linear(d_inner, dtype=dt, param_dtype=pdt, name=f"{name}_k")(h_kv).reshape(b, s, nh, hd)
+    q = RMSNorm(d_inner, dtype=dt, name=f"{name}_q_norm")(
+        Linear(d_inner, dtype=dt, param_dtype=pdt, name=f"{name}_q")(h_q)
+    ).reshape(b, n, nh, hd)
+    k = RMSNorm(d_inner, dtype=dt, name=f"{name}_k_norm")(
+        Linear(d_inner, dtype=dt, param_dtype=pdt, name=f"{name}_k")(h_kv)
+    ).reshape(b, s, nh, hd)
     v = Linear(d_inner, dtype=dt, param_dtype=pdt, name=f"{name}_v")(h_kv).reshape(b, s, nh, hd)
-    q = RMSNorm(hd, dtype=dt, name=f"{name}_q_norm")(q)
-    k = RMSNorm(hd, dtype=dt, name=f"{name}_k_norm")(k)
     if pe_q is not None:
         q = apply_rope(q, pe_q)
     if pe_k is not None:

@@ -135,6 +135,13 @@ class LTX2Model(BaseTpuModel):
         return out
 
     def load_variables(self, rng: jax.Array) -> dict:
+        import os
+
+        path = self.config.name_or_path
+        if path and (os.path.isdir(os.path.join(path, "transformer")) or os.path.isfile(path)):
+            from ai_toolkit_tpu.io.dit_importers import load_ltx2_checkpoint
+
+            return load_ltx2_checkpoint(path, self)
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:

@@ -68,8 +68,9 @@ class WanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, context, e, pe):
-        """x: [B,N,dim]; context: [B,S,dim]; e: [B,6,dim] modulation; pe: rope."""
+    def __call__(self, x, context, e, pe, context_img=None):
+        """x: [B,N,dim]; context: [B,S,dim]; e: [B,6,dim] modulation; pe: rope;
+        context_img: [B,S_img,dim] i2v image tokens (decoupled KV)."""
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         d, nh, hd = cfg.dim, cfg.num_heads, cfg.head_dim
@@ -81,14 +82,18 @@ class WanBlock(nn.Module):
         ]
 
         b, n, _ = x.shape
-        # self attention with 3D rope
+        # self attention with 3D rope. QK RMSNorm is across-heads (full inner
+        # dim) — wan/diffusers `qk_norm="rms_norm_across_heads"` semantics, so
+        # checkpoint norm scales ([dim]) import exactly.
         h = LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="norm1")(x)
         h = h * (1 + scale_sa) + shift_sa
-        q = Linear(d, dtype=dt, param_dtype=pdt, name="self_q")(h).reshape(b, n, nh, hd)
-        k = Linear(d, dtype=dt, param_dtype=pdt, name="self_k")(h).reshape(b, n, nh, hd)
+        q = RMSNorm(d, dtype=dt, name="self_q_norm")(
+            Linear(d, dtype=dt, param_dtype=pdt, name="self_q")(h)
+        ).reshape(b, n, nh, hd)
+        k = RMSNorm(d, dtype=dt, name="self_k_norm")(
+            Linear(d, dtype=dt, param_dtype=pdt, name="self_k")(h)
+        ).reshape(b, n, nh, hd)
         v = Linear(d, dtype=dt, param_dtype=pdt, name="self_v")(h).reshape(b, n, nh, hd)
-        q = RMSNorm(hd, dtype=dt, name="self_q_norm")(q)
-        k = RMSNorm(hd, dtype=dt, name="self_k_norm")(k)
         attn = dot_product_attention(apply_rope(q, pe), apply_rope(k, pe), v)
         x = x + gate_sa * Linear(d, dtype=dt, param_dtype=pdt, name="self_o")(
             attn.reshape(b, n, d)
@@ -97,12 +102,25 @@ class WanBlock(nn.Module):
         # cross attention to text (no rope, no modulation — wan convention)
         h = LayerNorm(dtype=dt, name="norm2")(x)
         s = context.shape[1]
-        q = Linear(d, dtype=dt, param_dtype=pdt, name="cross_q")(h).reshape(b, n, nh, hd)
-        k = Linear(d, dtype=dt, param_dtype=pdt, name="cross_k")(context).reshape(b, s, nh, hd)
+        q = RMSNorm(d, dtype=dt, name="cross_q_norm")(
+            Linear(d, dtype=dt, param_dtype=pdt, name="cross_q")(h)
+        ).reshape(b, n, nh, hd)
+        k = RMSNorm(d, dtype=dt, name="cross_k_norm")(
+            Linear(d, dtype=dt, param_dtype=pdt, name="cross_k")(context)
+        ).reshape(b, s, nh, hd)
         v = Linear(d, dtype=dt, param_dtype=pdt, name="cross_v")(context).reshape(b, s, nh, hd)
-        q = RMSNorm(hd, dtype=dt, name="cross_q_norm")(q)
-        k = RMSNorm(hd, dtype=dt, name="cross_k_norm")(k)
         attn = dot_product_attention(q, k, v)
+        if cfg.i2v and context_img is not None:
+            # decoupled image KV (diffusers wan add_k_proj/add_v_proj): a
+            # second softmax over the image tokens, summed with the text attn
+            si = context_img.shape[1]
+            ki = RMSNorm(d, dtype=dt, name="cross_k_img_norm")(
+                Linear(d, dtype=dt, param_dtype=pdt, name="cross_k_img")(context_img)
+            ).reshape(b, si, nh, hd)
+            vi = Linear(d, dtype=dt, param_dtype=pdt, name="cross_v_img")(
+                context_img
+            ).reshape(b, si, nh, hd)
+            attn = attn + dot_product_attention(q, ki, vi)
         x = x + Linear(d, dtype=dt, param_dtype=pdt, name="cross_o")(attn.reshape(b, n, d))
 
         # ffn
@@ -117,8 +135,8 @@ class _WanCarry(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, context, e, pe):
-        return WanBlock(self.cfg, name="block")(x, context, e, pe), None
+    def __call__(self, x, context, e, pe, context_img=None):
+        return WanBlock(self.cfg, name="block")(x, context, e, pe, context_img), None
 
 
 class WanDiT(nn.Module):
@@ -142,10 +160,14 @@ class WanDiT(nn.Module):
         x = Linear(d, dtype=dt, param_dtype=pdt, name="patch_embedding")(x)
         ctx = Linear(d, dtype=dt, param_dtype=pdt, name="text_embedding_in")(context.astype(dt))
         ctx = Linear(d, dtype=dt, param_dtype=pdt, name="text_embedding_out")(nn.gelu(ctx))
+        ic = None
         if cfg.i2v and img_cond is not None:
-            ic = Linear(d, dtype=dt, param_dtype=pdt, name="img_emb_in")(img_cond.astype(dt))
+            # wan i2v MLPProj: LN -> Linear -> GELU -> Linear -> LN (diffusers
+            # WanImageEmbedding norm1/ff/norm2), importable 1:1
+            ic = LayerNorm(dtype=dt, name="img_emb_norm1")(img_cond.astype(dt))
+            ic = Linear(cfg.img_cond_dim, dtype=dt, param_dtype=pdt, name="img_emb_in")(ic)
             ic = Linear(d, dtype=dt, param_dtype=pdt, name="img_emb_out")(nn.gelu(ic))
-            ctx = jnp.concatenate([ic, ctx], axis=1)
+            ic = LayerNorm(dtype=dt, name="img_emb_norm2")(ic)
 
         temb = timestep_embedding(t, cfg.freq_dim).astype(dt)
         temb = Linear(d, dtype=dt, param_dtype=pdt, name="time_fc1")(temb)
@@ -160,20 +182,20 @@ class WanDiT(nn.Module):
                 length=cfg.num_layers,
                 variable_axes={"params": 0, "lora": 0, "lokr": 0, "dora": 0, "quant": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast,) * 4,
                 metadata_params={nn.PARTITION_NAME: None},
-            )(cfg, name="blocks")(x, ctx, e, pe)
+            )(cfg, name="blocks")(x, ctx, e, pe, ic)
         else:
             Block = nn.remat(WanBlock) if cfg.remat else WanBlock
             for i in range(cfg.num_layers):
-                x = Block(cfg, name=f"block_{i}")(x, ctx, e, pe)
+                x = Block(cfg, name=f"block_{i}")(x, ctx, e, pe, ic)
 
-        # head: adaLN (2 mods) + linear to patch_dim
+        # head: adaLN (2 mods) + linear to patch_dim. Wan-exact form: the
+        # learned table plus the raw time embedding (diffusers
+        # WanTransformer3DModel head `scale_shift_table + temb`), so
+        # checkpoint import is numerics-preserving.
         head_mod = self.param("head_modulation", nn.initializers.normal(0.02), (2, d), jnp.float32)
-        he = (
-            Linear(d * 2, dtype=dt, param_dtype=pdt, name="head_time")(nn.silu(temb)).reshape(-1, 2, d)
-            + head_mod[None]
-        ).astype(dt)
+        he = (head_mod[None] + temb.astype(jnp.float32)[:, None]).astype(dt)
         h = LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="head_norm")(x)
         h = h * (1 + he[:, 1][:, None]) + he[:, 0][:, None]
         return Linear(patch_dim, dtype=dt, param_dtype=pdt, name="head_out")(h)
