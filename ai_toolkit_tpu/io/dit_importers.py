@@ -287,6 +287,203 @@ def _set(tree: dict, path: str, v):
     node[parts[-1]] = v
 
 
+# ---------------------------------------------------------------- hidream
+
+
+def hidream_dit_tree(flat: dict[str, np.ndarray], cfg) -> tuple[dict, list[str]]:
+    """HiDream transformer (vendored reference layout,
+    ``extensions_built_in/diffusion_models/hidream/src/models/``) -> FluxDiT
+    MoE tree. Per-block text projections (caption_projection.*) have no slot
+    here (we project text once) and are returned unmatched."""
+    flat = {k.removeprefix("model.diffusion_model."): v for k, v in flat.items()}
+    used: set[str] = set()
+    tree: dict = {}
+
+    def take(k):
+        used.add(k)
+        return np.asarray(flat[k])
+
+    def has(k):
+        return k in flat
+
+    def lin(src, dst):
+        _set(tree, dst + "/kernel", np.ascontiguousarray(take(src + ".weight").T))
+        if has(src + ".bias"):
+            _set(tree, dst + "/bias", take(src + ".bias"))
+
+    for src, dst in (
+        ("t_embedder.timestep_embedder.linear_1", "time_in/in_layer"),
+        ("t_embedder.timestep_embedder.linear_2", "time_in/out_layer"),
+        ("p_embedder.pooled_embedder.linear_1", "vector_in/in_layer"),
+        ("p_embedder.pooled_embedder.linear_2", "vector_in/out_layer"),
+        ("x_embedder.proj", "img_in"),
+        ("final_layer.linear", "final_proj"),
+        ("final_layer.adaLN_modulation.1", "final_mod"),
+    ):
+        if has(src + ".weight"):
+            lin(src, dst)
+
+    d = cfg.hidden_size
+
+    def fuse(prefix, names, dst):
+        kw = np.concatenate([take(f"{prefix}{n}.weight").T for n in names], axis=-1)
+        _set(tree, dst + "/kernel", np.ascontiguousarray(kw))
+        if has(f"{prefix}{names[0]}.bias"):
+            _set(tree, dst + "/bias",
+                 np.concatenate([take(f"{prefix}{n}.bias") for n in names]))
+
+    def swiglu(prefix, dst):
+        for w in ("w1", "w2", "w3"):
+            _set(tree, f"{dst}/{w}/kernel", np.ascontiguousarray(take(f"{prefix}.{w}.weight").T))
+
+    def moe(prefix, dst, n_experts):
+        _set(tree, f"{dst}/gate/kernel", np.ascontiguousarray(take(f"{prefix}.gate.weight").T))
+        for w in ("w1", "w2", "w3"):
+            stk = np.stack([take(f"{prefix}.experts.{e}.{w}.weight").T for e in range(n_experts)])
+            _set(tree, f"{dst}/experts/{w}/kernel", np.ascontiguousarray(stk))
+        swiglu(f"{prefix}.shared_experts", f"{dst}/shared")
+
+    def block_prefix(kind, i):
+        return f"{kind}_stream_blocks.{i}.block."
+
+    dbl: dict[int, dict] = {}
+    for i in range(cfg.depth_double):
+        p = block_prefix("double", i)
+        if not has(p + "attn1.to_q.weight"):
+            continue
+        sub: dict = {}
+
+        def bset(path, v, sub=sub):
+            _set(sub, path, v)
+
+        # adaLN 12*d -> img_mod (first 6d) + txt_mod (last 6d)
+        w = take(p + "adaLN_modulation.1.weight").T  # [d, 12d]
+        b = take(p + "adaLN_modulation.1.bias")
+        bset("img_mod/mod/kernel", np.ascontiguousarray(w[:, : 6 * d]))
+        bset("txt_mod/mod/kernel", np.ascontiguousarray(w[:, 6 * d:]))
+        bset("img_mod/mod/bias", b[: 6 * d])
+        bset("txt_mod/mod/bias", b[6 * d:])
+        for stream, names, qn, proj in (
+            ("img", ("attn1.to_q", "attn1.to_k", "attn1.to_v"), "attn1.q_rms_norm", "attn1.to_out"),
+            ("txt", ("attn1.to_q_t", "attn1.to_k_t", "attn1.to_v_t"), "attn1.q_rms_norm_t", "attn1.to_out_t"),
+        ):
+            kw = np.concatenate([take(p + n + ".weight").T for n in names], axis=-1)
+            bset(f"{stream}_qkv/kernel", np.ascontiguousarray(kw))
+            if has(p + names[0] + ".bias"):
+                bset(f"{stream}_qkv/bias", np.concatenate([take(p + n + ".bias") for n in names]))
+            bset(f"{stream}_qknorm/query_norm/scale", take(p + qn + ".weight"))
+            bset(f"{stream}_qknorm/key_norm/scale", take(p + qn.replace("q_rms", "k_rms") + ".weight"))
+            bset(f"{stream}_proj/kernel", np.ascontiguousarray(take(p + proj + ".weight").T))
+            if has(p + proj + ".bias"):
+                bset(f"{stream}_proj/bias", take(p + proj + ".bias"))
+        # image stream: MoE; text stream: dense SwiGLU (ff_t)
+        _set_into(sub, "img_mlp_moe", _moe_tree(flat, used, p + "ff_i", cfg.moe_experts))
+        _set_into(sub, "txt_mlp_swiglu", _swiglu_tree(flat, used, p + "ff_t"))
+        dbl[i] = sub
+
+    sgl: dict[int, dict] = {}
+    for i in range(cfg.depth_single):
+        p = block_prefix("single", i)
+        if not has(p + "attn1.to_q.weight"):
+            continue
+        sub = {}
+        w = take(p + "adaLN_modulation.1.weight").T
+        _set(sub, "mod/mod/kernel", np.ascontiguousarray(w))
+        _set(sub, "mod/mod/bias", take(p + "adaLN_modulation.1.bias"))
+        kw = np.concatenate(
+            [take(p + f"attn1.to_{n}.weight").T for n in ("q", "k", "v")], axis=-1
+        )
+        _set(sub, "qkv/kernel", np.ascontiguousarray(kw))
+        if has(p + "attn1.to_q.bias"):
+            _set(sub, "qkv/bias",
+                 np.concatenate([take(p + f"attn1.to_{n}.bias") for n in ("q", "k", "v")]))
+        _set(sub, "qknorm/query_norm/scale", take(p + "attn1.q_rms_norm.weight"))
+        _set(sub, "qknorm/key_norm/scale", take(p + "attn1.k_rms_norm.weight"))
+        _set(sub, "proj/kernel", np.ascontiguousarray(take(p + "attn1.to_out.weight").T))
+        if has(p + "attn1.to_out.bias"):
+            _set(sub, "proj/bias", take(p + "attn1.to_out.bias"))
+        _set_into(sub, "mlp_moe", _moe_tree(flat, used, p + "ff_i", cfg.moe_experts))
+        sgl[i] = sub
+
+    def emit(blocks: dict[int, dict], scan_path: str, loop_fmt: str):
+        if not blocks:
+            return
+        if cfg.scan_blocks:
+            idxs = sorted(blocks)
+            leaves: dict[str, list] = {}
+            for i in idxs:
+                for pth, v in _flatten(blocks[i]).items():
+                    leaves.setdefault(pth, []).append(v)
+            for pth, vals in leaves.items():
+                _set(tree, f"{scan_path}/{pth}", np.stack(vals))
+        else:
+            for i, sub in blocks.items():
+                for pth, v in _flatten(sub).items():
+                    _set(tree, loop_fmt.format(i) + "/" + pth, v)
+
+    emit(dbl, "double_blocks/block", "double_{0}")
+    emit(sgl, "single_blocks/block", "single_{0}")
+    unmatched = [k for k in flat if k not in used]
+    return tree, unmatched
+
+
+def _swiglu_tree(flat, used, prefix):
+    out = {}
+    for w in ("w1", "w2", "w3"):
+        k = f"{prefix}.{w}.weight"
+        used.add(k)
+        out[w] = {"kernel": np.ascontiguousarray(np.asarray(flat[k]).T)}
+    return out
+
+
+def _moe_tree(flat, used, prefix, n_experts):
+    out = {"gate": {}, "experts": {}, "shared": _swiglu_tree(flat, used, f"{prefix}.shared_experts")}
+    k = f"{prefix}.gate.weight"
+    used.add(k)
+    out["gate"]["kernel"] = np.ascontiguousarray(np.asarray(flat[k]).T)
+    for w in ("w1", "w2", "w3"):
+        vals = []
+        for e in range(n_experts):
+            k = f"{prefix}.experts.{e}.{w}.weight"
+            used.add(k)
+            vals.append(np.asarray(flat[k]).T)
+        out["experts"][w] = {"kernel": np.ascontiguousarray(np.stack(vals))}
+    return out
+
+
+def _set_into(tree: dict, key: str, sub: dict):
+    tree[key] = sub
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def load_hidream_checkpoint(path: str, model) -> dict:
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        tree, unmatched = hidream_dit_tree(flat, model.dit_config)
+        if unmatched:
+            print(f"hidream import: {len(unmatched)} unmatched (per-block "
+                  f"caption projections land here by design; e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "hidream dit")
+    return variables
+
+
 # ---------------------------------------------------------------- loaders
 
 

@@ -65,6 +65,13 @@ class FluxConfig:
     # FLUX.2 MLP: mlp_in emits 2x width, silu(x1)*x2 gate (vendored flux2
     # src/model.py SiLUActivation); single-block linear1 widens accordingly
     gated_mlp: bool = False
+    # hidream semantics: QK RMSNorm over the full inner dim (not per head,
+    # reference src/models/attention.py q_rms_norm = RMSNorm(inner_dim));
+    # makes norm scales import 1:1 from hidream checkpoints
+    qk_norm_across_heads: bool = False
+    # explicit shared-expert width (hidream rounds 2/3*hidden to x256
+    # separately for routed and shared; 0 -> mlp_dim // 2)
+    moe_shared_hidden: int = 0
 
     @classmethod
     def dev(cls) -> "FluxConfig":
@@ -153,6 +160,7 @@ class MoEFFN(nn.Module):
     top_k: int
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    shared_hidden: int = 0  # 0 -> hidden // 2
 
     @nn.compact
     def __call__(self, x):
@@ -174,15 +182,23 @@ class MoEFFN(nn.Module):
         )
         outs = ExpertBank(self.dim, self.hidden, self.dtype, self.param_dtype, name="experts")(x)
         routed = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), gates).astype(x.dtype)
-        return routed + SwiGLU(self.dim, self.hidden // 2, self.dtype, self.param_dtype, name="shared")(x)
+        sh = self.shared_hidden or self.hidden // 2
+        return routed + SwiGLU(self.dim, sh, self.dtype, self.param_dtype, name="shared")(x)
 
 
-def _ffn(cfg: FluxConfig, x, name: str):
-    """Block FFN: flux dense GELU MLP, or MoE SwiGLU when cfg.moe_experts > 0."""
+def _ffn(cfg: FluxConfig, x, name: str, moe: bool = True):
+    """Block FFN: flux dense GELU MLP, or MoE SwiGLU when cfg.moe_experts > 0.
+
+    moe=False on a MoE config gives a dense SwiGLU at the routed width —
+    hidream's text-stream FFN (ff_t) is dense while the image stream routes."""
     mlp_dim = int(cfg.hidden_size * cfg.mlp_ratio)
     if cfg.moe_experts > 0:
+        if not moe:
+            return SwiGLU(cfg.hidden_size, mlp_dim, cfg.dtype, cfg.param_dtype,
+                          name=f"{name}_swiglu")(x)
         return MoEFFN(cfg.hidden_size, mlp_dim, cfg.moe_experts, cfg.moe_top_k,
-                      cfg.dtype, cfg.param_dtype, name=f"{name}_moe")(x)
+                      cfg.dtype, cfg.param_dtype, shared_hidden=cfg.moe_shared_hidden,
+                      name=f"{name}_moe")(x)
     if cfg.gated_mlp:
         h = Linear(2 * mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_in")(x)
         x1, x2 = jnp.split(h, 2, axis=-1)
@@ -218,6 +234,11 @@ class DoubleBlock(nn.Module):
         def qkv(x, prefix):
             b, s, _ = x.shape
             out = Linear(h * 3, dtype=dt, param_dtype=pdt, name=f"{prefix}_qkv")(x)
+            if cfg.qk_norm_across_heads:
+                q, k, v = jnp.split(out, 3, axis=-1)
+                q, k = QKNorm(h, dt, name=f"{prefix}_qknorm")(q, k)
+                return (q.reshape(b, s, nh, hd), k.reshape(b, s, nh, hd),
+                        v.reshape(b, s, nh, hd))
             q, k, v = jnp.split(out.reshape(b, s, 3 * nh, hd), 3, axis=2)
             q, k = QKNorm(hd, dt, name=f"{prefix}_qknorm")(q, k)
             return q, k, v
@@ -245,7 +266,7 @@ class DoubleBlock(nn.Module):
             t_attn.reshape(b, -1, nh * hd)
         )
         txt_m = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="txt_norm2")(txt), t_shift2, t_scale2)
-        txt = txt + t_gate2[:, None] * _ffn(cfg, txt_m, "txt_mlp")
+        txt = txt + t_gate2[:, None] * _ffn(cfg, txt_m, "txt_mlp", moe=False)
         return img, txt
 
 
@@ -266,8 +287,13 @@ class SingleBlock(nn.Module):
             xn = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="pre_norm")(x), shift1, scale1)
             b, s, _ = xn.shape
             qkv = Linear(h * 3, dtype=dt, param_dtype=pdt, name="qkv")(xn)
-            q, k, v = jnp.split(qkv.reshape(b, s, 3 * nh, hd), 3, axis=2)
-            q, k = QKNorm(hd, dt, name="qknorm")(q, k)
+            if cfg.qk_norm_across_heads:
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                q, k = QKNorm(h, dt, name="qknorm")(q, k)
+                q, k, v = (t.reshape(b, s, nh, hd) for t in (q, k, v))
+            else:
+                q, k, v = jnp.split(qkv.reshape(b, s, 3 * nh, hd), 3, axis=2)
+                q, k = QKNorm(hd, dt, name="qknorm")(q, k)
             attn = _attend(q, k, v, pe, mask)
             x = x + gate1[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="proj")(
                 attn.reshape(b, s, nh * hd)

@@ -65,7 +65,7 @@ class HiDreamModel(BaseTpuModel):
             base = FluxConfig.tiny()
             self.dit_config = FluxConfig(**{
                 **base.__dict__, "depth_double": 1, "depth_single": 1, "guidance_embed": False,
-                "moe_experts": 4, "moe_top_k": 2,
+                "moe_experts": 4, "moe_top_k": 2, "qk_norm_across_heads": True,
             })
             self.vae_config = VAEConfig.tiny()
             self.clip_config = CLIPTextConfig.tiny()
@@ -74,11 +74,15 @@ class HiDreamModel(BaseTpuModel):
             self.llm_config = LLMConfig.tiny(d_model=64)
             self.max_txt_len = 16
         else:
+            # FFN widths follow the reference's SwiGLU rounding exactly
+            # (attention.py:86-92): routed = 256*ceil(2/3*4d/256) = 6912,
+            # shared = 256*ceil(2/3*2d/256) = 3584 for d=2560
             self.dit_config = FluxConfig(
                 in_channels=64, hidden_size=2560, num_heads=20, head_dim=128,
                 depth_double=16, depth_single=32, context_dim=4096, vec_dim=2048,
                 guidance_embed=False, axes_dim=(16, 56, 56),
-                moe_experts=4, moe_top_k=2,
+                moe_experts=4, moe_top_k=2, mlp_ratio=6912 / 2560,
+                moe_shared_hidden=3584, qk_norm_across_heads=True,
             )
             self.vae_config = VAEConfig.flux()
             self.clip_config = CLIPTextConfig.clip_l()
@@ -127,6 +131,13 @@ class HiDreamModel(BaseTpuModel):
         }
 
     def load_variables(self, rng: jax.Array) -> dict:
+        import os
+
+        path = self.config.name_or_path
+        if path and (os.path.isdir(os.path.join(path, "transformer")) or os.path.isfile(path)):
+            from ai_toolkit_tpu.io.dit_importers import load_hidream_checkpoint
+
+            return load_hidream_checkpoint(path, self)
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:

@@ -158,6 +158,107 @@ def test_ltx2_import_placement():
         assert k in init and tuple(init[k].shape) == tuple(v.shape), k
 
 
+def test_hidream_import_moe_and_attention():
+    from ai_toolkit_tpu.io.dit_importers import hidream_dit_tree
+
+    model = get_model_class("hidream")(
+        ModelConfig(arch="hidream", model_kwargs={"size": "tiny"})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    cfg = model.dit_config
+    rng = np.random.default_rng(4)
+    init = _leaves(variables["dit"])
+    h = cfg.hidden_size
+    mlp = int(h * cfg.mlp_ratio)
+    sh = cfg.moe_shared_hidden or mlp // 2
+    E = cfg.moe_experts
+
+    flat = {}
+
+    def lin(key, kern_path, bias=True):
+        flat[key + ".weight"] = rng.normal(size=init[kern_path].shape[::-1]).astype(np.float32)
+        if bias and kern_path.replace("/kernel", "/bias") in init:
+            flat[key + ".bias"] = rng.normal(
+                size=init[kern_path.replace("/kernel", "/bias")].shape
+            ).astype(np.float32)
+
+    lin("t_embedder.timestep_embedder.linear_1", "time_in/in_layer/kernel")
+    lin("t_embedder.timestep_embedder.linear_2", "time_in/out_layer/kernel")
+    lin("p_embedder.pooled_embedder.linear_1", "vector_in/in_layer/kernel")
+    lin("p_embedder.pooled_embedder.linear_2", "vector_in/out_layer/kernel")
+    lin("x_embedder.proj", "img_in/kernel")
+    lin("final_layer.linear", "final_proj/kernel")
+    lin("final_layer.adaLN_modulation.1", "final_mod/kernel")
+
+    def swiglu(prefix, inner):
+        flat[prefix + ".w1.weight"] = rng.normal(size=(inner, h)).astype(np.float32)
+        flat[prefix + ".w2.weight"] = rng.normal(size=(h, inner)).astype(np.float32)
+        flat[prefix + ".w3.weight"] = rng.normal(size=(inner, h)).astype(np.float32)
+
+    for i in range(cfg.depth_double):
+        p = f"double_stream_blocks.{i}.block."
+        flat[p + "adaLN_modulation.1.weight"] = rng.normal(size=(12 * h, h)).astype(np.float32)
+        flat[p + "adaLN_modulation.1.bias"] = rng.normal(size=(12 * h,)).astype(np.float32)
+        for n in ("to_q", "to_k", "to_v", "to_q_t", "to_k_t", "to_v_t"):
+            flat[p + f"attn1.{n}.weight"] = rng.normal(size=(h, h)).astype(np.float32)
+            flat[p + f"attn1.{n}.bias"] = rng.normal(size=(h,)).astype(np.float32)
+        for n in ("to_out", "to_out_t"):
+            flat[p + f"attn1.{n}.weight"] = rng.normal(size=(h, h)).astype(np.float32)
+            flat[p + f"attn1.{n}.bias"] = rng.normal(size=(h,)).astype(np.float32)
+        for n in ("q_rms_norm", "k_rms_norm", "q_rms_norm_t", "k_rms_norm_t"):
+            flat[p + f"attn1.{n}.weight"] = rng.normal(size=(h,)).astype(np.float32)
+        flat[p + "ff_i.gate.weight"] = rng.normal(size=(E, h)).astype(np.float32)
+        for e in range(E):
+            swiglu(p + f"ff_i.experts.{e}", mlp)
+        swiglu(p + "ff_i.shared_experts", sh)
+        swiglu(p + "ff_t", mlp)
+    for i in range(cfg.depth_single):
+        p = f"single_stream_blocks.{i}.block."
+        flat[p + "adaLN_modulation.1.weight"] = rng.normal(size=(6 * h, h)).astype(np.float32)
+        flat[p + "adaLN_modulation.1.bias"] = rng.normal(size=(6 * h,)).astype(np.float32)
+        for n in ("to_q", "to_k", "to_v", "to_out"):
+            flat[p + f"attn1.{n}.weight"] = rng.normal(size=(h, h)).astype(np.float32)
+            flat[p + f"attn1.{n}.bias"] = rng.normal(size=(h,)).astype(np.float32)
+        for n in ("q_rms_norm", "k_rms_norm"):
+            flat[p + f"attn1.{n}.weight"] = rng.normal(size=(h,)).astype(np.float32)
+        flat[p + "ff_i.gate.weight"] = rng.normal(size=(E, h)).astype(np.float32)
+        for e in range(E):
+            swiglu(p + f"ff_i.experts.{e}", mlp)
+        swiglu(p + "ff_i.shared_experts", sh)
+
+    tree, unmatched = hidream_dit_tree(flat, cfg)
+    assert unmatched == [], unmatched
+    got = _leaves(tree)
+    # fused qkv: q|k|v column order
+    q = flat["double_stream_blocks.0.block.attn1.to_q.weight"].T
+    np.testing.assert_array_equal(got["double_0/img_qkv/kernel"][:, :h], q)
+    # adaLN split: first 6d -> img_mod, last 6d -> txt_mod
+    w = flat["double_stream_blocks.0.block.adaLN_modulation.1.weight"].T
+    np.testing.assert_array_equal(got["double_0/img_mod/mod/kernel"], w[:, : 6 * h])
+    np.testing.assert_array_equal(got["double_0/txt_mod/mod/kernel"], w[:, 6 * h:])
+    # expert stacking: [E, in, hidden]
+    np.testing.assert_array_equal(
+        got["double_0/img_mlp_moe/experts/w1/kernel"][2],
+        flat["double_stream_blocks.0.block.ff_i.experts.2.w1.weight"].T,
+    )
+    # every imported leaf has a same-shape model slot; txt_in stays random
+    for k, v in got.items():
+        assert k in init, f"no slot for {k}"
+        assert tuple(init[k].shape) == tuple(v.shape), (k, init[k].shape, v.shape)
+    not_covered = [k for k in init if k not in got]
+    assert all("txt_in" in k for k in not_covered), not_covered
+
+    # forward finite on imported weights
+    merged = {**variables, "dit": _merge(variables["dit"], tree)}
+    cond = model.encode_prompt(merged, ["x"])
+    lat = jnp.asarray(
+        np.random.default_rng(6).normal(size=(1, 4, 4, cfg.in_channels // 4)), jnp.float32
+    )
+    cond["pe"] = model.rope_table(4, 4, int(cond["txt"].shape[1]))
+    out = model.predict(merged, lat, jnp.full((1,), 0.3), cond)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_flux2_import_global_modulation_tiling():
     model = get_model_class("flux2")(ModelConfig(arch="flux2", model_kwargs={"size": "tiny"}))
     variables = model.init_variables(jax.random.key(0))
