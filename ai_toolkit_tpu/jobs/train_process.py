@@ -274,6 +274,26 @@ class SDTrainProcess:
                 predict_fn, schedule, step_cfg,
                 flow_ratio=float((cfg.adapter or {}).get("flow_ratio", 0.25)),
             )
+        # DFE perceptual latent loss (reference SDTrainer.py:623-683;
+        # train.diffusion_feature_extractor_path/_weight). Missing weight file
+        # -> random-init feature net (offline), still a fixed projection loss.
+        aux_loss_fn = None
+        dfe_path = tc.extras.get("diffusion_feature_extractor_path") or tc.extras.get(
+            "latent_feature_extractor_path"
+        )
+        if dfe_path is not None:
+            from ai_toolkit_tpu.models.dfe import load_dfe, make_dfe_loss
+
+            in_ch = getattr(model, "vae_config", None)
+            in_ch = getattr(in_ch, "latent_channels", 4)
+            real = dfe_path if isinstance(dfe_path, str) and os.path.isfile(dfe_path) else None
+            if real is None:
+                print(f"DFE: no weight file at {dfe_path!r} — random-init feature net")
+            module, dfe_params, dfe_ver = load_dfe(real, in_ch)
+            dfe_w = float(tc.extras.get("diffusion_feature_extractor_weight",
+                                        tc.extras.get("latent_feature_loss_weight", 1.0)))
+            aux_loss_fn = make_dfe_loss(module, dfe_params, dfe_ver, schedule, dfe_w)
+            print(f"DFE perceptual loss active (v{dfe_ver}, weight {dfe_w})")
         if base is not None:
             _inner = jax.jit(
                 lambda mv, tr, os_, ema, st, batch, rng, image_seq_len=None: (
@@ -290,7 +310,9 @@ class SDTrainProcess:
                 )
                 return state.replace(trainable=tr, opt_state=os_, ema=ema, step=st), metrics
         else:
-            train_step = make_jitted_train_step(predict_fn, schedule, step_cfg, tx)
+            train_step = make_jitted_train_step(
+                predict_fn, schedule, step_cfg, tx, aux_loss_fn=aux_loss_fn
+            )
 
         # 9. validation setup (fixed batch + fixed rng -> comparable loss curve)
         val_batch, val_seq_len, eval_step = None, None, None

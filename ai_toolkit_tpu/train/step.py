@@ -74,6 +74,7 @@ def make_train_step(
     predict_fn: Callable[..., jax.Array],
     schedule: Any,
     cfg: TrainStepConfig,
+    aux_loss_fn: Callable[..., jax.Array] | None = None,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the train step.
 
@@ -82,6 +83,9 @@ def make_train_step(
     (prompt embeds, pooled embeds, position ids, ...). ``variables`` carries
     the 'lora' collection when training an adapter — predict_fn must pass it
     through to apply().
+
+    aux_loss_fn(pred, noisy, latents, noise, t) -> scalar adds an extra loss
+    term inside the grad (e.g. the DFE perceptual latent loss).
     """
 
     is_flow = hasattr(schedule, "euler_step")
@@ -167,6 +171,10 @@ def make_train_step(
             )
             loss = loss + audio_loss
             aux = {**aux, "audio_loss": audio_loss}
+        if aux_loss_fn is not None:
+            extra = aux_loss_fn(pred, noisy, latents, noise, t)
+            loss = loss + extra
+            aux = {**aux, "aux_loss": extra}
         return loss, aux
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
@@ -254,7 +262,7 @@ def _eval_loss(predict_fn, schedule, cfg, state, batch, rng, seq_len):
     return loss
 
 
-def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx):
+def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx, aux_loss_fn=None):
     """Production jit wrapper: frozen model variables are an INPUT ONLY.
 
     Returning the (multi-GB) frozen params from a non-donated jit makes XLA
@@ -262,7 +270,7 @@ def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx):
     function returns only the small state (trainable/opt/ema/step), which is
     also donated; the caller-side stepper reassembles a TrainState.
     """
-    base = make_train_step(predict_fn, schedule, cfg)
+    base = make_train_step(predict_fn, schedule, cfg, aux_loss_fn=aux_loss_fn)
 
     # NOTE: donation of the small state is disabled — the axon PJRT backend
     # rejects aliased buffers (InvalidArgument); the small state is tiny anyway.
