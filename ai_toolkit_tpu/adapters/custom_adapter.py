@@ -43,7 +43,7 @@ from ai_toolkit_tpu.ops.layers import LayerNorm, Linear
 
 ADAPTER_TYPES = (
     "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value", "photo_maker",
-    "mean_flow", "t2i",
+    "photo_maker_full", "mean_flow", "t2i",
 )
 
 
@@ -155,6 +155,70 @@ class PhotoMakerLite(nn.Module):
         return LayerNorm(dtype=dt, name="norm")(x)
 
 
+class _FuseMLP(nn.Module):
+    """LN -> fc1 -> GELU -> fc2 (+residual) — reference photomaker.MLP."""
+
+    out_dim: int
+    hidden: int
+    residual: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        h = LayerNorm(dtype=dt, name="layernorm")(x.astype(dt))
+        h = Linear(self.hidden, dtype=dt, param_dtype=dt, name="fc1")(h)
+        h = Linear(self.out_dim, dtype=dt, param_dtype=dt, name="fc2")(
+            jax.nn.gelu(h, approximate=False)
+        )
+        return h + x if self.residual else h
+
+
+class PhotoMakerID(nn.Module):
+    """Full PhotoMaker id-embedding (reference toolkit/photomaker.py:19-113):
+    dual visual projection -> FuseModule replacing the trigger ("class")
+    token embeddings inside the prompt states.
+
+    TPU-first: instead of masked_scatter (dynamic gather), fusion runs
+    densely at every position and a where(mask) keeps non-class tokens —
+    one extra MLP over the sequence, no dynamic shapes.
+    """
+
+    ctx_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, txt, img_pooled, class_mask):
+        """txt [B,S,E]; img_pooled [B,Ev]; class_mask [B,S'] (1 = trigger pos).
+        S' may be the primary tokenizer length when the model concatenates
+        several encoders' states — the mask is zero-padded/trimmed to S
+        (trigger positions live in the leading segment)."""
+        dt = self.dtype
+        e = self.ctx_dim
+        txt = txt.astype(dt)
+        s = txt.shape[1]
+        if class_mask.shape[1] < s:
+            class_mask = jnp.pad(class_mask, ((0, 0), (0, s - class_mask.shape[1])))
+        elif class_mask.shape[1] > s:
+            class_mask = class_mask[:, :s]
+        # dual projection (visual_projection + visual_projection_2) -> E
+        p1 = Linear(e // 2, use_bias=False, dtype=dt, param_dtype=dt, name="proj1")(
+            img_pooled.astype(dt)
+        )
+        p2 = Linear(e - e // 2, use_bias=False, dtype=dt, param_dtype=dt, name="proj2")(
+            img_pooled.astype(dt)
+        )
+        id_embed = jnp.concatenate([p1, p2], axis=-1)[:, None, :]  # [B,1,E]
+        id_b = jnp.broadcast_to(id_embed, txt.shape)
+        # FuseModule.fuse_fn: mlp1(cat) + prompt -> mlp2 -> LN
+        stacked = jnp.concatenate([txt, id_b], axis=-1)
+        fused = _FuseMLP(e, e, residual=False, dtype=dt, name="mlp1")(stacked) + txt
+        fused = _FuseMLP(e, e, residual=True, dtype=dt, name="mlp2")(fused)
+        fused = LayerNorm(dtype=dt, name="layer_norm")(fused)
+        m = class_mask.astype(bool)[..., None]
+        return jnp.where(m, fused, txt)
+
+
 class MeanFlowTimeEncoder(nn.Module):
     """Second-timestep r -> n context tokens (mean_flow_adapter equivalent:
     the reference injects an r embedding into the modulation path; here the
@@ -223,6 +287,18 @@ class CustomAdapterRuntime:
         if t == "single_value" and cond.get("extra_values") is not None:
             extra = self.module.apply({"params": params}, cond["extra_values"])
             return _append_ctx(cond, self.ctx_key, extra)
+        if (
+            t == "photo_maker_full"
+            and cond.get("vision_pooled") is not None
+            and cond.get("class_tokens_mask") is not None
+        ):
+            txt = self.module.apply(
+                {"params": params}, cond[self.ctx_key], cond["vision_pooled"],
+                cond["class_tokens_mask"],
+            )
+            out = {**cond, self.ctx_key: txt}
+            out.pop("class_tokens_mask", None)
+            return out
         if t == "photo_maker" and cond.get("vision_pooled") is not None:
             txt = cond[self.ctx_key]
             pooled_txt = txt.mean(axis=1)
@@ -280,6 +356,12 @@ def init_custom_adapter(
     elif t == "photo_maker":
         mod = PhotoMakerLite(ctx_dim, n_tokens=int(adapter_cfg.get("num_tokens", 2)))
         params = mod.init(rng, jnp.zeros((1, ctx_dim)), jnp.zeros((1, vision_dim)))["params"]
+    elif t == "photo_maker_full":
+        mod = PhotoMakerID(ctx_dim)
+        params = mod.init(
+            rng, jnp.zeros((1, 4, ctx_dim)), jnp.zeros((1, vision_dim)),
+            jnp.zeros((1, 4), jnp.int32),
+        )["params"]
     elif t == "vision_direct":
         mod = VisionDirectProj(ctx_dim)
         params = mod.init(rng, jnp.zeros((1, 4, vision_dim)))["params"]

@@ -477,7 +477,7 @@ class SDTrainProcess:
             return {"ip": ip, "ip_proj": proj_params}, None, "ip_adapter", ""
         if cfg.adapter and cfg.adapter.get("type") in (
             "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
-            "photo_maker", "mean_flow", "t2i",
+            "photo_maker", "photo_maker_full", "mean_flow", "t2i",
         ):
             # CustomAdapter umbrella (reference toolkit/custom_adapter.py:104-286)
             from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
@@ -510,7 +510,9 @@ class SDTrainProcess:
                 )["params"]
                 self.vision_size = sz
                 vision_dim = (
-                    vis_cfg.projection_dim if atype == "photo_maker" else vis_cfg.hidden_size
+                    vis_cfg.projection_dim
+                    if atype in ("photo_maker", "photo_maker_full")
+                    else vis_cfg.hidden_size
                 )
             params, runtime = init_custom_adapter(
                 cfg.adapter, ctx_dim, ctx_key, vision_dim, jax.random.fold_in(rng, 98)
@@ -729,6 +731,13 @@ class SDTrainProcess:
                     extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 8))
                 elif atype == "photo_maker":
                     extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 2))
+                elif atype == "photo_maker_full":
+                    # trigger ("class") token positions in each caption —
+                    # the FuseModule replaces these embeds in place (no
+                    # appended tokens, reference photomaker.py:55-87)
+                    cond["class_tokens_mask"] = jnp.asarray(
+                        self._class_token_mask(model, raw["captions"])
+                    )
         if model.is_flow_matching and hasattr(model, "rope_table"):
             if lat.ndim == 5:
                 # video latents [B,T,h,w,C]: wan/ltx rope over (t, y, x)
@@ -801,6 +810,21 @@ class SDTrainProcess:
             batch["mask"] = jnp.asarray(m)
         batch["cond"] = cond
         return batch
+
+    def _class_token_mask(self, model, captions: list[str]) -> np.ndarray:
+        """[B, S] 1 where a trigger-word token sits (photo_maker_full).
+        Items without the trigger mark the first content token instead."""
+        trig = self.cfg.trigger_word or ""
+        ids = np.stack([model.tokenizer.encode(c) for c in captions])
+        core: list[int] = []
+        if trig:
+            empty = set(model.tokenizer.encode(""))
+            core = [t for t in model.tokenizer.encode(trig) if t not in empty]
+        mask = np.isin(ids, core) if core else np.zeros_like(ids, bool)
+        for b in range(mask.shape[0]):
+            if not mask[b].any():
+                mask[b, min(1, mask.shape[1] - 1)] = True
+        return mask.astype(np.int32)
 
     def _encode_control(self, pixels):
         if not hasattr(self, "_ctrl_encode"):

@@ -51,6 +51,79 @@ def test_adapter_types_transform_cond(atype, feed):
     assert same["txt"].shape == cond["txt"].shape
 
 
+def test_photo_maker_full_replaces_class_tokens_only():
+    """Full PhotoMaker (reference photomaker.py FuseModule): trigger-token
+    embeds are replaced, every other position is untouched."""
+    ctx_dim, vis_dim = 32, 24
+    params, runtime = init_custom_adapter(
+        {"type": "photo_maker_full"}, ctx_dim, "txt", vis_dim, jax.random.key(0)
+    )
+    txt = jax.random.normal(jax.random.key(1), (2, 6, ctx_dim))
+    mask = jnp.asarray([[0, 1, 0, 0, 1, 0], [0, 0, 1, 0, 0, 0]], jnp.int32)
+    cond = {
+        "txt": txt,
+        "vision_pooled": jax.random.normal(jax.random.key(2), (2, vis_dim)),
+        "class_tokens_mask": mask,
+    }
+    out = runtime.apply_cond({"adapter": params}, cond)
+    new = np.asarray(out["txt"])
+    old = np.asarray(txt)
+    assert out["txt"].shape == txt.shape  # in-place replacement, no appends
+    assert "class_tokens_mask" not in out
+    m = np.asarray(mask, bool)
+    np.testing.assert_array_equal(new[~m], old[~m])
+    assert np.abs(new[m] - old[m]).max() > 1e-6
+    # id image matters: different image -> different fused embeds
+    cond2 = {**cond, "vision_pooled": jax.random.normal(jax.random.key(3), (2, vis_dim))}
+    out2 = runtime.apply_cond({"adapter": params}, cond2)
+    assert np.abs(np.asarray(out2["txt"])[m] - new[m]).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_photo_maker_full_training_e2e(tmp_path):
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text("photo of [trigger] person")
+    cfg = {
+        "job": "extension",
+        "config": {"name": "pmf", "process": [{
+            "type": "sd_trainer",
+            "training_folder": str(tmp_path / "out"),
+            "trigger_word": "sks",
+            "adapter": {"type": "photo_maker_full"},
+            "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+            "save": {"save_every": 100},
+            "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                          "resolution": 64}],
+            "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                      "timestep_type": "linear",
+                      "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                      "ema_config": {"use_ema": False}},
+            "model": {"name_or_path": "", "arch": "sd3", "model_kwargs": {"size": "tiny"}},
+            "sample": {"sample_every": 0, "prompts": []},
+            "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+        }]},
+    }
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    proc = job.processes[0]
+    ad = proc._final_state.trainable["adapter"]
+    assert "mlp1" in ad and "proj1" in ad and "proj2" in ad
+    moved = jax.tree.leaves(jax.tree.map(lambda x: float(jnp.abs(x).max()), ad))
+    assert any(v > 0 for v in moved)
+
+
 def test_adapter_append_extends_txt_mask():
     params, runtime = init_custom_adapter(
         {"type": "redux"}, 16, "txt", 8, jax.random.key(0)
