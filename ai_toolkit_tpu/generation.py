@@ -192,7 +192,73 @@ def generate_img2img(
     return _to_uint8(model.decode_latents(variables, x))
 
 
-def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None) -> np.ndarray:
+def generate_video(
+    model,
+    variables: dict,
+    gen: GenerateImageConfig,
+    lora: dict | None = None,
+    schedule: FlowMatchSchedule | None = None,
+    audio_sample_rate: int = 48_000,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Video (wan/ltx2) sampling; joint audio-video for ltx2 AV models.
+
+    Returns (frames uint8 [T, H, W, 3], waveform float32 [S, C] | None).
+    Replaces the reference's WanGenerationPipeline / LTX2 pipeline
+    ``__call__`` loops (extensions_built_in/diffusion_models/wan22,
+    ltx2/ltx2_pipeline.py) with one jitted euler step over both streams
+    (shared sigma — the reference's default AV schedule).
+    """
+    schedule = schedule or FlowMatchSchedule()
+    nf = model.frame_count_snapper(max(gen.num_frames, 1))
+    t_lat, h, w, c = model.latent_shape(gen.height, gen.width, nf)
+    cond = model.encode_prompt(variables, [gen.prompt])
+    cond["pe"] = model.rope_table(t_lat, h, w)
+    pt, ph, pw = model.dit_config.patch_size
+    seq_len = (t_lat // pt) * (h // ph) * (w // pw)
+    if lora:
+        variables = merge_variables(variables, {"lora": lora})
+
+    rng = jax.random.key(gen.seed)
+    x = jax.random.normal(rng, (1, t_lat, h, w, c), jnp.float32)
+    joint = bool(getattr(model, "joint_audio", False))
+    xa = None
+    if joint:
+        secs = nf / float(gen.fps or 16)
+        na = max(1, int(round(secs * audio_sample_rate / model.audio_vae_config.downscale)))
+        cond["pe_audio"] = model.audio_rope_table(na)
+        xa = jax.random.normal(
+            jax.random.fold_in(rng, 1), (1, na, model.av_config.audio_in_channels), jnp.float32
+        )
+    sigmas = schedule.inference_sigmas(gen.sample_steps, image_seq_len=seq_len)
+
+    @jax.jit
+    def denoise(x, xa, sigma, sigma_next):
+        if joint:
+            v, va = model.predict(
+                variables, x, jnp.full((1,), sigma), {**cond, "noisy_audio": xa}
+            )
+            return (
+                schedule.euler_step(x, v, sigma, sigma_next),
+                schedule.euler_step(xa, va, sigma, sigma_next),
+            )
+        v = model.predict(variables, x, jnp.full((1,), sigma), cond)
+        return schedule.euler_step(x, v, sigma, sigma_next), xa
+
+    for i in range(gen.sample_steps):
+        x, xa = denoise(x, xa, sigmas[i], sigmas[i + 1])
+
+    frames = model.decode_latents(variables, x)  # [1, T, H, W, 3]
+    arr = np.asarray(frames[0], np.float32)
+    frames_u8 = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    waveform = None
+    if joint:
+        waveform = np.asarray(model.decode_audio(variables, xa)[0], np.float32)
+    return frames_u8, waveform
+
+
+def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None):
+    if hasattr(model, "frame_count_snapper"):  # video family (wan/ltx2)
+        return generate_video(model, variables, gen, lora, schedule)
     if model.is_flow_matching:
         return generate_flux(model, variables, gen, lora, schedule)
     return generate_sd(model, variables, gen, lora, schedule)
@@ -212,4 +278,40 @@ def save_image_atomic(img: np.ndarray, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp.png"
     Image.fromarray(img).save(tmp)
+    os.replace(tmp, path)
+
+
+def save_video_atomic(frames: np.ndarray, path: str, fps: int = 16) -> None:
+    """[T, H, W, 3] uint8 -> animated webp (T>1) or still image (T==1).
+
+    The reference writes mp4 via imageio/ffmpeg (video_utils); animated webp
+    keeps the host pipeline ffmpeg-free with the same in-browser playback.
+    """
+    import os
+
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ims = [Image.fromarray(f) for f in frames]
+    tmp = path + ".tmp" + os.path.splitext(path)[1]
+    if len(ims) == 1:
+        ims[0].save(tmp)
+    else:
+        ims[0].save(
+            tmp, save_all=True, append_images=ims[1:],
+            duration=max(1, int(round(1000 / max(fps, 1)))), loop=0,
+        )
+    os.replace(tmp, path)
+
+
+def save_wav_atomic(waveform: np.ndarray, path: str, sample_rate: int = 48_000) -> None:
+    """[S, C] float in [-1, 1] -> 16-bit wav (joint-AV sample sidecar)."""
+    import os
+
+    from scipy.io import wavfile
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pcm = (np.clip(waveform, -1.0, 1.0) * 32767.0).astype(np.int16)
+    tmp = path + ".tmp.wav"
+    wavfile.write(tmp, sample_rate, pcm)
     os.replace(tmp, path)

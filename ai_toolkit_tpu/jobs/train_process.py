@@ -722,7 +722,7 @@ class SDTrainProcess:
                         return out["penultimate_hidden_state"], out["pooled_output"]
 
                     self._vision_tokens_encode = jax.jit(_enc_tokens)
-                tokens, pooled = self._vision_tokens_encode(jnp.asarray(raw["pixels"]))
+                tokens, pooled = self._encode_vision_cached(raw["pixels"])
                 cond["vision_tokens"] = tokens
                 cond["vision_pooled"] = pooled
                 if atype == "redux":
@@ -810,6 +810,58 @@ class SDTrainProcess:
             batch["mask"] = jnp.asarray(m)
         batch["cond"] = cond
         return batch
+
+    def _encode_vision_cached(self, pixels: np.ndarray):
+        """CLIP-vision encode with memory + optional disk cache.
+
+        Reference parity: clip-image caching mixins
+        (``dataloader_mixins.py`` is_caching_clip_vision_to_disk). Keys are
+        content hashes of the pixel array (the loader doesn't surface file
+        paths), so flips/crops cache independently — same as the reference's
+        per-transform cache keys. Enable disk persistence with
+        ``adapter: {cache_clip_vision_to_disk: true}``.
+        """
+        import hashlib
+
+        if not hasattr(self, "_vision_cache_mem"):
+            self._vision_cache_mem = {}
+            self._vision_cache_dir = None
+            if self.cfg.adapter and self.cfg.adapter.get("cache_clip_vision_to_disk"):
+                self._vision_cache_dir = os.path.join(self.save_root, "clip_vision_cache")
+                os.makedirs(self._vision_cache_dir, exist_ok=True)
+        toks, pools, missing = [None] * len(pixels), [None] * len(pixels), []
+        for i in range(len(pixels)):
+            key = f"{hashlib.md5(np.ascontiguousarray(pixels[i]).tobytes()).hexdigest()}_{self.vision_size}"
+            hit = self._vision_cache_mem.get(key)
+            if hit is None and self._vision_cache_dir:
+                p = os.path.join(self._vision_cache_dir, key + ".safetensors")
+                if os.path.isfile(p):
+                    from safetensors.numpy import load_file
+
+                    d = load_file(p)
+                    hit = (d["tokens"], d["pooled"])
+                    self._vision_cache_mem[key] = hit
+            if hit is None:
+                missing.append((i, key))
+            else:
+                toks[i], pools[i] = hit
+        if missing:
+            t_new, p_new = self._vision_tokens_encode(
+                jnp.asarray(np.stack([pixels[i] for i, _ in missing]))
+            )
+            t_new, p_new = np.asarray(t_new), np.asarray(p_new)
+            for j, (i, key) in enumerate(missing):
+                toks[i], pools[i] = t_new[j], p_new[j]
+                self._vision_cache_mem[key] = (t_new[j], p_new[j])
+                if self._vision_cache_dir:
+                    from safetensors.numpy import save_file
+
+                    save_file(
+                        {"tokens": np.ascontiguousarray(t_new[j]),
+                         "pooled": np.ascontiguousarray(p_new[j])},
+                        os.path.join(self._vision_cache_dir, key + ".safetensors"),
+                    )
+        return jnp.asarray(np.stack(toks)), jnp.asarray(np.stack(pools))
 
     def _class_token_mask(self, model, captions: list[str]) -> np.ndarray:
         """[B, S] 1 where a trigger-word token sits (photo_maker_full).
@@ -978,12 +1030,26 @@ class SDTrainProcess:
                 seed = cfg.sample.seed + (i if cfg.sample.walk_seed else 0)
                 gen = GenerateImageConfig.from_sample(cfg.sample, item, seed)
                 try:
-                    img = generate(self.model, variables, gen, lora=lora)
+                    out = generate(self.model, variables, gen, lora=lora)
                 except Exception as e:
                     print(f"sampling failed: {e}")
                     return
-                path = os.path.join(sample_dir, f"{self.job_name}_{step:09d}_{i}.{gen.output_ext}")
-                save_image_atomic(img, path)
+                if hasattr(self.model, "frame_count_snapper"):
+                    from ai_toolkit_tpu.generation import save_video_atomic, save_wav_atomic
+
+                    frames, wav = out
+                    ext = "webp" if frames.shape[0] > 1 else gen.output_ext
+                    path = os.path.join(sample_dir, f"{self.job_name}_{step:09d}_{i}.{ext}")
+                    save_video_atomic(frames, path, fps=gen.fps)
+                    if wav is not None:
+                        save_wav_atomic(wav, os.path.splitext(path)[0] + ".wav")
+                    img = frames[len(frames) // 2]
+                else:
+                    img = out
+                    path = os.path.join(
+                        sample_dir, f"{self.job_name}_{step:09d}_{i}.{gen.output_ext}"
+                    )
+                    save_image_atomic(img, path)
                 if self.logger:
                     self.logger.log_image(img, f"sample_{i}", step)
 

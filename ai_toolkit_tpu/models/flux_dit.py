@@ -62,6 +62,10 @@ class FluxConfig:
     # 0 disables (dense GELU MLP, flux semantics).
     moe_experts: int = 0
     moe_top_k: int = 2
+    # MoE dispatch mode: 'dense' (einsum combine, E× FLOPs, partitions over
+    # an 'ep' mesh axis) or 'grouped' (Pallas gather-dispatch grouped GEMM,
+    # top_k× FLOPs — production single-replica default for hidream)
+    moe_dispatch: str = "dense"
     # FLUX.2 MLP: mlp_in emits 2x width, silu(x1)*x2 gate (vendored flux2
     # src/model.py SiLUActivation); single-block linear1 widens accordingly
     gated_mlp: bool = False
@@ -144,14 +148,54 @@ class SwiGLU(nn.Module):
         )
 
 
-class MoEFFN(nn.Module):
-    """Dropless MoE FFN: dense expert compute + gate-weighted sum.
+class _BankKernel(nn.Module):
+    """Raw [E, in, out] expert-bank kernel (path-compatible with the
+    nn.vmap(SwiGLU) layout: ``experts/<name>/kernel``). Reads the int8 quant
+    collection when present, like ops.layers.Linear."""
 
-    Exact (every token sees its true top-k mixture, no capacity drops).
-    Dense dispatch costs E× FFN FLOPs instead of top_k×; for E=4 on the MXU
-    this is a large-batched einsum and stays compute-friendly. A Pallas
-    gather-dispatch kernel is the planned optimization once an 'ep' mesh
-    axis is profiled.
+    shape: tuple[int, ...]
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        if self.has_variable("quant", "qvalue"):
+            qv = self.get_variable("quant", "qvalue")
+            qs = self.get_variable("quant", "qscale")
+            return qv.astype(self.param_dtype) * qs.astype(self.param_dtype)
+        init = nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0,))
+        return self.param("kernel", init, self.shape, self.param_dtype)
+
+
+class _ExpertBankParams(nn.Module):
+    dim: int
+    hidden: int
+    experts: int
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        e, d, h = self.experts, self.dim, self.hidden
+        w1 = _BankKernel((e, d, h), self.param_dtype, name="w1")()
+        w3 = _BankKernel((e, d, h), self.param_dtype, name="w3")()
+        w2 = _BankKernel((e, h, d), self.param_dtype, name="w2")()
+        return w1, w3, w2
+
+
+class MoEFFN(nn.Module):
+    """MoE FFN with two exact dropless dispatch modes.
+
+    - ``dense``: every expert computes every token, gate-weighted einsum
+      combine. E× FFN FLOPs but pure large MXU matmuls; right for tiny/test
+      configs and for ep-sharded expert banks (XLA partitions the expert axis
+      and inserts the combine psum).
+    - ``grouped``: Pallas gather-dispatch grouped GEMM (ops/pallas/moe_gmm) —
+      top_k× FLOPs, megablocks-style sorted-tile kernel. Production default
+      for hidream-class models on TPU.
+
+    Both modes share one parameter layout (``experts/w{1,3,2}/kernel``
+    stacked [E, ...]), so checkpoints and importers are mode-agnostic.
+    Reference semantics (top-k of unnormalized softmax gates + half-width
+    shared expert): hidream ``src/models/moe.py``.
     """
 
     dim: int
@@ -161,6 +205,7 @@ class MoEFFN(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     shared_hidden: int = 0  # 0 -> hidden // 2
+    dispatch: str = "dense"
 
     @nn.compact
     def __call__(self, x):
@@ -170,18 +215,32 @@ class MoEFFN(nn.Module):
             axis=-1,
         )
         topv, topi = jax.lax.top_k(scores, self.top_k)
-        # hidream/DeepSeek norm_topk_prob=False: use raw softmax scores as gates
-        gates = (jax.nn.one_hot(topi, self.experts, dtype=scores.dtype) * topv[..., None]).sum(-2)
-        ExpertBank = nn.vmap(
-            SwiGLU,
-            variable_axes={"params": 0, "lora": 0, "lokr": 0, "dora": 0, "quant": 0},
-            split_rngs={"params": True},
-            in_axes=None,
-            out_axes=0,
-            axis_size=self.experts,
-        )
-        outs = ExpertBank(self.dim, self.hidden, self.dtype, self.param_dtype, name="experts")(x)
-        routed = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), gates).astype(x.dtype)
+        if self.dispatch == "grouped":
+            from ai_toolkit_tpu.ops.pallas.moe_gmm import moe_dispatch_swiglu
+
+            w1, w3, w2 = _ExpertBankParams(
+                self.dim, self.hidden, self.experts, self.param_dtype, name="experts"
+            )()
+            routed = moe_dispatch_swiglu(
+                x.astype(self.dtype), topv, topi,
+                w1.astype(self.dtype), w3.astype(self.dtype), w2.astype(self.dtype),
+            )
+        else:
+            # hidream/DeepSeek norm_topk_prob=False: raw softmax scores as gates
+            gates = (
+                jax.nn.one_hot(topi, self.experts, dtype=scores.dtype) * topv[..., None]
+            ).sum(-2)
+            ExpertBank = nn.vmap(
+                SwiGLU,
+                variable_axes={"params": 0, "lora": 0, "lokr": 0, "dora": 0, "quant": 0},
+                split_rngs={"params": True},
+                in_axes=None,
+                out_axes=0,
+                axis_size=self.experts,
+            )
+            outs = ExpertBank(self.dim, self.hidden, self.dtype, self.param_dtype,
+                              name="experts")(x)
+            routed = jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), gates).astype(x.dtype)
         sh = self.shared_hidden or self.hidden // 2
         return routed + SwiGLU(self.dim, sh, self.dtype, self.param_dtype, name="shared")(x)
 
@@ -198,7 +257,7 @@ def _ffn(cfg: FluxConfig, x, name: str, moe: bool = True):
                           name=f"{name}_swiglu")(x)
         return MoEFFN(cfg.hidden_size, mlp_dim, cfg.moe_experts, cfg.moe_top_k,
                       cfg.dtype, cfg.param_dtype, shared_hidden=cfg.moe_shared_hidden,
-                      name=f"{name}_moe")(x)
+                      dispatch=cfg.moe_dispatch, name=f"{name}_moe")(x)
     if cfg.gated_mlp:
         h = Linear(2 * mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=f"{name}_in")(x)
         x1, x2 = jnp.split(h, 2, axis=-1)
@@ -431,12 +490,25 @@ def flux_partition_rules(scan_blocks: bool = True) -> list[PartitionRule]:
     """
     if scan_blocks:
         return [
+            # expert parallel: routed-expert banks [L, E, in, out] split E over
+            # 'ep' (tokens stay replicated over ep; XLA inserts the psum at the
+            # gate-weighted combine). Gate + shared expert stay dense rules.
+            PartitionRule(r"moe/experts/w[13]/kernel", P(None, "ep", "fsdp", "tp")),
+            PartitionRule(r"moe/experts/w2/kernel", P(None, "ep", "tp", "fsdp")),
+            PartitionRule(r"moe/shared/w[13]/kernel", P(None, "fsdp", "tp")),
+            PartitionRule(r"moe/shared/w2/kernel", P(None, "tp", "fsdp")),
+            PartitionRule(r"moe/gate/kernel", P()),
             PartitionRule(r"blocks/block/.*(qkv|mlp_in|linear1)/kernel", P(None, "fsdp", "tp")),
             PartitionRule(r"blocks/block/.*(proj|mlp_out|linear2)/kernel", P(None, "tp", "fsdp")),
             PartitionRule(r"blocks/block/.*mod/mod/kernel", P(None, "fsdp", "tp")),
             PartitionRule(r"txt_in/kernel", P("fsdp", None)),
         ]
     return [
+        PartitionRule(r"moe/experts/w[13]/kernel", P("ep", "fsdp", "tp")),
+        PartitionRule(r"moe/experts/w2/kernel", P("ep", "tp", "fsdp")),
+        PartitionRule(r"moe/shared/w[13]/kernel", P("fsdp", "tp")),
+        PartitionRule(r"moe/shared/w2/kernel", P("tp", "fsdp")),
+        PartitionRule(r"moe/gate/kernel", P()),
         PartitionRule(r"(img|txt)_qkv/kernel", P("fsdp", "tp")),
         PartitionRule(r"(img|txt)_mlp_in/kernel", P("fsdp", "tp")),
         PartitionRule(r"linear1/kernel", P("fsdp", "tp")),

@@ -83,6 +83,12 @@ class HiDreamModel(BaseTpuModel):
                 guidance_embed=False, axes_dim=(16, 56, 56),
                 moe_experts=4, moe_top_k=2, mlp_ratio=6912 / 2560,
                 moe_shared_hidden=3584, qk_norm_across_heads=True,
+                # measured on v5e @ s=4608: dense dispatch 11.7ms fwd (84% MXU,
+                # XLA-fused) beats the Pallas grouped GEMM (14.5ms, HBM-bound
+                # on weight streaming) and lax.ragged_dot (12.6ms) at E=4/k=2 —
+                # the 2x FLOP saving doesn't cover the util gap at this expert
+                # count. 'grouped' stays config-selectable for large-E MoEs.
+                moe_dispatch=config.model_kwargs.get("moe_dispatch", "dense"),
             )
             self.vae_config = VAEConfig.flux()
             self.clip_config = CLIPTextConfig.clip_l()

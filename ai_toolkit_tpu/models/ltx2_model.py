@@ -194,6 +194,14 @@ class LTX2Model(BaseTpuModel):
             method=AudioAutoencoderKL.encode,
         )
 
+    def decode_audio(self, variables, latents):
+        """[B, T_a, latent_channels] audio latents -> [B, S, C] waveform."""
+        from ai_toolkit_tpu.models.audio_vae import AudioAutoencoderKL
+
+        return self.audio_vae.apply(
+            {"params": variables["audio_vae"]}, latents, method=AudioAutoencoderKL.decode
+        )
+
     def audio_rope_table(self, n_tokens: int) -> jnp.ndarray:
         """1D rope over audio latent time (reference audio_rope coords)."""
         ids = jnp.arange(n_tokens, dtype=jnp.int32)[None, :, None]

@@ -83,12 +83,12 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         dt, pdt = self.cfg.dtype, self.cfg.param_dtype
-        h = GroupNorm(32, dtype=dt, name="norm1")(x)
+        h = GroupNorm(32, eps=1e-5, dtype=dt, name="norm1")(x)
         h = nn.silu(h)
         h = Conv(self.out_ch, (3, 3), dtype=dt, param_dtype=pdt, name="conv1")(h)
         t = Linear(self.out_ch, dtype=dt, param_dtype=pdt, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm(32, dtype=dt, name="norm2")(h)
+        h = GroupNorm(32, eps=1e-5, dtype=dt, name="norm2")(h)
         h = nn.silu(h)
         h = Conv(self.out_ch, (3, 3), dtype=dt, param_dtype=pdt, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -118,9 +118,9 @@ class TransformerBlock(nn.Module):
             o = dot_product_attention(q, k, v).reshape(b, s, self.dim)
             return Linear(self.dim, dtype=dt, param_dtype=pdt, name=f"{prefix}_out")(o)
 
-        h = LayerNorm(dtype=dt, name="norm1")(x)
+        h = LayerNorm(eps=1e-5, dtype=dt, name="norm1")(x)
         x = x + attn(h, h, "attn1")
-        h = LayerNorm(dtype=dt, name="norm2")(x)
+        h = LayerNorm(eps=1e-5, dtype=dt, name="norm2")(x)
         # cross attention, decomposed so IP-Adapter can join pre-projection
         q2 = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name="attn2_q")(h)
         k2 = Linear(self.dim, use_bias=False, dtype=dt, param_dtype=pdt, name="attn2_k")(context)
@@ -141,10 +141,10 @@ class TransformerBlock(nn.Module):
             o_ip = dot_product_attention(q2r, k_ip, v_ip).reshape(b, s, self.dim)
             o2 = o2 + ip_scale * o_ip
         x = x + Linear(self.dim, dtype=dt, param_dtype=pdt, name="attn2_out")(o2)
-        h = LayerNorm(dtype=dt, name="norm3")(x)
+        h = LayerNorm(eps=1e-5, dtype=dt, name="norm3")(x)
         gate = Linear(self.dim * 8, dtype=dt, param_dtype=pdt, name="ff_in")(h)
         a, g = jnp.split(gate, 2, axis=-1)
-        h = a * jax.nn.gelu(g)
+        h = a * jax.nn.gelu(g, approximate=False)
         return x + Linear(self.dim, dtype=dt, param_dtype=pdt, name="ff_out")(h)
 
 
@@ -213,8 +213,10 @@ class UNet2DCondition(nn.Module):
                 h = h + adapter_residuals[i].astype(h.dtype)
                 skips[-1] = h
             if i < len(cfg.block_out_channels) - 1:
-                h = Conv(ch, (3, 3), strides=(2, 2), dtype=dt, param_dtype=pdt,
-                         name=f"down_{i}_downsample")(h)
+                # diffusers Downsample2D: symmetric (1,1) padding (XLA
+                # 'SAME' at stride 2 would pad (0,1) — different alignment)
+                h = Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                         dtype=dt, param_dtype=pdt, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         mid_ch = cfg.block_out_channels[-1]
@@ -233,7 +235,7 @@ class UNet2DCondition(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
                 h = Conv(cc, (3, 3), dtype=dt, param_dtype=pdt, name=f"up_{i}_upsample")(h)
 
-        h = GroupNorm(32, dtype=dt, name="norm_out")(h)
+        h = GroupNorm(32, eps=1e-5, dtype=dt, name="norm_out")(h)
         h = nn.silu(h)
         return Conv(cfg.out_channels, (3, 3), dtype=dt, param_dtype=pdt, name="conv_out")(h)
 

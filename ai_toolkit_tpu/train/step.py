@@ -257,8 +257,24 @@ def _eval_loss(predict_fn, schedule, cfg, state, batch, rng, seq_len):
     noisy = schedule.add_noise(latents, noise, t)
     target = schedule.target(latents, noise, t)
     variables = merge_variables(state.model_variables, state.trainable)
-    pred = predict_fn(variables, noisy, t, batch.get("cond", {}))
+    cond = batch.get("cond", {})
+    audio_target = None
+    if "audio_latents" in batch:
+        # joint AV validation mirrors the train loss: both streams at the
+        # shared sigma (reference validate() runs the full training loss)
+        a_lat = batch["audio_latents"]
+        noise_a = jax.random.normal(jax.random.fold_in(rng_n, 1), a_lat.shape, a_lat.dtype)
+        cond = {**cond, "noisy_audio": schedule.add_noise(a_lat, noise_a, t)}
+        audio_target = schedule.target(a_lat, noise_a, t)
+    pred = predict_fn(variables, noisy, t, cond)
+    if audio_target is not None:
+        pred, audio_pred = pred
     loss, _ = compute_loss(pred, target, loss_type=cfg.loss_type, huber_c=cfg.huber_c)
+    if audio_target is not None:
+        a_loss, _ = compute_loss(
+            audio_pred, audio_target, loss_type=cfg.loss_type, huber_c=cfg.huber_c
+        )
+        loss = loss + a_loss
     return loss
 
 

@@ -316,3 +316,51 @@ def test_t2i_adapter_trainable_and_assist():
     assert "adapter_residuals" in cond2
     out2 = model.predict(variables, noisy, jnp.array([100.0]), cond2)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+@pytest.mark.slow
+def test_clip_vision_disk_cache(tmp_path):
+    """cache_clip_vision_to_disk writes per-image embeds and serves cache
+    hits (reference dataloader_mixins is_caching_clip_vision_to_disk)."""
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text("photo")
+    cfg = {
+        "job": "extension",
+        "config": {"name": "cvc", "process": [{
+            "type": "sd_trainer",
+            "training_folder": str(tmp_path / "out"),
+            "adapter": {"type": "redux", "cache_clip_vision_to_disk": True},
+            "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+            "save": {"save_every": 100},
+            "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                          "resolution": 64}],
+            "train": {"batch_size": 1, "steps": 3, "noise_scheduler": "flowmatch",
+                      "timestep_type": "linear", "optimizer": "adamw", "lr": 1e-3,
+                      "dtype": "float32", "ema_config": {"use_ema": False}},
+            "model": {"name_or_path": "", "arch": "sd3", "model_kwargs": {"size": "tiny"}},
+            "sample": {"sample_every": 0, "prompts": []},
+            "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+        }]},
+    }
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    proc = job.processes[0]
+    cache_dir = os.path.join(proc.save_root, "clip_vision_cache")
+    files = os.listdir(cache_dir)
+    assert len(files) == 2  # one per distinct image, reused across steps
+    from safetensors.numpy import load_file
+
+    d = load_file(os.path.join(cache_dir, files[0]))
+    assert "tokens" in d and "pooled" in d

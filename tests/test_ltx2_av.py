@@ -168,3 +168,42 @@ def test_ltx2_av_e2e_trainer(tmp_path):
     job = get_job(get_config(p))
     results = job.run()
     assert np.isfinite(results[0]["final_loss"])
+
+
+def test_av_generation_joint_sampler(ltx2_av, tmp_path):
+    """Joint AV euler sampler: frames + waveform out, saved atomically
+    (reference ltx2 pipeline __call__ with audio head on)."""
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig
+    from ai_toolkit_tpu.generation import (
+        generate,
+        generate_video,
+        save_video_atomic,
+        save_wav_atomic,
+    )
+
+    model, variables = ltx2_av
+    sd = model.vae_config.spatial_downscale
+    gen = GenerateImageConfig(
+        prompt="a tiny clip", width=2 * sd, height=2 * sd, sample_steps=2,
+        num_frames=2 * model.vae_config.temporal_downscale, fps=8, seed=3,
+    )
+    frames, wav = generate_video(model, variables, gen, audio_sample_rate=512)
+    assert frames.ndim == 4 and frames.shape[-1] == 3 and frames.dtype == np.uint8
+    assert frames.shape[0] >= 2
+    assert wav is not None and wav.ndim == 2 and np.isfinite(wav).all()
+
+    save_video_atomic(frames, str(tmp_path / "clip.webp"), fps=8)
+    save_wav_atomic(wav, str(tmp_path / "clip.wav"), sample_rate=512)
+    from PIL import Image
+
+    im = Image.open(tmp_path / "clip.webp")
+    # webp anim encoder may merge identical consecutive frames
+    assert 2 <= getattr(im, "n_frames", 1) <= frames.shape[0]
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(tmp_path / "clip.wav")
+    assert sr == 512 and data.shape == wav.shape
+
+    # generate() dispatches video models to the video sampler
+    out = generate(model, variables, gen)
+    assert isinstance(out, tuple) and out[0].ndim == 4

@@ -103,3 +103,22 @@ def test_wan_i2v_clip_vision_cond():
     noisy = jax.random.normal(jax.random.key(2), (1, t_, h, w, c))
     out = model.predict(variables, noisy, jnp.array([0.5]), cond)
     assert out.shape == noisy.shape
+
+
+def test_wan_video_generation(wan_tiny, tmp_path):
+    """generate() routes video models to the euler video sampler and the
+    result saves as an animated webp (reference WanGenerationPipeline)."""
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig
+    from ai_toolkit_tpu.generation import generate, save_video_atomic
+
+    model, variables = wan_tiny
+    sd = model.vae_config.spatial_downscale
+    gen = GenerateImageConfig(
+        prompt="a clip", width=2 * sd, height=2 * sd, sample_steps=2,
+        num_frames=2 * model.vae_config.temporal_downscale, fps=8, seed=1,
+    )
+    frames, wav = generate(model, variables, gen)
+    assert wav is None  # wan has no audio stream
+    assert frames.ndim == 4 and frames.dtype == np.uint8 and frames.shape[0] >= 2
+    save_video_atomic(frames, str(tmp_path / "w.webp"), fps=8)
+    assert (tmp_path / "w.webp").exists()
