@@ -121,6 +121,14 @@ class SDTrainProcess:
         # 2. mesh + sharding of frozen base
         mesh = make_mesh(cfg.mesh)
         self.mesh = mesh
+        if (
+            "sp" in mesh.axis_names
+            and mesh.shape["sp"] > 1
+            and hasattr(model, "enable_sequence_parallel")
+        ):
+            # context parallelism for video models: tokens shard over 'sp',
+            # block self-attention becomes ring attention
+            model.enable_sequence_parallel(mesh)
         rules = model.partition_rules()
         var_specs = apply_rules(variables, mesh, rules)
         variables = jax.device_put(variables, named_sharding_tree(var_specs, mesh))

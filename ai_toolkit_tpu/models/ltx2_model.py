@@ -157,6 +157,21 @@ class LTX2Model(BaseTpuModel):
         ids = wan_position_ids(max(1, t // pt), h // ph, w // pw)
         return multi_axis_rope(ids, list(cfg.axes_dim))
 
+    def enable_sequence_parallel(self, mesh, axis: str = "sp") -> None:
+        """Ring-attention context parallelism over video tokens (see
+        wan_model.enable_sequence_parallel). Video-only path — the joint AV
+        model keeps single-shard attention (audio stream is short)."""
+        if self.joint_audio:
+            print("sequence parallel: skipped (joint AV model)")
+            return
+        from dataclasses import replace
+
+        from ai_toolkit_tpu.models.wan_dit import WanDiT as _WanDiT
+
+        self.dit_config = replace(self.dit_config, sp_axis=axis)
+        self.dit = _WanDiT(self.dit_config)
+        self._sp = (mesh, axis)
+
     def predict(self, variables, noisy_latents, t, cond):
         """noisy_latents: [B, T, h, w, C] video latents (T=1 for images).
 
@@ -182,7 +197,12 @@ class LTX2Model(BaseTpuModel):
                 colls, tokens, xa, cond["txt"], t, cond["pe"], self.audio_rope_table(1)
             )
             return wan_unpatchify(out_v, tt, hh, ww, cfg.patch_size, c)
-        out = self.dit.apply(colls, tokens, cond["txt"], t, cond["pe"], None)
+        from ai_toolkit_tpu.models.wan_model import sp_dit_apply
+
+        out = sp_dit_apply(
+            self.dit, getattr(self, "_sp", None), colls, tokens, cond["txt"], t,
+            cond["pe"], None,
+        )
         return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
 
     def encode_audio(self, variables, waveform, rng=None):

@@ -42,6 +42,11 @@ class WanConfig:
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
     scan_blocks: bool = True
+    # sequence parallelism: when set, self-attention runs as ring attention
+    # over this manual mesh axis (the model must be applied inside
+    # jax.shard_map with tokens/pe sharded over it — see
+    # wan_model.enable_sequence_parallel)
+    sp_axis: str | None = None
 
     @classmethod
     def wan21_1_3b(cls) -> "WanConfig":
@@ -94,7 +99,13 @@ class WanBlock(nn.Module):
             Linear(d, dtype=dt, param_dtype=pdt, name="self_k")(h)
         ).reshape(b, n, nh, hd)
         v = Linear(d, dtype=dt, param_dtype=pdt, name="self_v")(h).reshape(b, n, nh, hd)
-        attn = dot_product_attention(apply_rope(q, pe), apply_rope(k, pe), v)
+        if cfg.sp_axis:
+            from ai_toolkit_tpu.ops.ring_attention import ring_attention
+
+            attn = ring_attention(apply_rope(q, pe), apply_rope(k, pe), v,
+                                  axis_name=cfg.sp_axis)
+        else:
+            attn = dot_product_attention(apply_rope(q, pe), apply_rope(k, pe), v)
         x = x + gate_sa * Linear(d, dtype=dt, param_dtype=pdt, name="self_o")(
             attn.reshape(b, n, d)
         )

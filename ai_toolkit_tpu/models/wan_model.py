@@ -140,6 +140,25 @@ class WanModel(BaseTpuModel):
         ids = wan_position_ids(t // pt, h // ph, w // pw)
         return multi_axis_rope(ids, list(cfg.axes_dim))
 
+    def enable_sequence_parallel(self, mesh, axis: str = "sp") -> None:
+        """Context parallelism for long videos (SURVEY §5 — no reference
+        equivalent to port): video tokens + rope shard over the ``axis`` mesh
+        dim, block self-attention becomes ring attention (K/V shards rotate
+        via ppermute), everything else stays per-token. Uses partial-auto
+        ``jax.shard_map`` so fsdp/tp param sharding keeps working inside."""
+        from dataclasses import replace
+
+        from ai_toolkit_tpu.models.wan_dit import WanDiT as _WanDiT
+
+        self.dit_config = replace(self.dit_config, sp_axis=axis)
+        self.dit = _WanDiT(self.dit_config)
+        self._sp = (mesh, axis)
+
+    def _dit_apply(self, colls, tokens, txt, t, pe, img_cond):
+        return sp_dit_apply(
+            self.dit, getattr(self, "_sp", None), colls, tokens, txt, t, pe, img_cond
+        )
+
     def predict(self, variables, noisy_latents, t, cond):
         """noisy_latents: [B, T, h, w, C] video latents."""
         b, tt, hh, ww, c = noisy_latents.shape
@@ -148,7 +167,7 @@ class WanModel(BaseTpuModel):
         adapters = {k: variables[k] for k in ("lora", "lokr", "dora", "quant") if k in variables}
 
         def run(params):
-            return self.dit.apply(
+            return self._dit_apply(
                 {"params": params, **adapters}, tokens, cond["txt"], t, cond["pe"],
                 cond.get("img_cond"),
             )
@@ -198,3 +217,33 @@ class WanModel(BaseTpuModel):
 
     def partition_rules(self):
         return wan_partition_rules(self.dit_config.scan_blocks)
+
+
+def sp_dit_apply(dit, sp, colls, tokens, txt, t, pe, img_cond):
+    """Apply a WanDiT-style module, optionally inside a partial-auto
+    ``jax.shard_map`` that shards tokens+rope over the 'sp' mesh axis
+    (ring self-attention inside; fsdp/tp stay under the auto partitioner)."""
+    if sp is None:
+        return dit.apply(colls, tokens, txt, t, pe, img_cond)
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh, axis = sp
+    tok = P(None, axis)
+    if img_cond is None:
+
+        def fwd(colls, tokens, txt, t, pe):
+            return dit.apply(colls, tokens, txt, t, pe, None)
+
+        return _jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P(), tok, P(), P(), tok),
+            out_specs=tok, axis_names={axis},
+        )(colls, tokens, txt, t, pe)
+
+    def fwd(colls, tokens, txt, t, pe, img_cond):
+        return dit.apply(colls, tokens, txt, t, pe, img_cond)
+
+    return _jax.shard_map(
+        fwd, mesh=mesh, in_specs=(P(), tok, P(), P(), tok, P()),
+        out_specs=tok, axis_names={axis},
+    )(colls, tokens, txt, t, pe, img_cond)

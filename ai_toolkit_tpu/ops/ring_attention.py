@@ -66,9 +66,12 @@ def ring_attention(q, k, v, axis_name: str = "sp", scale: float | None = None):
     # loop outputs vary over the ring axis — mark the inits as varying too
     def _vary(x):
         try:
-            return jax.lax.pvary(x, axis_name)
+            return jax.lax.pcast(x, axis_name, to="varying")
         except Exception:
-            return x
+            try:
+                return jax.lax.pvary(x, axis_name)
+            except Exception:
+                return x
 
     init = (
         k,

@@ -16,6 +16,23 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Platform override for CI / virtual-mesh runs. Plain env vars are too late on
+# images whose sitecustomize pre-registers an accelerator backend, so run.py
+# applies them in-process before the first backend touch:
+#   AIT_PLATFORM=cpu AIT_HOST_DEVICES=8 python run.py job.yaml
+# gives an 8-virtual-device CPU mesh (sharding validation without chips).
+if os.environ.get("AIT_PLATFORM"):
+    if os.environ.get("AIT_HOST_DEVICES"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={os.environ['AIT_HOST_DEVICES']}"
+            ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
+
 
 def main() -> int:
     parser = argparse.ArgumentParser(description="ai_toolkit_tpu job runner")

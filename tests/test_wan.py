@@ -122,3 +122,32 @@ def test_wan_video_generation(wan_tiny, tmp_path):
     assert frames.ndim == 4 and frames.dtype == np.uint8 and frames.shape[0] >= 2
     save_video_atomic(frames, str(tmp_path / "w.webp"), fps=8)
     assert (tmp_path / "w.webp").exists()
+
+
+def test_wan_sequence_parallel_matches_dense():
+    """enable_sequence_parallel: tokens shard over 'sp', self-attn becomes
+    ring attention — predict must equal the dense single-device forward."""
+    from ai_toolkit_tpu.config.modules import MeshConfig
+    from ai_toolkit_tpu.parallel.mesh import make_mesh
+
+    model = get_model_class("wan21")(ModelConfig(arch="wan21", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    t_lat, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    lat = jax.random.normal(jax.random.key(1), (2, t_lat, h, w, c))
+    cond = model.encode_prompt(variables, ["a", "b"])
+    cond["pe"] = model.rope_table(t_lat, h, w)
+    t = jnp.full((2,), 0.3)
+    ref = np.asarray(jax.jit(model.predict)(variables, lat, t, cond))
+
+    mesh = make_mesh(MeshConfig(axes={"dp": 1, "fsdp": 2, "tp": 2, "sp": 2}))
+    model.enable_sequence_parallel(mesh)
+    assert model.dit_config.sp_axis == "sp"
+    out = np.asarray(jax.jit(model.predict)(variables, lat, t, cond))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    # gradients flow through the ring (train-step viability)
+    def loss(v):
+        return jnp.sum(model.predict(v, lat, t, cond) ** 2)
+
+    g = jax.grad(lambda dit: loss({**variables, "dit": dit}))(variables["dit"])
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(g))
