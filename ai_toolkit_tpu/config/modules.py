@@ -19,7 +19,10 @@ def _build(cls, data: dict[str, Any] | None):
     known = {k: v for k, v in data.items() if k in names}
     extras = {k: v for k, v in data.items() if k not in names and k != "extras"}
     obj = cls(**known)
-    obj.extras = extras
+    # unknown keys are tolerated as extras; an explicit `extras:` mapping in
+    # the config merges with (and loses to) them
+    explicit = getattr(obj, "extras", None) or {}
+    obj.extras = {**explicit, **extras}
     return obj
 
 
@@ -472,6 +475,7 @@ class GenerateImageConfig:
             output_ext=sample.format,
             sampler=sample.sampler,
             ctrl_img=item.ctrl_img if hasattr(item, "ctrl_img") else None,
+            extras={**sample.extras, **getattr(item, "extras", {})},
         )
 
 

@@ -256,9 +256,46 @@ def generate_video(
     return frames_u8, waveform
 
 
+def generate_audio(
+    model,
+    variables: dict,
+    gen: GenerateImageConfig,
+    lora: dict | None = None,
+    schedule: FlowMatchSchedule | None = None,
+) -> np.ndarray:
+    """Text-to-audio sampling (ace_step family): euler flow over audio
+    latent tokens -> waveform [S, C] float32 in [-1, 1].
+
+    Duration/sample-rate come from ``gen.extras`` (``duration_sec``,
+    ``sample_rate``; defaults 10s @ 44.1kHz, the reference ace_step default).
+    """
+    schedule = schedule or FlowMatchSchedule()
+    sr = int(gen.extras.get("sample_rate", 44_100))
+    secs = float(gen.extras.get("duration_sec", 10.0))
+    n_lat, c = model.latent_shape_audio(int(secs * sr))
+    n_lat = max(n_lat, 1)
+    cond = model.encode_prompt(variables, [gen.prompt])
+    cond["pe"] = model.rope_table(n_lat)
+    if lora:
+        variables = merge_variables(variables, {"lora": lora})
+    x = jax.random.normal(jax.random.key(gen.seed), (1, n_lat, c), jnp.float32)
+    sigmas = schedule.inference_sigmas(gen.sample_steps)
+
+    @jax.jit
+    def denoise(x, sigma, sigma_next):
+        v = model.predict(variables, x, jnp.full((1,), sigma), cond)
+        return schedule.euler_step(x, v, sigma, sigma_next)
+
+    for i in range(gen.sample_steps):
+        x = denoise(x, sigmas[i], sigmas[i + 1])
+    return np.asarray(model.decode_latents(variables, x)[0], np.float32)
+
+
 def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None):
     if hasattr(model, "frame_count_snapper"):  # video family (wan/ltx2)
         return generate_video(model, variables, gen, lora, schedule)
+    if hasattr(model, "latent_shape_audio"):  # audio family (ace_step)
+        return generate_audio(model, variables, gen, lora, schedule)
     if model.is_flow_matching:
         return generate_flux(model, variables, gen, lora, schedule)
     return generate_sd(model, variables, gen, lora, schedule)

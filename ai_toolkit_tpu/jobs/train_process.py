@@ -753,6 +753,10 @@ class SDTrainProcess:
                 cond["pe"] = model.rope_table(tt, h, w)
                 pt, ph, pw = model.dit_config.patch_size
                 batch["image_seq_len"] = (tt // pt) * (h // ph) * (w // pw)
+            elif lat.ndim == 3:
+                # audio latents [B, T_lat, C] (ace_step): 1D rope over time
+                cond["pe"] = model.rope_table(int(lat.shape[1]))
+                batch["image_seq_len"] = int(lat.shape[1])
             else:
                 h, w = lat.shape[1], lat.shape[2]
                 cond["pe"] = model.rope_table(h, w, int(cond["txt"].shape[1]) + extra_ctx_tokens)
@@ -1052,6 +1056,17 @@ class SDTrainProcess:
                     if wav is not None:
                         save_wav_atomic(wav, os.path.splitext(path)[0] + ".wav")
                     img = frames[len(frames) // 2]
+                elif hasattr(self.model, "latent_shape_audio"):
+                    from ai_toolkit_tpu.generation import save_wav_atomic
+
+                    path = os.path.join(sample_dir, f"{self.job_name}_{step:09d}_{i}.wav")
+                    save_wav_atomic(
+                        out, path, sample_rate=int(gen.extras.get("sample_rate", 44_100))
+                    )
+                    if self.logger:
+                        self.logger.log({f"sample_{i}_rms": float(np.sqrt((out ** 2).mean()))},
+                                        step)
+                    continue
                 else:
                     img = out
                     path = os.path.join(

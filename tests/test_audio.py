@@ -47,3 +47,26 @@ def test_audio_train_step(audio_tiny):
     step = jax.jit(make_train_step(model.predict, FlowMatchSchedule(), TrainStepConfig()))
     state, m = step(state, {"latents": lat, "cond": cond}, jax.random.key(3))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_audio_generation(tmp_path):
+    """Text-to-audio euler sampler (reference ace_step pipeline __call__)."""
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig, ModelConfig
+    from ai_toolkit_tpu.generation import generate, save_wav_atomic
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("ace_step")(
+        ModelConfig(arch="ace_step", model_kwargs={"size": "tiny"})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    gen = GenerateImageConfig(
+        prompt="a tiny melody", sample_steps=2, seed=5,
+        extras={"duration_sec": 0.05, "sample_rate": 1024},
+    )
+    wav = generate(model, variables, gen)
+    assert wav.ndim == 2 and np.isfinite(wav).all() and wav.shape[0] >= 1
+    save_wav_atomic(wav, str(tmp_path / "a.wav"), sample_rate=1024)
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(tmp_path / "a.wav")
+    assert sr == 1024 and data.shape == wav.shape
