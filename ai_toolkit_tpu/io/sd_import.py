@@ -306,3 +306,40 @@ def clip_lora_key_map(tree: dict) -> dict[str, str]:
 
     walk(tree, ())
     return out
+
+
+def llm_rules(gemma: bool = False) -> list[Rule]:
+    """HF Llama / Qwen2 / Gemma2 decoder state dicts -> LLMEncoder tree.
+
+    (Reference loads these TEs via transformers AutoModel:
+    hidream llama-3.1, qwen_image Qwen2.5-VL text tower, ltx2 gemma.)
+    Gemma RMSNorms store w and apply (1 + w) -> 'plus_one' kind.
+    """
+    norm = "plus_one" if gemma else "direct"
+    p = r"(?:model\.)?layers\.(\d+)\."
+    rules: list[Rule] = [
+        (r"(?:model\.)?embed_tokens\.weight", "token_embedding", "direct"),
+        (r"(?:model\.)?norm\.weight", "final_norm/scale", norm),
+        (p + r"self_attn\.q_proj\.weight", "layer_{0}/q/kernel", "linear"),
+        (p + r"self_attn\.q_proj\.bias", "layer_{0}/q/bias", "direct"),
+        (p + r"self_attn\.k_proj\.weight", "layer_{0}/k/kernel", "linear"),
+        (p + r"self_attn\.k_proj\.bias", "layer_{0}/k/bias", "direct"),
+        (p + r"self_attn\.v_proj\.weight", "layer_{0}/v/kernel", "linear"),
+        (p + r"self_attn\.v_proj\.bias", "layer_{0}/v/bias", "direct"),
+        (p + r"self_attn\.o_proj\.weight", "layer_{0}/o/kernel", "linear"),
+        (p + r"input_layernorm\.weight", "layer_{0}/input_norm/scale", norm),
+        (p + r"mlp\.gate_proj\.weight", "layer_{0}/gate/kernel", "linear"),
+        (p + r"mlp\.up_proj\.weight", "layer_{0}/up/kernel", "linear"),
+        (p + r"mlp\.down_proj\.weight", "layer_{0}/down/kernel", "linear"),
+    ]
+    if gemma:
+        rules += [
+            (p + r"post_attention_layernorm\.weight", "layer_{0}/post_attn_norm/scale", norm),
+            (p + r"pre_feedforward_layernorm\.weight", "layer_{0}/pre_mlp_norm/scale", norm),
+            (p + r"post_feedforward_layernorm\.weight", "layer_{0}/post_mlp_norm/scale", norm),
+        ]
+    else:
+        rules.append(
+            (p + r"post_attention_layernorm\.weight", "layer_{0}/pre_mlp_norm/scale", "direct")
+        )
+    return rules

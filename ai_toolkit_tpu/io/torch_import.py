@@ -38,6 +38,8 @@ def convert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(v.transpose(2, 3, 4, 1, 0))
     if kind in ("conv1d",):  # torch [o, i, k] -> [k, i, o]
         return np.ascontiguousarray(v.transpose(2, 1, 0))
+    if kind == "plus_one":  # gemma RMSNorm stores w, applies (1 + w)
+        return np.ascontiguousarray(v + 1.0)
     return np.ascontiguousarray(v)  # direct / scale / bias / embedding
 
 
@@ -101,6 +103,8 @@ def tree_to_torch(tree: dict, rules: list[Rule], depth_hints: dict[str, int] | N
             return np.ascontiguousarray(v.transpose(4, 3, 0, 1, 2))
         if kind == "conv1d":
             return np.ascontiguousarray(v.transpose(2, 1, 0))
+        if kind == "plus_one":
+            return np.ascontiguousarray(v - 1.0)
         return np.ascontiguousarray(v)
 
     for pat, tmpl, kind in rules:

@@ -51,6 +51,12 @@ class LLMConfig:
     # Gemma2 multiplies token embeddings by sqrt(d_model)
     scale_embeddings: bool = False
     collect_layers: tuple[int, ...] = ()
+    # HF rms_norm_eps (llama 1e-5; gemma2/qwen2.5 1e-6)
+    rms_eps: float = 1e-5
+    # Gemma2 attention-logit softcapping (0 = off) and explicit query scale
+    # (query_pre_attn_scalar**-0.5; None = 1/sqrt(head_dim))
+    attn_softcap: float = 0.0
+    query_scale: float | None = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -62,7 +68,8 @@ class LLMConfig:
         return cls(
             vocab_size=256_000, d_model=2304, n_layers=26, n_heads=8, n_kv_heads=4,
             head_dim=256, d_ff=9216, rope_theta=10_000.0, post_norms=True,
-            gemma_gelu=True, scale_embeddings=True,
+            gemma_gelu=True, scale_embeddings=True, rms_eps=1e-6,
+            attn_softcap=50.0, query_scale=256.0 ** -0.5,
         )
 
     @classmethod
@@ -70,6 +77,7 @@ class LLMConfig:
         return cls(
             vocab_size=152_064, d_model=3584, n_layers=28, n_heads=28, n_kv_heads=4,
             head_dim=128, d_ff=18944, rope_theta=1_000_000.0, qkv_bias=True,
+            rms_eps=1e-6,
         )
 
     @classmethod
@@ -104,7 +112,7 @@ class LLMLayer(nn.Module):
         b, s, _ = x.shape
         nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-        h = RMSNorm(dtype=dt, name="input_norm")(x)
+        h = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="input_norm")(x)
         q = Linear(nh * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="q")(h)
         k = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="k")(h)
         v = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="v")(h)
@@ -115,19 +123,35 @@ class LLMLayer(nn.Module):
             rep = nh // nkv
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        attn = dot_product_attention(q, k, v, mask=mask).reshape(b, s, nh * hd)
+        if cfg.attn_softcap:
+            # Gemma2: softmax(cap * tanh(qk*scale / cap)) — jax.nn attention
+            # has no softcap hook, so this path is an explicit einsum
+            scale = cfg.query_scale if cfg.query_scale is not None else hd ** -0.5
+            logits = jnp.einsum(
+                "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32)
+            ) * scale
+            cap = cfg.attn_softcap
+            logits = cap * jnp.tanh(logits / cap)
+            logits = jnp.where(mask, logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bhst,bthd->bshd", p, v.astype(jnp.float32))
+            attn = attn.astype(dt).reshape(b, s, nh * hd)
+        else:
+            attn = dot_product_attention(
+                q, k, v, mask=mask, scale=cfg.query_scale
+            ).reshape(b, s, nh * hd)
         attn = Linear(cfg.d_model, use_bias=False, dtype=dt, param_dtype=dt, name="o")(attn)
         if cfg.post_norms:
-            attn = RMSNorm(dtype=dt, name="post_attn_norm")(attn)
+            attn = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="post_attn_norm")(attn)
         x = x + attn
 
-        h = RMSNorm(dtype=dt, name="pre_mlp_norm")(x)
+        h = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="pre_mlp_norm")(x)
         gate = Linear(cfg.d_ff, use_bias=False, dtype=dt, param_dtype=dt, name="gate")(h)
         up = Linear(cfg.d_ff, use_bias=False, dtype=dt, param_dtype=dt, name="up")(h)
         act = jax.nn.gelu(gate, approximate=True) if cfg.gemma_gelu else jax.nn.silu(gate)
         mlp = Linear(cfg.d_model, use_bias=False, dtype=dt, param_dtype=dt, name="down")(act * up)
         if cfg.post_norms:
-            mlp = RMSNorm(dtype=dt, name="post_mlp_norm")(mlp)
+            mlp = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="post_mlp_norm")(mlp)
         return x + mlp
 
 
@@ -158,7 +182,7 @@ class LLMEncoder(nn.Module):
             x = LLMLayer(cfg, name=f"layer_{i}")(x, mask)
             if i in cfg.collect_layers:
                 collected.append(x)
-        x = RMSNorm(dtype=cfg.dtype, name="final_norm")(x)
+        x = RMSNorm(eps=cfg.rms_eps, dtype=cfg.dtype, name="final_norm")(x)
         if cfg.collect_layers:
             return {"last_hidden_state": x, "collected": jnp.stack(collected, axis=0)}
         return x

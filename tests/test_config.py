@@ -116,3 +116,25 @@ def test_prompt_flag_parsing():
     assert it.sample_steps == 12
     assert it.negative_prompt == "blurry"
     assert it.network_multiplier == 0.8
+
+
+def test_all_example_configs_parse():
+    """Every shipped example config loads through the full typed-config path
+    (reference treats config/examples as de-facto docs — they must not rot)."""
+    import glob
+    import os
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.config.modules import ProcessConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "examples")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 20
+    for p in paths:
+        cfg = get_config(p)
+        assert cfg["config"]["process"], p
+        for proc in cfg["config"]["process"]:
+            if proc.get("type") in ("sd_trainer", "diffusion_trainer"):
+                pc = ProcessConfig.from_dict(proc)
+                assert pc.model.arch, p
+                assert pc.train.steps > 0, p

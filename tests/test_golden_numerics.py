@@ -118,3 +118,82 @@ def test_clip_vision_matches_transformers():
     np.testing.assert_allclose(
         np.asarray(out["pooled_output"]), ref.image_embeds.numpy(), atol=3e-4
     )
+
+
+def test_llama_encoder_matches_transformers():
+    """LLMEncoder (llama semantics: GQA + RoPE + SwiGLU, rms_eps 1e-5)
+    vs transformers LlamaModel through llm_rules."""
+    from transformers import LlamaConfig, LlamaModel
+
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+
+    hf = LlamaModel(LlamaConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        rope_theta=500_000.0, rms_norm_eps=1e-5, attention_bias=False,
+    )).eval()
+    flat = {k: v.numpy() for k, v in hf.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, llm_rules())
+    assert not unmatched, unmatched[:8]
+
+    ours = LLMEncoder(LLMConfig.tiny(rms_eps=1e-5, rope_theta=500_000.0))
+    ids = np.random.default_rng(0).integers(1, 999, (2, 12)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).last_hidden_state
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_qwen2_encoder_matches_transformers():
+    """Qwen2 flavor: qkv bias + rms_eps 1e-6."""
+    from transformers import Qwen2Config, Qwen2Model
+
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+
+    hf = Qwen2Model(Qwen2Config(
+        vocab_size=1000, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6,
+    )).eval()
+    flat = {k: v.numpy() for k, v in hf.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, llm_rules())
+    assert not unmatched, unmatched[:8]
+
+    ours = LLMEncoder(LLMConfig.tiny(rms_eps=1e-6, rope_theta=1_000_000.0, qkv_bias=True))
+    ids = np.random.default_rng(1).integers(1, 999, (2, 10)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).last_hidden_state
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_gemma2_encoder_matches_transformers():
+    """Gemma2 flavor: (1+w) RMSNorms, post-norms, embed scaling, tanh-gelu,
+    attention-logit softcapping, query_pre_attn_scalar."""
+    from transformers import Gemma2Config, Gemma2Model
+
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+
+    hf = Gemma2Model(Gemma2Config(
+        vocab_size=1000, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        rope_theta=10_000.0, rms_norm_eps=1e-6, attn_logit_softcapping=50.0,
+        query_pre_attn_scalar=16, sliding_window=4096, attention_bias=False,
+        final_logit_softcapping=None, hidden_activation="gelu_pytorch_tanh",
+    )).eval()
+    flat = {k: v.numpy() for k, v in hf.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, llm_rules(gemma=True))
+    assert not unmatched, unmatched[:8]
+
+    ours = LLMEncoder(LLMConfig.tiny(
+        rms_eps=1e-6, rope_theta=10_000.0, post_norms=True, gemma_gelu=True,
+        scale_embeddings=True, attn_softcap=50.0, query_scale=16.0 ** -0.5,
+    ))
+    ids = np.random.default_rng(2).integers(1, 999, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).last_hidden_state
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4, rtol=3e-4)
