@@ -360,11 +360,30 @@ class SDTrainProcess:
         with self.timer("data"):
             raw = next(data_iter)
             next_batch = self._prepare_batch(model, raw, text_cache, step_cfg)
+        consecutive_oom = 0
         for step in range(start_step, tc.steps):
             batch = next_batch
             seq_len = batch.pop("image_seq_len", None)
-            with self.timer("step"):
-                state, metrics = train_step(state, batch, rng_train, image_seq_len=seq_len)
+            try:
+                with self.timer("step"):
+                    state, metrics = train_step(state, batch, rng_train, image_seq_len=seq_len)
+                consecutive_oom = 0
+            except Exception as e:  # OOM resilience (reference :2627-2648):
+                # skip the batch, keep state, abort after 3 consecutive
+                msg = str(e)
+                if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                    consecutive_oom += 1
+                    print(f"step {step + 1}: device OOM — skipping batch "
+                          f"({consecutive_oom}/3)")
+                    if consecutive_oom >= 3:
+                        raise RuntimeError(
+                            "aborting after 3 consecutive OOM steps"
+                        ) from e
+                    if step + 1 < tc.steps:
+                        raw = next(data_iter)
+                        next_batch = self._prepare_batch(model, raw, text_cache, step_cfg)
+                    continue
+                raise
             if step + 1 < tc.steps:
                 with self.timer("data"):
                     raw = next(data_iter)

@@ -13,6 +13,11 @@ endpoints a headless deployment needs:
     POST /api/jobs/<id>/stop     set stop flag (trainer polls it)
     POST /api/jobs/<id>/save     set save_now flag
     GET  /api/health             liveness
+    GET  /api/runs               training-folder runs (dirs w/ metrics.jsonl)
+    GET  /api/runs/<name>/loss   loss/lr/speed series from metrics.jsonl
+    GET  /api/runs/<name>/samples          sample file listing
+    GET  /api/runs/<name>/samples/<file>   serve one sample (png/webp/wav)
+    GET  /                       single-page dashboard (job table + loss chart)
 
 Auth: optional AI_TOOLKIT_AUTH bearer token (reference README.md:180-196).
 """
@@ -79,15 +84,84 @@ class _Handler(BaseHTTPRequestHandler):
         except sqlite3.Error as e:
             return {"error": str(e)}
 
+    def _runs_root(self) -> str:
+        return getattr(self.server, "runs_root", "output")
+
+    def _run_dir(self, name: str) -> str | None:
+        # reject traversal; a run is a directory under runs_root
+        if not name or "/" in name or ".." in name:
+            return None
+        d = os.path.join(self._runs_root(), name)
+        return d if os.path.isdir(d) else None
+
+    def _serve_file(self, path: str):
+        ctypes_map = {".png": "image/png", ".webp": "image/webp", ".jpg": "image/jpeg",
+                      ".wav": "audio/wav", ".gif": "image/gif"}
+        ext = os.path.splitext(path)[1].lower()
+        try:
+            with open(path, "rb") as f:
+                body = f.read()
+        except OSError:
+            return self._json({"error": "not found"}, 404)
+        self.send_response(200)
+        self.send_header("Content-Type", ctypes_map.get(ext, "application/octet-stream"))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
         if not self._auth_ok():
             return self._json({"error": "unauthorized"}, 401)
+        if self.path in ("/", "/index.html"):
+            body = _DASHBOARD_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            return self.wfile.write(body)
         if self.path == "/api/health":
             return self._json({"ok": True})
         if self.path == "/api/gpu":
             return self._json(accelerator_stats())
         if self.path == "/api/jobs":
             return self._json(self._jobs())
+        if self.path == "/api/runs":
+            root = self._runs_root()
+            runs = []
+            if os.path.isdir(root):
+                for name in sorted(os.listdir(root)):
+                    m = os.path.join(root, name, "metrics.jsonl")
+                    if os.path.isfile(m):
+                        runs.append({"name": name, "mtime": os.path.getmtime(m)})
+            return self._json(runs)
+        if self.path.startswith("/api/runs/"):
+            parts = self.path.strip("/").split("/")
+            d = self._run_dir(parts[2]) if len(parts) >= 3 else None
+            if d is None:
+                return self._json({"error": "not found"}, 404)
+            if len(parts) == 4 and parts[3] == "loss":
+                series = []
+                try:
+                    with open(os.path.join(d, "metrics.jsonl")) as f:
+                        for line in f:
+                            try:
+                                rec = json.loads(line)
+                            except ValueError:
+                                continue
+                            if "loss" in rec:
+                                series.append({"step": rec.get("step"),
+                                               "loss": rec["loss"],
+                                               "sec_per_step": rec.get("sec_per_step")})
+                except OSError:
+                    pass
+                return self._json(series)
+            if len(parts) == 4 and parts[3] == "samples":
+                sd = os.path.join(d, "samples")
+                files = sorted(os.listdir(sd)) if os.path.isdir(sd) else []
+                return self._json(files)
+            if len(parts) == 5 and parts[3] == "samples" and "/" not in parts[4] and ".." not in parts[4]:
+                return self._serve_file(os.path.join(d, "samples", parts[4]))
+            return self._json({"error": "not found"}, 404)
         if self.path.startswith("/api/jobs/"):
             job_id = self.path.split("/")[3]
             rows = self._jobs(job_id)
@@ -116,9 +190,11 @@ class _Handler(BaseHTTPRequestHandler):
 class UIServer:
     """Threaded REST server; start()/stop() for embedding in run.py or tests."""
 
-    def __init__(self, db_path: str = "aitk_db.db", host: str = "127.0.0.1", port: int = 8676):
+    def __init__(self, db_path: str = "aitk_db.db", host: str = "127.0.0.1", port: int = 8676,
+                 runs_root: str = "output"):
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.db_path = db_path
+        self.httpd.runs_root = runs_root
         self._thread: threading.Thread | None = None
 
     @property
@@ -134,3 +210,60 @@ class UIServer:
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+_DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>ai_toolkit_tpu</title>
+<style>
+body{font:14px system-ui;margin:24px;background:#0f1115;color:#d7dae0}
+h1{font-size:18px} table{border-collapse:collapse;margin:12px 0}
+td,th{padding:4px 12px;border-bottom:1px solid #2a2e38;text-align:left}
+canvas{background:#161a22;border:1px solid #2a2e38;border-radius:6px}
+select{background:#161a22;color:#d7dae0;border:1px solid #2a2e38;padding:4px}
+.small{color:#8a90a0;font-size:12px}
+</style></head><body>
+<h1>ai_toolkit_tpu monitor</h1>
+<div id="gpu" class="small"></div>
+<table id="runs"><tr><th>run</th><th>last loss</th><th>steps</th><th>s/step</th></tr></table>
+<select id="pick"></select>
+<canvas id="chart" width="860" height="280"></canvas>
+<script>
+async function j(u){const r=await fetch(u);return r.json()}
+function draw(series){
+ const c=document.getElementById('chart'),x=c.getContext('2d');
+ x.clearRect(0,0,c.width,c.height);
+ if(!series.length)return;
+ const xs=series.map(p=>p.step),ys=series.map(p=>p.loss);
+ const x0=Math.min(...xs),x1=Math.max(...xs),y0=Math.min(...ys),y1=Math.max(...ys);
+ const px=s=>30+(c.width-40)*(s-x0)/Math.max(1,x1-x0);
+ const py=v=>c.height-20-(c.height-40)*(v-y0)/Math.max(1e-9,y1-y0);
+ x.strokeStyle='#5b8cff';x.lineWidth=1.5;x.beginPath();
+ series.forEach((p,i)=>{i?x.lineTo(px(p.step),py(p.loss)):x.moveTo(px(p.step),py(p.loss))});
+ x.stroke();
+ x.fillStyle='#8a90a0';x.font='11px system-ui';
+ x.fillText(y1.toFixed(3),4,14);x.fillText(y0.toFixed(3),4,c.height-8);
+ x.fillText(String(x1),c.width-40,c.height-6);
+}
+async function refresh(){
+ try{const g=await j('/api/gpu');
+  document.getElementById('gpu').textContent='backend: '+g.backend+' — '+
+   g.devices.map(d=>d.kind+(d.bytes_limit?' '+(d.bytes_in_use/1e9).toFixed(1)+'/'+(d.bytes_limit/1e9).toFixed(0)+'GB':'' )).join(', ');
+ }catch(e){}
+ const runs=await j('/api/runs');
+ const pick=document.getElementById('pick');
+ const cur=pick.value;
+ pick.innerHTML=runs.map(r=>'<option>'+r.name+'</option>').join('');
+ if(cur&&runs.some(r=>r.name===cur))pick.value=cur;
+ const tbl=document.getElementById('runs');
+ tbl.innerHTML='<tr><th>run</th><th>last loss</th><th>steps</th><th>s/step</th></tr>';
+ for(const r of runs){
+  const s=await j('/api/runs/'+r.name+'/loss');
+  const last=s[s.length-1]||{};
+  tbl.innerHTML+='<tr><td>'+r.name+'</td><td>'+(last.loss!==undefined?last.loss.toFixed(4):'—')+
+   '</td><td>'+(last.step??'—')+'</td><td>'+(last.sec_per_step?last.sec_per_step.toFixed(2):'—')+'</td></tr>';
+  if(r.name===pick.value)draw(s);
+ }
+}
+document.getElementById('pick').onchange=refresh;
+refresh();setInterval(refresh,5000);
+</script></body></html>"""

@@ -325,3 +325,64 @@ def test_concept_replacer_process(tmp_path):
     # lora moved toward the replacement target
     lora_leaves = jax.tree.leaves(proc._final_state.trainable["lora"])
     assert any(float(jnp.abs(x).max()) > 0 for x in lora_leaves)
+
+
+def test_oom_skip_resilience(tmp_path, monkeypatch):
+    """A device-OOM step skips the batch and training continues (reference
+    BaseSDTrainProcess.py:2627-2648 skip/abort behavior)."""
+    import yaml
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png"
+        )
+        (folder / f"im_{i}.txt").write_text("x")
+    cfg = {
+        "job": "extension",
+        "config": {"name": "oomr", "process": [{
+            "type": "sd_trainer",
+            "training_folder": str(tmp_path / "out"),
+            "network": {"type": "lora", "linear": 2, "linear_alpha": 2},
+            "save": {"save_every": 100},
+            "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                          "resolution": 64}],
+            "train": {"batch_size": 1, "steps": 4, "noise_scheduler": "flowmatch",
+                      "timestep_type": "linear", "optimizer": "adamw", "lr": 1e-3,
+                      "dtype": "float32", "ema_config": {"use_ema": False}},
+            "model": {"name_or_path": "", "arch": "sd3", "model_kwargs": {"size": "tiny"}},
+            "sample": {"sample_every": 0, "prompts": []},
+            "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+        }]},
+    }
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+    import ai_toolkit_tpu.train.step as step_mod
+
+    orig_make = step_mod.make_jitted_train_step
+    fired = {"n": 0}
+
+    def flaky_make(*a, **kw):
+        real = orig_make(*a, **kw)
+
+        def stepper(state, batch, rng, image_seq_len=None):
+            fired["n"] += 1
+            if fired["n"] == 2:  # second step OOMs once
+                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating 99 bytes")
+            return real(state, batch, rng, image_seq_len=image_seq_len)
+
+        return stepper
+
+    monkeypatch.setattr(step_mod, "make_jitted_train_step", flaky_make)
+    import ai_toolkit_tpu.jobs.train_process as tp_mod
+
+    monkeypatch.setattr(tp_mod, "make_jitted_train_step", flaky_make)
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    assert fired["n"] == 4  # every step invoked once; the OOM one skipped

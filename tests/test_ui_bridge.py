@@ -101,3 +101,42 @@ def test_rest_server_endpoints(tmp_path):
             del os.environ["AI_TOOLKIT_AUTH"]
     finally:
         srv.stop()
+
+
+def test_dashboard_and_runs_endpoints(tmp_path):
+    """UI server run-monitoring: /api/runs, loss series, samples, dashboard
+    page, path-traversal rejection (reference UI loss-chart contract)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    run = tmp_path / "myrun"
+    (run / "samples").mkdir(parents=True)
+    with open(run / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"step": 1, "loss": 2.0, "sec_per_step": 0.5}) + "\n")
+        f.write(json.dumps({"step": 2, "loss": 1.5, "sec_per_step": 0.4}) + "\n")
+        f.write("not json\n")
+    (run / "samples" / "s_0.png").write_bytes(b"\x89PNG fake")
+
+    srv = UIServer(port=0, runs_root=str(tmp_path)).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        runs = json.load(urllib.request.urlopen(base + "/api/runs", timeout=5))
+        assert [r["name"] for r in runs] == ["myrun"]
+        loss = json.load(urllib.request.urlopen(base + "/api/runs/myrun/loss", timeout=5))
+        assert [p["loss"] for p in loss] == [2.0, 1.5]
+        files = json.load(urllib.request.urlopen(base + "/api/runs/myrun/samples", timeout=5))
+        assert files == ["s_0.png"]
+        img = urllib.request.urlopen(base + "/api/runs/myrun/samples/s_0.png", timeout=5)
+        assert img.headers["Content-Type"] == "image/png"
+        html = urllib.request.urlopen(base + "/", timeout=5).read().decode()
+        assert "ai_toolkit_tpu monitor" in html
+        try:
+            urllib.request.urlopen(base + "/api/runs/%2e%2e/loss", timeout=5)
+            raise AssertionError("traversal not rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
