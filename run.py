@@ -42,7 +42,9 @@ def main() -> int:
     parser.add_argument("-n", "--name", type=str, default=None, help="job name override")
     parser.add_argument("-l", "--log", type=str, default=None, help="tee output to log file")
     parser.add_argument("--ui_port", type=int, default=0,
-                        help="serve the REST monitor (api/gpu, api/jobs) on this port")
+                        help="serve the REST monitor + dashboard on this port")
+    parser.add_argument("--runs_root", type=str, default="output",
+                        help="training_folder root the dashboard lists runs from")
     args = parser.parse_args()
 
     if args.log:
@@ -74,7 +76,8 @@ def main() -> int:
         from ai_toolkit_tpu.ui import UIServer
 
         ui_server = UIServer(
-            db_path=os.environ.get("AITK_DB_PATH", "aitk_db.db"), port=args.ui_port
+            db_path=os.environ.get("AITK_DB_PATH", "aitk_db.db"), port=args.ui_port,
+            runs_root=args.runs_root,
         ).start()
         print(f"UI monitor on :{ui_server.port}")
 
