@@ -262,6 +262,8 @@ class TrainConfig:
     noise_multiplier: float = 1.0
     min_snr_gamma: float | None = None
     snr_gamma: float | None = None
+    # learnable SNR loss balancing (reference learnable_snr_gos)
+    learnable_snr_gos: bool = False
     loss_type: str = "mse"  # mse | mae | pseudo_huber | wavelet | stepped | mean_flow
     loss_target: str | None = None
     pseudo_huber_c: float = 0.001

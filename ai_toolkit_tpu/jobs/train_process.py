@@ -169,6 +169,10 @@ class SDTrainProcess:
 
         # 4. trainable (LoRA / full fine-tune)
         trainable, key_map, fmt, prefix = self._build_trainable(model, variables, rng)
+        if tc.learnable_snr_gos and not model.is_flow_matching:
+            from ai_toolkit_tpu.train.step import init_lsnr_state
+
+            trainable["lsnr"] = init_lsnr_state()
 
         # 5. optimizer + lr schedule
         lr = self._lr_schedule(tc)
@@ -1027,6 +1031,13 @@ class SDTrainProcess:
                     f"{self.job_name}.safetensors" if final else f"{self.job_name}_{step:09d}.safetensors",
                 )
                 save_file(flat, path, metadata={"step": str(step), "software": "ai_toolkit_tpu"})
+            if isinstance(state.trainable, dict) and "lsnr" in state.trainable:
+                # reference writes learnable_snr.json next to the checkpoint
+                import json as _json
+
+                lp = {k: float(v) for k, v in state.trainable["lsnr"]["params"].items()}
+                with open(os.path.join(self.save_root, "learnable_snr.json"), "w") as f:
+                    _json.dump(lp, f)
             print(f"saved: {path}")
 
     def _sample(self, state: TrainState, step: int):

@@ -43,6 +43,10 @@ class TrainStepConfig:
     do_prior_pred: bool = False  # run an adapter-off forward (DOP / prior losses)
     do_cfg: bool = False  # train the CFG-combined prediction (baked guidance)
     cfg_scale: float = 1.0
+    # learnable SNR gamma (reference train_tools.LearnableSNRGamma): four
+    # scalars adapt online so |gamma / ((snr+o1)*scale+o2)| balances the
+    # per-timestep loss against a rolling mean target. DDPM schedules only.
+    learnable_snr: bool = False
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -67,7 +71,56 @@ class TrainStepConfig:
             do_prior_pred=tc.diff_output_preservation or tc.inverted_mask_prior,
             do_cfg=tc.do_cfg,
             cfg_scale=tc.cfg_scale,
+            learnable_snr=bool(getattr(tc, "learnable_snr_gos", False)),
         )
+
+
+
+
+_LSNR_KEYS = ("offset_1", "offset_2", "scale", "gamma")
+
+
+def init_lsnr_state() -> dict:
+    """Reference LearnableSNRGamma init values + AdamW(0.01) slots + the
+    rolling loss buffer (max 20)."""
+    params = {"offset_1": jnp.asarray(0.0), "offset_2": jnp.asarray(0.777),
+              "scale": jnp.asarray(4.14), "gamma": jnp.asarray(2.03)}
+    zeros = {k: jnp.zeros(()) for k in _LSNR_KEYS}
+    # count is float so the outer value_and_grad (which sees the whole
+    # trainable tree) never meets an integer leaf
+    return {"params": params, "m": zeros, "v": zeros,
+            "buffer": jnp.zeros((20,)), "count": jnp.zeros(())}
+
+
+def _lsnr_weight(params: dict, snr: jax.Array) -> jax.Array:
+    adj = (snr + params["offset_1"]) * params["scale"] + params["offset_2"]
+    return jnp.abs(params["gamma"] / adj)
+
+
+def _lsnr_update(lsnr: dict, per_sample_loss: jax.Array, snr: jax.Array) -> dict:
+    """One AdamW step of the local objective
+    mean((loss * w(params) - rolling_target)^2) — reference forward()."""
+    per = jax.lax.stop_gradient(per_sample_loss.astype(jnp.float32))
+    buf = jnp.roll(lsnr["buffer"], -1).at[-1].set(per.mean())
+    count = jnp.minimum(lsnr["count"] + 1.0, float(buf.shape[0]))
+    # mean over the filled tail of the buffer
+    idx = jnp.arange(buf.shape[0], dtype=jnp.float32)
+    filled = idx >= (buf.shape[0] - count)
+    target = jnp.sum(jnp.where(filled, buf, 0.0)) / jnp.maximum(count, 1.0)
+
+    def local(params):
+        w = _lsnr_weight(params, jax.lax.stop_gradient(snr))
+        return jnp.mean((per * w - target) ** 2)
+
+    g = jax.grad(local)(lsnr["params"])
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+    new_p, new_m, new_v = {}, {}, {}
+    for k in _LSNR_KEYS:
+        m = b1 * lsnr["m"][k] + (1 - b1) * g[k]
+        v = b2 * lsnr["v"][k] + (1 - b2) * g[k] ** 2
+        new_m[k], new_v[k] = m, v
+        new_p[k] = lsnr["params"][k] - lr * m / (jnp.sqrt(v) + eps)
+    return {"params": new_p, "m": new_m, "v": new_v, "buffer": buf, "count": count}
 
 
 def make_train_step(
@@ -150,6 +203,9 @@ def make_train_step(
             )
         elif cfg.min_snr_gamma and not is_flow:
             tw = schedule.min_snr_weight(t, cfg.min_snr_gamma)
+        elif cfg.learnable_snr and not is_flow and "lsnr" in trainable:
+            snr_now = schedule.snr(t)
+            tw = jax.lax.stop_gradient(_lsnr_weight(trainable["lsnr"]["params"], snr_now))
 
         loss, aux = compute_loss(
             pred,
@@ -175,6 +231,12 @@ def make_train_step(
             extra = aux_loss_fn(pred, noisy, latents, noise, t)
             loss = loss + extra
             aux = {**aux, "aux_loss": extra}
+        if cfg.learnable_snr and not is_flow and "lsnr" in trainable:
+            per = jnp.mean(
+                (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
+                axis=tuple(range(1, pred.ndim)),
+            )
+            aux = {**aux, "new_lsnr": _lsnr_update(trainable["lsnr"], per, snr_now)}
         return loss, aux
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
@@ -209,6 +271,13 @@ def make_train_step(
             aux = {}
 
         new_state = state.apply_gradients(grads, ema_decay=cfg.ema_decay)
+        new_lsnr = aux.pop("new_lsnr", None)
+        if new_lsnr is not None:
+            # the lsnr cell has its own optimizer — overwrite whatever the
+            # main tx did to it (its grads are zero; adamw wd would decay it)
+            new_state = new_state.replace(
+                trainable={**new_state.trainable, "lsnr": new_lsnr}
+            )
         metrics = {"loss": loss, "grad_norm": optax_global_norm(grads), **aux}
         return new_state, metrics
 

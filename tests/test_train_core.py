@@ -386,3 +386,44 @@ def test_oom_skip_resilience(tmp_path, monkeypatch):
     results = job.run()
     assert np.isfinite(results[0]["final_loss"])
     assert fired["n"] == 4  # every step invoked once; the OOM one skipped
+
+
+def test_learnable_snr_gamma():
+    """learnable_snr_gos (reference train_tools.LearnableSNRGamma): the four
+    scalars self-optimize online and weight the DDPM loss."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+    from ai_toolkit_tpu.samplers import DDPMSchedule
+    from ai_toolkit_tpu.train.optimizers import get_optimizer
+    from ai_toolkit_tpu.train.state import TrainState
+    from ai_toolkit_tpu.train.step import (
+        TrainStepConfig,
+        init_lsnr_state,
+        make_jitted_train_step,
+    )
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+
+    model = get_model_class("sd15")(ModelConfig(arch="sd15", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    lora = build_lora(
+        variables["unet"], LoRASpec(rank=2, alpha=2.0, target_patterns=model.lora_targets()),
+        jax.random.key(1),
+    )
+    trainable = {"lora": lora, "lsnr": init_lsnr_state()}
+    tx = get_optimizer("adamw", 1e-3)
+    state = TrainState.create(variables, trainable, tx)
+    cond = model.encode_prompt(variables, ["x", "y"])
+    h, w, c = model.latent_shape(64, 64)
+    batch = {"latents": jax.random.normal(jax.random.key(2), (2, h, w, c)), "cond": cond}
+    step = make_jitted_train_step(
+        model.predict, DDPMSchedule(), TrainStepConfig(learnable_snr=True), tx
+    )
+    p0 = {k: float(v) for k, v in state.trainable["lsnr"]["params"].items()}
+    for i in range(3):
+        state, m = step(state, batch, jax.random.key(3 + i))
+    assert np.isfinite(float(m["loss"]))
+    lsnr = state.trainable["lsnr"]
+    p1 = {k: float(v) for k, v in lsnr["params"].items()}
+    assert int(lsnr["count"]) == 3  # float leaf, integral value
+    assert any(abs(p1[k] - p0[k]) > 1e-6 for k in p1), (p0, p1)  # scalars moved
+    assert all(np.isfinite(v) for v in p1.values())
