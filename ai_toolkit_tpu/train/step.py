@@ -34,6 +34,9 @@ class TrainStepConfig:
     timestep_weights_v2: bool = False
     noise_offset: float = 0.0
     noise_multiplier: float = 1.0
+    # blend a low-frequency latent residual into the noise (reference
+    # util/blended_blur_noise.get_blended_blur_noise)
+    blended_blur_noise: bool = False
     ema_decay: float | None = None
     grad_accum: int = 1
     diff_output_preservation: bool = False
@@ -62,6 +65,7 @@ class TrainStepConfig:
             timestep_weights_v2=bool(tc.linear_timesteps2),
             noise_offset=tc.noise_offset,
             noise_multiplier=tc.noise_multiplier,
+            blended_blur_noise=bool(getattr(tc, "blended_blur_noise", False)),
             ema_decay=tc.ema_config.ema_decay if tc.ema_config.use_ema else None,
             grad_accum=max(1, tc.gradient_accumulation_steps),
             diff_output_preservation=tc.diff_output_preservation,
@@ -163,6 +167,19 @@ def make_train_step(
             # per-channel offset noise (reference get_noise, BaseSDTrainProcess.py:992)
             offs = jax.random.normal(rng_o, latents.shape[:1] + (1,) * (latents.ndim - 2) + latents.shape[-1:])
             noise = noise + cfg.noise_offset * offs.astype(latents.dtype)
+        if cfg.blended_blur_noise and latents.ndim == 4:
+            # down-4x/up bilinear blur residual of the clean latents, blended
+            # at a per-sample U(0,2) strength (reference blended_blur_noise)
+            bb, hh_, ww_, cc_ = latents.shape
+            lat32 = latents.astype(jnp.float32)
+            small = jax.image.resize(
+                lat32, (bb, max(1, hh_ // 4), max(1, ww_ // 4), cc_), "bilinear"
+            )
+            blur = jax.image.resize(small, latents.shape, "bilinear") - lat32
+            strength = jax.random.uniform(
+                jax.random.fold_in(rng_o, 7), (bb, 1, 1, 1)
+            ) * 2.0
+            noise = noise + (blur * strength).astype(noise.dtype)
 
         noisy = schedule.add_noise(latents, noise, t)
         target = schedule.target(latents, noise, t)

@@ -427,3 +427,41 @@ def test_learnable_snr_gamma():
     assert int(lsnr["count"]) == 3  # float leaf, integral value
     assert any(abs(p1[k] - p0[k]) > 1e-6 for k in p1), (p0, p1)  # scalars moved
     assert all(np.isfinite(v) for v in p1.values())
+
+
+def test_blended_blur_noise_changes_target():
+    """blended_blur_noise blends a low-frequency latent residual into the
+    noise (reference util/blended_blur_noise) — losses stay finite and the
+    effective noise differs from the plain path."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+    from ai_toolkit_tpu.samplers import FlowMatchSchedule
+    from ai_toolkit_tpu.train.optimizers import get_optimizer
+    from ai_toolkit_tpu.train.state import TrainState
+    from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+
+    model = get_model_class("sd3")(ModelConfig(arch="sd3", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    lora = build_lora(
+        variables["dit"], LoRASpec(rank=2, alpha=2.0, target_patterns=model.lora_targets()),
+        jax.random.key(1),
+    )
+    h, w, c = model.latent_shape(64, 64)
+    cond = model.encode_prompt(variables, ["a", "b"])
+    cond["pe"] = model.rope_table(h, w, cond["txt"].shape[1])
+    cond["guidance"] = jnp.ones((2,))
+    batch = {"latents": jax.random.normal(jax.random.key(2), (2, h, w, c)), "cond": cond}
+    tx = get_optimizer("adamw", 1e-3)
+
+    losses = {}
+    for flag in (False, True):
+        state = TrainState.create(variables, {"lora": lora}, tx)
+        step = make_jitted_train_step(
+            model.predict, FlowMatchSchedule(),
+            TrainStepConfig(timestep_type="linear", blended_blur_noise=flag), tx,
+        )
+        _, m = step(state, batch, jax.random.key(5))
+        losses[flag] = float(m["loss"])
+        assert np.isfinite(losses[flag])
+    assert losses[True] != losses[False]
