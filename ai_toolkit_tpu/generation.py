@@ -213,6 +213,13 @@ def generate_video(
     t_lat, h, w, c = model.latent_shape(gen.height, gen.width, nf)
     cond = model.encode_prompt(variables, [gen.prompt])
     cond["pe"] = model.rope_table(t_lat, h, w)
+    if getattr(gen, "ctrl_img", None) and hasattr(model, "encode_image_cond"):
+        # i2v: first-frame conditioning image -> clip-vision tokens (wan i2v)
+        from PIL import Image
+
+        im = Image.open(gen.ctrl_img).convert("RGB").resize((gen.width, gen.height))
+        px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
+        cond["img_cond"] = model.encode_image_cond(variables, px)
     pt, ph, pw = model.dit_config.patch_size
     seq_len = (t_lat // pt) * (h // ph) * (w // pw)
     if lora:

@@ -151,3 +151,36 @@ def test_wan_sequence_parallel_matches_dense():
 
     g = jax.grad(lambda dit: loss({**variables, "dit": dit}))(variables["dit"])
     assert all(np.isfinite(x).all() for x in jax.tree.leaves(g))
+
+
+def test_wan_i2v_generation_with_ctrl_img(tmp_path):
+    """i2v sampling: ctrl_img conditions generation through clip-vision
+    first-frame tokens (reference wan i2v pipeline image input)."""
+    from PIL import Image
+
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig
+    from ai_toolkit_tpu.generation import generate_video
+
+    model = get_model_class("wan21_i2v")(
+        ModelConfig(arch="wan21_i2v", model_kwargs={"size": "tiny"})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    sd = model.vae_config.spatial_downscale
+    img = tmp_path / "first.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (2 * sd, 2 * sd, 3), dtype=np.uint8)
+    ).save(img)
+    gen = GenerateImageConfig(
+        prompt="clip", width=2 * sd, height=2 * sd, sample_steps=2,
+        num_frames=2 * model.vae_config.temporal_downscale, seed=2, ctrl_img=str(img),
+    )
+    frames, wav = generate_video(model, variables, gen)
+    assert frames.ndim == 4 and np.isfinite(frames).all()
+    # conditioning image changes the output
+    gen2 = GenerateImageConfig(
+        prompt="clip", width=2 * sd, height=2 * sd, sample_steps=2,
+        num_frames=2 * model.vae_config.temporal_downscale, seed=2,
+    )
+    frames2, _ = generate_video(model, variables, gen2)
+    assert frames.shape == frames2.shape
+    assert np.abs(frames.astype(np.int32) - frames2.astype(np.int32)).max() > 0
