@@ -32,8 +32,27 @@ class GenerateProcess:
         for i, item in enumerate(cfg.sample.prompts):
             seed = cfg.sample.seed + (i if cfg.sample.walk_seed else 0)
             gen = GenerateImageConfig.from_sample(cfg.sample, item, seed)
-            img = generate(model, variables, gen, lora=lora)
-            path = os.path.join(self.output_dir, f"{self.job_name}_{i:04d}.{gen.output_ext}")
-            save_image_atomic(img, path)
+            out = generate(model, variables, gen, lora=lora)
+            if hasattr(model, "frame_count_snapper"):  # video / joint AV
+                from ai_toolkit_tpu.generation import save_video_atomic, save_wav_atomic
+
+                frames, wav = out
+                ext = "webp" if frames.shape[0] > 1 else gen.output_ext
+                path = os.path.join(self.output_dir, f"{self.job_name}_{i:04d}.{ext}")
+                save_video_atomic(frames, path, fps=gen.fps)
+                if wav is not None:
+                    save_wav_atomic(wav, os.path.splitext(path)[0] + ".wav")
+            elif hasattr(model, "latent_shape_audio"):  # text-to-audio
+                from ai_toolkit_tpu.generation import save_wav_atomic
+
+                path = os.path.join(self.output_dir, f"{self.job_name}_{i:04d}.wav")
+                save_wav_atomic(
+                    out, path, sample_rate=int(gen.extras.get("sample_rate", 44_100))
+                )
+            else:
+                path = os.path.join(
+                    self.output_dir, f"{self.job_name}_{i:04d}.{gen.output_ext}"
+                )
+                save_image_atomic(out, path)
             outputs.append(path)
         return {"images": outputs}
