@@ -18,6 +18,9 @@ endpoints a headless deployment needs:
     GET  /api/runs/<name>/samples          sample file listing
     GET  /api/runs/<name>/samples/<file>   serve one sample (png/webp/wav)
     GET  /                       single-page dashboard (job table + loss chart)
+    GET  /new                    quick-launch form (gradio flux_train_ui analog)
+    POST /api/launch             write a LoRA config + spawn `run.py` detached
+                                 (reference ui/cron startJob contract)
 
 Auth: optional AI_TOOLKIT_AUTH bearer token (reference README.md:180-196).
 """
@@ -119,6 +122,13 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             return self.wfile.write(body)
+        if self.path == "/new":
+            body = _LAUNCH_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            return self.wfile.write(body)
         if self.path == "/api/health":
             return self._json({"ok": True})
         if self.path == "/api/gpu":
@@ -173,6 +183,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         if not self._auth_ok():
             return self._json({"error": "unauthorized"}, 401)
+        if self.path == "/api/launch":
+            return self._launch()
         parts = self.path.strip("/").split("/")
         if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] in ("stop", "save", "sample"):
             field = {"stop": "stop", "save": "save_now", "sample": "sample_now"}[parts[3]]
@@ -185,6 +197,78 @@ class _Handler(BaseHTTPRequestHandler):
             except sqlite3.Error as e:
                 return self._json({"error": str(e)}, 500)
         return self._json({"error": "unknown route"}, 404)
+
+
+    def _launch(self):
+        """Quick-launch: JSON body -> LoRA train config -> detached run.py.
+
+        The TPU analog of the reference gradio quick-UI (flux_train_ui.py)
+        and the cron worker's startJob spawn (ui/cron/actions/startJob.ts):
+        one POST composes a standard sd_trainer config and runs it.
+        """
+        import subprocess
+        import sys
+
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except ValueError:
+            return self._json({"error": "bad json"}, 400)
+        name = str(req.get("name", "quick_lora"))
+        if not name.replace("-", "").replace("_", "").isalnum():
+            return self._json({"error": "bad name"}, 400)
+        folder = req.get("dataset_folder")
+        if not folder or not os.path.isdir(folder):
+            return self._json({"error": "dataset_folder missing"}, 400)
+        root = self._runs_root()
+        cfg = {
+            "job": "extension",
+            "config": {"name": name, "process": [{
+                "type": "sd_trainer",
+                "training_folder": root,
+                "trigger_word": req.get("trigger_word") or None,
+                "network": {"type": "lora", "linear": int(req.get("rank", 16)),
+                            "linear_alpha": int(req.get("rank", 16))},
+                "save": {"save_every": int(req.get("save_every", 250))},
+                "datasets": [{"folder_path": folder, "caption_ext": "txt",
+                              "resolution": req.get("resolution", [512, 768, 1024])}],
+                "train": {"batch_size": int(req.get("batch_size", 1)),
+                          "steps": int(req.get("steps", 2000)),
+                          "noise_scheduler": req.get("noise_scheduler", "flowmatch"),
+                          "timestep_type": req.get("timestep_type", "flux_shift"),
+                          "optimizer": req.get("optimizer", "adamw8bit"),
+                          "lr": float(req.get("lr", 1e-4)),
+                          "dtype": req.get("dtype", "bf16"),
+                          "ema_config": {"use_ema": True, "ema_decay": 0.99}},
+                "model": {"name_or_path": req.get("name_or_path", ""),
+                          "arch": req.get("arch", "flux"),
+                          "quantize": bool(req.get("quantize", True)),
+                          "model_kwargs": req.get("model_kwargs", {})},
+                "sample": {"sample_every": int(req.get("sample_every", 0)),
+                           "prompts": req.get("prompts", [])},
+                "mesh": {"axes": req.get("mesh", {"dp": 1, "fsdp": -1, "tp": 1})},
+            }]},
+        }
+        import yaml
+
+        cfg_dir = os.path.join(root, "_quick_ui")
+        os.makedirs(cfg_dir, exist_ok=True)
+        cfg_path = os.path.join(cfg_dir, f"{name}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        log_path = os.path.join(cfg_dir, f"{name}.log")
+        run_py = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "run.py",
+        )
+        with open(log_path, "ab") as logf:
+            proc = subprocess.Popen(
+                [sys.executable, run_py, cfg_path],
+                stdout=logf, stderr=subprocess.STDOUT,
+                start_new_session=True,  # detached: survives the server
+            )
+        return self._json({"launched": name, "pid": proc.pid,
+                           "config": cfg_path, "log": log_path})
 
 
 class UIServer:
@@ -266,4 +350,31 @@ async function refresh(){
 }
 document.getElementById('pick').onchange=refresh;
 refresh();setInterval(refresh,5000);
+</script></body></html>"""
+
+
+_LAUNCH_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>quick launch</title>
+<style>body{font:14px system-ui;margin:24px;background:#0f1115;color:#d7dae0}
+label{display:block;margin:8px 0 2px}input,select{width:320px;padding:4px;
+background:#161a22;color:#d7dae0;border:1px solid #2a2e38}
+button{margin-top:12px;padding:6px 18px;background:#5b8cff;border:0;color:#fff;
+border-radius:4px}</style></head><body>
+<h1>Quick LoRA launch</h1>
+<label>name</label><input id="name" value="my_lora">
+<label>arch</label><input id="arch" value="flux">
+<label>checkpoint path</label><input id="ckpt" value="">
+<label>dataset folder</label><input id="ds" value="">
+<label>steps</label><input id="steps" value="2000">
+<label>rank</label><input id="rank" value="16">
+<label>trigger word</label><input id="trig" value="">
+<button onclick="go()">Launch</button><pre id="out"></pre>
+<script>
+async function go(){
+ const body={name:name.value,arch:arch.value,name_or_path:ckpt.value,
+  dataset_folder:ds.value,steps:+steps.value,rank:+rank.value,
+  trigger_word:trig.value};
+ const r=await fetch('/api/launch',{method:'POST',body:JSON.stringify(body)});
+ document.getElementById('out').textContent=JSON.stringify(await r.json(),null,2);
+}
 </script></body></html>"""

@@ -1,5 +1,7 @@
 import sqlite3
 
+import pytest
+
 from ai_toolkit_tpu.jobs.ui_bridge import UIJobBridge
 
 
@@ -139,4 +141,57 @@ def test_dashboard_and_runs_endpoints(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 404
     finally:
+        srv.stop()
+
+
+@pytest.mark.slow
+def test_quick_launch_endpoint(tmp_path):
+    """POST /api/launch composes a LoRA config and spawns a detached run.py
+    (reference gradio quick-UI / cron startJob analog)."""
+    import json
+    import os
+    import time
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    ds = tmp_path / "imgs"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            ds / f"im_{i}.png"
+        )
+        (ds / f"im_{i}.txt").write_text("x")
+    os.environ["AIT_PLATFORM"] = "cpu"  # child run.py forces CPU
+    try:
+        srv = UIServer(port=0, runs_root=str(tmp_path / "out")).start()
+        base = f"http://127.0.0.1:{srv.port}"
+        html = urllib.request.urlopen(base + "/new", timeout=5).read().decode()
+        assert "Quick LoRA launch" in html
+        body = json.dumps({
+            "name": "quick_test", "arch": "sd3", "dataset_folder": str(ds),
+            "steps": 2, "rank": 2, "batch_size": 1, "dtype": "float32",
+            "noise_scheduler": "flowmatch", "timestep_type": "linear",
+            "optimizer": "adamw", "quantize": False,
+            "model_kwargs": {"size": "tiny"}, "resolution": 64,
+        }).encode()
+        resp = json.load(urllib.request.urlopen(
+            urllib.request.Request(base + "/api/launch", data=body), timeout=10
+        ))
+        assert resp.get("launched") == "quick_test", resp
+        assert os.path.isfile(resp["config"])
+        # the detached trainer writes a checkpoint within the test budget
+        final = tmp_path / "out" / "quick_test" / "quick_test.safetensors"
+        for _ in range(360):
+            if final.exists():
+                break
+            time.sleep(1)
+        log = open(resp["log"]).read()
+        assert final.exists(), log[-2000:]
+    finally:
+        os.environ.pop("AIT_PLATFORM", None)
         srv.stop()
