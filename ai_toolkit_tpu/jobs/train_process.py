@@ -218,6 +218,22 @@ class SDTrainProcess:
                       "(reference skips the optimizer in this case too)")
             if shape_ok:
                 new_trainable = {"lora": jax.tree.map(jnp.asarray, resumed_lora)}
+                if "lsnr" in trainable:
+                    # keep the learnable-SNR cell (its optimizer is in-graph);
+                    # reference reloads learnable_snr.json on resume (:1898)
+                    new_trainable["lsnr"] = trainable["lsnr"]
+                    snr_json = os.path.join(self.save_root, "learnable_snr.json")
+                    if os.path.isfile(snr_json):
+                        import json as _json
+
+                        with open(snr_json) as f:
+                            saved = _json.load(f)
+                        new_trainable["lsnr"] = {
+                            **trainable["lsnr"],
+                            "params": {k: jnp.asarray(float(v))
+                                       for k, v in saved.items()},
+                        }
+                        print("resumed learnable_snr.json")
                 for k in trainable:
                     if not k.startswith("lora_te"):
                         continue
