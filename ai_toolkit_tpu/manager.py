@@ -115,7 +115,10 @@ def doctor() -> int:
     # virtual multi-device mesh (sharding machinery) in a subprocess so the
     # flag applies before jax initializes there
     code = (
-        "import jax, numpy as np;"
+        # in-process platform override: images that pre-register an
+        # accelerator backend in sitecustomize ignore plain env vars
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import numpy as np;"
         "from jax.sharding import Mesh, PartitionSpec as P, NamedSharding;"
         "devs = np.array(jax.devices()).reshape(2, 4);"
         "m = Mesh(devs, ('dp', 'fsdp'));"
@@ -123,7 +126,9 @@ def doctor() -> int:
         "print(float(x.sum()))"
     )
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     env["JAX_PLATFORMS"] = "cpu"
     try:
         r = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True,
