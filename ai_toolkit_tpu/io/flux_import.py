@@ -14,6 +14,25 @@ import numpy as np
 from ai_toolkit_tpu.io.torch_import import Rule, load_safetensors_dir, torch_to_tree
 
 
+def chroma_approximator_rules() -> list[Rule]:
+    """Chroma distilled-guidance (Approximator) keys — BFL/ComfyUI layout
+    ``distilled_guidance_layer.*`` (reference chroma/src/layers.py:390).
+    Appended to flux_dit_rules for the chroma arch; harmless otherwise."""
+    p = r"distilled_guidance_layer\."
+    rules: list[Rule] = [
+        (p + r"in_proj\.weight", "distilled_guidance/in_proj/kernel", "linear"),
+        (p + r"in_proj\.bias", "distilled_guidance/in_proj/bias", "direct"),
+        (p + r"out_proj\.weight", "distilled_guidance/out_proj/kernel", "linear"),
+        (p + r"out_proj\.bias", "distilled_guidance/out_proj/bias", "direct"),
+        (p + r"layers\.(\d+)\.in_layer\.weight", "distilled_guidance/layer_{0}/in_layer/kernel", "linear"),
+        (p + r"layers\.(\d+)\.in_layer\.bias", "distilled_guidance/layer_{0}/in_layer/bias", "direct"),
+        (p + r"layers\.(\d+)\.out_layer\.weight", "distilled_guidance/layer_{0}/out_layer/kernel", "linear"),
+        (p + r"layers\.(\d+)\.out_layer\.bias", "distilled_guidance/layer_{0}/out_layer/bias", "direct"),
+        (p + r"norms\.(\d+)\.scale", "distilled_guidance/norm_{0}/scale", "direct"),
+    ]
+    return rules
+
+
 def flux_dit_rules(scan_blocks: bool = True) -> list[Rule]:
     if scan_blocks:
         blk = [
@@ -126,9 +145,10 @@ def load_flux_checkpoint(path: str, model) -> dict:
             flat = load_safetensors_dir(path, sub if sub != "." else None)
             flat = {k.removeprefix("model.diffusion_model."): v for k, v in flat.items()}
             if any(k.startswith("double_blocks.") for k in flat):
-                tree, unmatched = torch_to_tree(
-                    flat, flux_dit_rules(model.dit_config.scan_blocks)
-                )
+                rules = flux_dit_rules(model.dit_config.scan_blocks)
+                if getattr(model.dit_config, "chroma_mod", False):
+                    rules = chroma_approximator_rules() + rules
+                tree, unmatched = torch_to_tree(flat, rules)
                 if tree:
                     variables["dit"] = _merge_imported(variables["dit"], tree, "flux dit")
                 break

@@ -76,6 +76,13 @@ class FluxConfig:
     # explicit shared-expert width (hidream rounds 2/3*hidden to x256
     # separately for routed and shared; 0 -> mlp_dim // 2)
     moe_shared_hidden: int = 0
+    # chroma semantics (reference chroma/src/model.py:118,210-228): all block
+    # modulation vectors come from ONE small "Approximator" MLP over
+    # (timestep_emb(16) | guidance_emb(16) | mod_index_emb(32)) instead of
+    # per-block adaLN projections; time_in/vector_in/guidance_in are pruned.
+    chroma_mod: bool = False
+    approximator_hidden: int = 5120
+    approximator_depth: int = 5
 
     @classmethod
     def dev(cls) -> "FluxConfig":
@@ -110,6 +117,24 @@ class MLPEmbedder(nn.Module):
         return Linear(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="out_layer")(
             nn.silu(x)
         )
+
+
+class Approximator(nn.Module):
+    """Chroma distilled-guidance layer (reference chroma/src/layers.py:390):
+    in_proj -> n x (x + MLPEmbedder(RMSNorm(x))) -> out_proj."""
+
+    cfg: "FluxConfig"
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dt, pdt = cfg.dtype, cfg.param_dtype
+        hh = cfg.approximator_hidden
+        x = Linear(hh, dtype=dt, param_dtype=pdt, name="in_proj")(x.astype(dt))
+        for i in range(cfg.approximator_depth):
+            xn = RMSNorm(hh, dtype=dt, name=f"norm_{i}")(x)
+            x = x + MLPEmbedder(hh, dt, pdt, name=f"layer_{i}")(xn)
+        return Linear(cfg.hidden_size, dtype=dt, param_dtype=pdt, name="out_proj")(x)
 
 
 class QKNorm(nn.Module):
@@ -274,7 +299,7 @@ class DoubleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, img, txt, vec, pe, mask=None):
+    def __call__(self, img, txt, vec, pe, mask=None, mod=None):
         cfg = self.cfg
         dt = cfg.dtype
         pdt = cfg.param_dtype
@@ -283,12 +308,21 @@ class DoubleBlock(nn.Module):
         mlp_dim = int(h * cfg.mlp_ratio)
 
         del mlp_dim  # FFN width is resolved inside _ffn
-        i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = AdaLayerNormZero(
-            h, 6, dtype=dt, param_dtype=pdt, name="img_mod"
-        )(vec)
-        t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = AdaLayerNormZero(
-            h, 6, dtype=dt, param_dtype=pdt, name="txt_mod"
-        )(vec)
+        if mod is not None:
+            # chroma: [B, 2(sets), 3(shift/scale/gate), h] per stream from the
+            # approximator, no per-block projections
+            im, tm = mod
+            i_shift1, i_scale1, i_gate1 = im[:, 0, 0], im[:, 0, 1], im[:, 0, 2]
+            i_shift2, i_scale2, i_gate2 = im[:, 1, 0], im[:, 1, 1], im[:, 1, 2]
+            t_shift1, t_scale1, t_gate1 = tm[:, 0, 0], tm[:, 0, 1], tm[:, 0, 2]
+            t_shift2, t_scale2, t_gate2 = tm[:, 1, 0], tm[:, 1, 1], tm[:, 1, 2]
+        else:
+            i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = AdaLayerNormZero(
+                h, 6, dtype=dt, param_dtype=pdt, name="img_mod"
+            )(vec)
+            t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = AdaLayerNormZero(
+                h, 6, dtype=dt, param_dtype=pdt, name="txt_mod"
+            )(vec)
 
         def qkv(x, prefix):
             b, s, _ = x.shape
@@ -333,7 +367,7 @@ class SingleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe, mask=None):
+    def __call__(self, x, vec, pe, mask=None, mod=None):
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
@@ -359,7 +393,10 @@ class SingleBlock(nn.Module):
             )
             xm = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="ffn_norm")(x), shift2, scale2)
             return x + gate2[:, None] * _ffn(cfg, xm, "mlp")
-        shift, scale, gate = AdaLayerNormZero(h, 3, dtype=dt, param_dtype=pdt, name="mod")(vec)
+        if mod is not None:
+            shift, scale, gate = mod[:, 0], mod[:, 1], mod[:, 2]  # chroma
+        else:
+            shift, scale, gate = AdaLayerNormZero(h, 3, dtype=dt, param_dtype=pdt, name="mod")(vec)
         xn = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="pre_norm")(x), shift, scale)
         b, s, _ = xn.shape
         # fused qkv + mlp-in projection (flux single-stream trick -> one big MXU matmul)
@@ -398,6 +435,26 @@ class _SingleCarry(nn.Module):
         return SingleBlock(self.cfg, name="block")(x, vec, pe, mask), None
 
 
+class _DoubleCarryMod(nn.Module):
+    """chroma scan adapter: per-layer modulation slices scanned over axis 0."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, carry, pe, mask, mod):
+        img, txt = carry
+        img, txt = DoubleBlock(self.cfg, name="block")(img, txt, None, pe, mask, mod=mod)
+        return (img, txt), None
+
+
+class _SingleCarryMod(nn.Module):
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, x, pe, mask, mod):
+        return SingleBlock(self.cfg, name="block")(x, None, pe, mask, mod=mod), None
+
+
 class FluxDiT(nn.Module):
     cfg: FluxConfig
 
@@ -418,11 +475,37 @@ class FluxDiT(nn.Module):
 
         img = Linear(h, dtype=dt, param_dtype=pdt, name="img_in")(img)
         txt = Linear(h, dtype=dt, param_dtype=pdt, name="txt_in")(txt)
-        vec = TimestepEmbedder(h, dtype=dt, param_dtype=pdt, name="time_in")(t)
-        if cfg.guidance_embed:
-            g = guidance if guidance is not None else jnp.full(t.shape, 4.0, t.dtype)
-            vec = vec + TimestepEmbedder(h, dtype=dt, param_dtype=pdt, name="guidance_in")(g)
-        vec = vec + MLPEmbedder(h, dt, pdt, name="vector_in")(y.astype(dt))
+        vec = None
+        sing_mod = img_mod = txt_mod = fin_mod = None
+        if cfg.chroma_mod:
+            # chroma: one Approximator produces every modulation vector
+            # (singles | img doubles | txt doubles | final), indexed by a
+            # sinusoidal mod-position embedding (reference model.py:205-228)
+            from ai_toolkit_tpu.ops.embeddings import timestep_embedding
+
+            dd, ds = cfg.depth_double, cfg.depth_single
+            l_mod = 3 * ds + 2 * 6 * dd + 2
+            b = img.shape[0]
+            g = guidance if guidance is not None else jnp.zeros(t.shape, t.dtype)
+            tg = jnp.concatenate(
+                [timestep_embedding(t, 16), timestep_embedding(g, 16)], axis=-1
+            )  # [B, 32]
+            idx_emb = timestep_embedding(jnp.arange(l_mod, dtype=jnp.float32), 32)
+            inp = jnp.concatenate(
+                [jnp.broadcast_to(tg[:, None, :], (b, l_mod, 32)).astype(dt),
+                 jnp.broadcast_to(idx_emb[None], (b, l_mod, 32)).astype(dt)], axis=-1
+            )
+            mods = Approximator(cfg, name="distilled_guidance")(inp)  # [B, L, h]
+            sing_mod = mods[:, : 3 * ds].reshape(b, ds, 3, h)
+            img_mod = mods[:, 3 * ds: 3 * ds + 6 * dd].reshape(b, dd, 2, 3, h)
+            txt_mod = mods[:, 3 * ds + 6 * dd: 3 * ds + 12 * dd].reshape(b, dd, 2, 3, h)
+            fin_mod = mods[:, -2:]
+        else:
+            vec = TimestepEmbedder(h, dtype=dt, param_dtype=pdt, name="time_in")(t)
+            if cfg.guidance_embed:
+                g = guidance if guidance is not None else jnp.full(t.shape, 4.0, t.dtype)
+                vec = vec + TimestepEmbedder(h, dtype=dt, param_dtype=pdt, name="guidance_in")(g)
+            vec = vec + MLPEmbedder(h, dt, pdt, name="vector_in")(y.astype(dt))
 
         mask = None
         if txt_mask is not None:
@@ -451,30 +534,51 @@ class FluxDiT(nn.Module):
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                     jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse"),
                 )
-            DCarry = nn.remat(_DoubleCarry, **remat_kwargs) if cfg.remat else _DoubleCarry
-            SCarry = nn.remat(_SingleCarry, **remat_kwargs) if cfg.remat else _SingleCarry
-            if cfg.depth_double > 0:
-                (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
-                    cfg, name="double_blocks"
-                )((img, txt), vec, pe, mask)
-            x = jnp.concatenate([txt, img], axis=1)
-            if cfg.depth_single > 0:
-                x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
-                    cfg, name="single_blocks"
-                )(x, vec, pe, mask)
+            if cfg.chroma_mod:
+                # per-layer mod slices scan over axis 0: [L, B, ...]
+                scan_kwargs["in_axes"] = (nn.broadcast, nn.broadcast, 0)
+                DCarry = nn.remat(_DoubleCarryMod, **remat_kwargs) if cfg.remat else _DoubleCarryMod
+                SCarry = nn.remat(_SingleCarryMod, **remat_kwargs) if cfg.remat else _SingleCarryMod
+                if cfg.depth_double > 0:
+                    dmods = (img_mod.transpose(1, 0, 2, 3, 4), txt_mod.transpose(1, 0, 2, 3, 4))
+                    (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
+                        cfg, name="double_blocks"
+                    )((img, txt), pe, mask, dmods)
+                x = jnp.concatenate([txt, img], axis=1)
+                if cfg.depth_single > 0:
+                    x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
+                        cfg, name="single_blocks"
+                    )(x, pe, mask, sing_mod.transpose(1, 0, 2, 3))
+            else:
+                DCarry = nn.remat(_DoubleCarry, **remat_kwargs) if cfg.remat else _DoubleCarry
+                SCarry = nn.remat(_SingleCarry, **remat_kwargs) if cfg.remat else _SingleCarry
+                if cfg.depth_double > 0:
+                    (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
+                        cfg, name="double_blocks"
+                    )((img, txt), vec, pe, mask)
+                x = jnp.concatenate([txt, img], axis=1)
+                if cfg.depth_single > 0:
+                    x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
+                        cfg, name="single_blocks"
+                    )(x, vec, pe, mask)
         else:
             DBlock = nn.remat(DoubleBlock) if cfg.remat else DoubleBlock
             SBlock = nn.remat(SingleBlock) if cfg.remat else SingleBlock
             for i in range(cfg.depth_double):
-                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe, mask)
+                dm = (img_mod[:, i], txt_mod[:, i]) if cfg.chroma_mod else None
+                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe, mask, mod=dm)
             x = jnp.concatenate([txt, img], axis=1)
             for i in range(cfg.depth_single):
-                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe, mask)
+                sm = sing_mod[:, i] if cfg.chroma_mod else None
+                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe, mask, mod=sm)
         x = x[:, txt.shape[1] :]
 
-        shift, scale = jnp.split(
-            Linear(h * 2, dtype=dt, param_dtype=pdt, name="final_mod")(nn.silu(vec)), 2, axis=-1
-        )
+        if cfg.chroma_mod:
+            shift, scale = fin_mod[:, 0], fin_mod[:, 1]
+        else:
+            shift, scale = jnp.split(
+                Linear(h * 2, dtype=dt, param_dtype=pdt, name="final_mod")(nn.silu(vec)), 2, axis=-1
+            )
         x = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="final_norm")(x), shift, scale)
         out_ch = cfg.out_channels or cfg.in_channels
         return Linear(out_ch, dtype=dt, param_dtype=pdt, name="final_proj")(x)

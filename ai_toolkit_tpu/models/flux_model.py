@@ -61,10 +61,18 @@ class FluxModel(BaseTpuModel):
             self.vae_config = VAEConfig.flux()
             self.clip_config = CLIPTextConfig.clip_l()
             self.t5_config = T5Config.xxl()
-        if config.arch in ("flux_schnell", "chroma"):
-            # chroma is a flux-schnell-derived arch (guidance-distilled, pruned
-            # modulation); trained here with the schnell-config graph
+        if config.arch == "flux_schnell":
             self.dit_config = FluxConfig(**{**self.dit_config.__dict__, "guidance_embed": False})
+        if config.arch == "chroma":
+            # chroma prunes time_in/vector_in/guidance_in: ALL modulation
+            # vectors come from the distilled-guidance Approximator
+            # (reference chroma/src/model.py:118; approximator 64->5120x5)
+            size = config.model_kwargs.get("size", "full")
+            self.dit_config = FluxConfig(**{
+                **self.dit_config.__dict__, "guidance_embed": False, "chroma_mod": True,
+                "approximator_hidden": 64 if size == "tiny" else 5120,
+                "approximator_depth": 2 if size == "tiny" else 5,
+            })
         if config.model_kwargs.get("control") or config.arch in ("flux_kontext", "flex2"):
             # control/edit conditioning: packed control latents concat to img tokens
             base_in = self.dit_config.in_channels

@@ -111,3 +111,88 @@ def test_attn_masking(scanned):
     txt2 = txt.at[:, 4:].set(123.0)
     masked2 = model.apply(variables, img, txt2, t, y, pe, g, mask)
     np.testing.assert_allclose(np.asarray(masked), np.asarray(masked2), atol=2e-5)
+
+
+def test_chroma_approximator_modulation():
+    """Chroma arch: pruned time_in/vector_in, all modulation from the
+    distilled-guidance Approximator (reference chroma/src/model.py:118-228),
+    identical math for scanned and unrolled layouts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.flux_dit import FluxConfig, FluxDiT
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("chroma")(ModelConfig(arch="chroma", model_kwargs={"size": "tiny"}))
+    cfg = model.dit_config
+    assert cfg.chroma_mod and not cfg.guidance_embed
+    variables = model.init_variables(jax.random.key(0))
+    flat = set()
+
+    def walk(tree, pre=""):
+        for k, v in tree.items():
+            (walk(v, pre + k + "/") if isinstance(v, dict) else flat.add(pre + k))
+
+    walk(variables["dit"])
+    assert not any(p.startswith(("time_in", "vector_in", "guidance_in", "final_mod"))
+                   for p in flat), sorted(flat)[:5]
+    assert any(p.startswith("distilled_guidance/") for p in flat)
+
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["a"])
+    cond["pe"] = model.rope_table(h, w, cond["txt"].shape[1])
+    cond["guidance"] = jnp.zeros((1,))
+    x = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    out1 = model.predict(variables, x, jnp.full((1,), 0.3), cond)
+    assert np.isfinite(np.asarray(out1)).all()
+    # timestep feeds ONLY through the approximator — changing t changes out
+    out2 = model.predict(variables, x, jnp.full((1,), 0.7), cond)
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-6
+
+    # scanned == unrolled (same params restacked)
+    base = FluxConfig(**{**cfg.__dict__, "scan_blocks": False})
+    scan_cfg = FluxConfig(**{**cfg.__dict__, "scan_blocks": True})
+    dit_u = FluxDiT(base)
+    n_img, n_txt = 16, 4
+    rng = jax.random.key(3)
+    pe = model.rope_table(8, 8, n_txt)
+    img = jax.random.normal(rng, (1, n_img, cfg.in_channels))
+    txt = jax.random.normal(jax.random.key(4), (1, n_txt, cfg.context_dim))
+    t = jnp.full((1,), 0.4)
+    y = jnp.zeros((1, cfg.vec_dim))
+    params_u = dit_u.init(jax.random.key(5), img, txt, t, y, pe, jnp.zeros((1,)))["params"]
+    out_u = dit_u.apply({"params": params_u}, img, txt, t, y, pe, jnp.zeros((1,)))
+    # restack unrolled params into the scanned layout
+    import numpy as _np
+
+    def stack(keys, n):
+        out = {}
+        first = params_u[f"{keys}_0"]
+
+        def rec(paths, sub):
+            for k, v in sub.items():
+                if isinstance(v, dict):
+                    rec(paths + [k], v)
+                else:
+                    arrs = [params_u[f"{keys}_{i}"]
+                            for i in range(n)]
+                    for pth in paths:
+                        arrs = [a[pth] for a in arrs]
+                    arrs = [a[k] for a in arrs]
+                    d = out
+                    for pth in paths:
+                        d = d.setdefault(pth, {})
+                    d[k] = _np.stack(arrs)
+
+        rec([], first)
+        return out
+
+    params_s = {k: v for k, v in params_u.items()
+                if not k.startswith(("double_", "single_"))}
+    params_s["double_blocks"] = {"block": stack("double", cfg.depth_double)}
+    params_s["single_blocks"] = {"block": stack("single", cfg.depth_single)}
+    dit_s = FluxDiT(scan_cfg)
+    out_s = dit_s.apply({"params": params_s}, img, txt, t, y, pe, jnp.zeros((1,)))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=2e-5, rtol=2e-5)
