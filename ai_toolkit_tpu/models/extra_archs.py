@@ -68,7 +68,7 @@ _SPECS: dict[str, dict] = {
     "nucleus_image": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=28, ctx=2048,
                           vae="flux", te="llm", llm_d=2048),
     "zeta_chroma": dict(hidden=3072, heads=24, head_dim=128, dd=19, ds=38, ctx=2048,
-                        vae="flux", te="llm", llm_d=2048),
+                        vae="flux", te="llm", llm_d=2048, chroma=True),
     "ernie_image": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=28, ctx=2048,
                         vae="flux", te="llm", llm_d=2048),
     "zimage": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=30, ctx=2048,
@@ -76,7 +76,7 @@ _SPECS: dict[str, dict] = {
     "zimage_l2p": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=30, ctx=2048,
                        vae="flux", te="llm", llm_d=2048),
     "chroma_radiance": dict(hidden=3072, heads=24, head_dim=128, dd=19, ds=38, ctx=4096,
-                            vae="flux", te="t5"),
+                            vae="flux", te="t5", chroma=True),
 }
 
 _VAES = {
@@ -101,6 +101,7 @@ class GenericDiTModel(BaseTpuModel):
         spec = dict(_SPECS[config.arch])
         spec.update({k: v for k, v in config.model_kwargs.items() if k in (
             "hidden", "heads", "head_dim", "dd", "ds", "ctx", "vae", "te", "llm_d", "edit",
+            "chroma",
         )})
         self.is_edit = bool(spec.get("edit"))
         size = config.model_kwargs.get("size", "full")
@@ -110,6 +111,8 @@ class GenericDiTModel(BaseTpuModel):
                 **base.__dict__,
                 "depth_double": min(spec["dd"], 1), "depth_single": min(spec["ds"], 2),
                 "guidance_embed": False,
+                "chroma_mod": bool(spec.get("chroma")),
+                "approximator_hidden": 64, "approximator_depth": 2,
             })
             self.vae_config = VAEConfig.tiny()
             self.te_kind = spec["te"]
@@ -125,6 +128,8 @@ class GenericDiTModel(BaseTpuModel):
                 depth_double=spec["dd"], depth_single=spec["ds"],
                 context_dim=spec["ctx"], vec_dim=256, guidance_embed=False,
                 axes_dim=ax,
+                # chroma-family: Approximator modulation (see flux_dit)
+                chroma_mod=bool(spec.get("chroma")),
             )
             self.vae_config = _VAES[spec["vae"]]()
             self.te_kind = spec["te"]

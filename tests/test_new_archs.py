@@ -207,3 +207,27 @@ def test_flux2_forward_and_conditioning():
     assert out.shape == noisy.shape
     assert np.isfinite(np.asarray(out)).all()
     assert model.lora_key_layout() == "comfy"
+
+
+@pytest.mark.parametrize("arch", ["zeta_chroma", "chroma_radiance", "boogu_image", "mageflow"])
+def test_long_tail_arch_forward(arch):
+    """Table-driven long-tail archs (models/extra_archs.py) run end-to-end;
+    the chroma-family entries use the Approximator modulation path."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class(arch)(ModelConfig(arch=arch, model_kwargs={"size": "tiny"}))
+    if arch in ("zeta_chroma", "chroma_radiance"):
+        assert model.dit_config.chroma_mod
+    variables = model.init_variables(jax.random.key(0))
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["a cat"])
+    cond["pe"] = model.rope_table(h, w, cond["txt"].shape[1])
+    cond["guidance"] = jnp.zeros((1,))
+    if getattr(model, "is_edit", False):
+        cond["control_latents"] = jnp.zeros((1, h, w, c))
+        cids = model.rope_table(h, w, 0)
+        cond["pe"] = jnp.concatenate([cond["pe"], cids], axis=1)
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), cond)
+    assert out.shape == noisy.shape and np.isfinite(np.asarray(out)).all()
