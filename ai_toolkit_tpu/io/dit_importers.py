@@ -60,11 +60,14 @@ def wan_dit_rules(scan_blocks: bool = True, i2v: bool = False) -> list[Rule]:
 
     rules: list[Rule] = []
     for src, dst in (
+        # NOTE: plain dots here — lin() escapes them once. Pre-escaped entries
+        # used to double-escape, silently dropping to_out/ffn weights on
+        # import (caught by tests/test_wan_golden.py).
         ("attn1.to_q", "self_q"), ("attn1.to_k", "self_k"), ("attn1.to_v", "self_v"),
-        (r"attn1.to_out\.0", "self_o"),
+        ("attn1.to_out.0", "self_o"),
         ("attn2.to_q", "cross_q"), ("attn2.to_k", "cross_k"), ("attn2.to_v", "cross_v"),
-        (r"attn2.to_out\.0", "cross_o"),
-        (r"ffn.net\.0\.proj", "ffn_in"), (r"ffn.net\.2", "ffn_out"),
+        ("attn2.to_out.0", "cross_o"),
+        ("ffn.net.0.proj", "ffn_in"), ("ffn.net.2", "ffn_out"),
     ):
         rules += lin(src.replace(".", r"\."), dst)
     for src, dst in (
