@@ -513,6 +513,17 @@ def load_wan_checkpoint(path: str, model) -> dict:
         if unmatched:
             print(f"wan import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
         variables["dit"] = _merge_imported(variables["dit"], tree, "wan dit")
+    # umt5 text encoder (per-layer relative bias)
+    te_dir = os.path.join(path, "text_encoder") if os.path.isdir(path) else None
+    if te_dir and os.path.isdir(te_dir):
+        from ai_toolkit_tpu.io.sd_import import t5_rules
+
+        flat = load_safetensors_dir(te_dir)
+        tree, _ = torch_to_tree(
+            flat, t5_rules(per_layer_bias=model.t5_config.per_layer_bias)
+        )
+        if tree:
+            variables["t5"] = _merge_imported(variables["t5"], tree, "wan umt5")
     return variables
 
 

@@ -203,13 +203,20 @@ def clip_rules() -> list[Rule]:
     ]
 
 
-def t5_rules() -> list[Rule]:
+def t5_rules(per_layer_bias: bool = False) -> list[Rule]:
     p = r"encoder\.block\.(\d+)\.layer\."
+    if per_layer_bias:
+        # UMT5: every block owns a relative-bias table
+        bias_rules = [(p + r"0\.SelfAttention\.relative_attention_bias\.weight",
+                       "layer_{0}/relative_attention_bias", "direct")]
+    else:
+        bias_rules = [(
+            r"encoder\.block\.0\.layer\.0\.SelfAttention\.relative_attention_bias\.weight",
+            "relative_attention_bias", "direct")]
     return [
         (r"shared\.weight", "token_embedding", "direct"),
         (r"encoder\.embed_tokens\.weight", "token_embedding", "direct"),
-        (r"encoder\.block\.0\.layer\.0\.SelfAttention\.relative_attention_bias\.weight",
-         "relative_attention_bias", "direct"),
+    ] + bias_rules + [
         (p + r"0\.SelfAttention\.q\.weight", "layer_{0}/q/kernel", "linear"),
         (p + r"0\.SelfAttention\.k\.weight", "layer_{0}/k/kernel", "linear"),
         (p + r"0\.SelfAttention\.v\.weight", "layer_{0}/v/kernel", "linear"),

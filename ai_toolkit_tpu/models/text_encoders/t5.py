@@ -28,6 +28,9 @@ class T5Config:
     num_heads: int = 64
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
+    # UMT5 (wan's umt5-xxl): every layer has its OWN relative-bias table
+    # (transformers UMT5EncoderModel) instead of sharing layer 0's
+    per_layer_bias: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -60,11 +63,17 @@ class T5Layer(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, x, pos_bias):
+    def __call__(self, x, pos_bias, buckets=None):
         cfg = self.cfg
         dt = cfg.dtype
         b, s, _ = x.shape
         inner = cfg.num_heads * cfg.d_kv
+        if cfg.per_layer_bias:
+            rel = self.param(
+                "relative_attention_bias", nn.initializers.normal(0.4),
+                (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32,
+            )
+            pos_bias = rel[buckets].transpose(2, 0, 1)[None]
         h = RMSNorm(dtype=dt, name="ln1")(x)
         q = Linear(inner, use_bias=False, dtype=dt, param_dtype=dt, name="q")(h)
         k = Linear(inner, use_bias=False, dtype=dt, param_dtype=dt, name="k")(h)
@@ -100,18 +109,21 @@ class T5Encoder(nn.Module):
         )
         x = emb[input_ids].astype(cfg.dtype)
 
-        # shared relative position bias (layer-0 table)
-        rel_table = self.param(
-            "relative_attention_bias", nn.initializers.normal(0.4),
-            (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32,
-        )
         ctx = jnp.arange(s)[:, None]
         mem = jnp.arange(s)[None, :]
         buckets = _relative_position_bucket(
             mem - ctx, cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance
         )
-        pos_bias = rel_table[buckets].transpose(2, 0, 1)[None]  # [1, H, S, S]
+        if cfg.per_layer_bias:
+            pos_bias = None  # each UMT5 layer owns its table
+        else:
+            # shared relative position bias (layer-0 table)
+            rel_table = self.param(
+                "relative_attention_bias", nn.initializers.normal(0.4),
+                (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.float32,
+            )
+            pos_bias = rel_table[buckets].transpose(2, 0, 1)[None]  # [1, H, S, S]
 
         for i in range(cfg.num_layers):
-            x = T5Layer(cfg, name=f"layer_{i}")(x, pos_bias)
+            x = T5Layer(cfg, name=f"layer_{i}")(x, pos_bias, buckets)
         return RMSNorm(dtype=cfg.dtype, name="final_ln")(x)

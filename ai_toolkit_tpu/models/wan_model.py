@@ -58,18 +58,19 @@ class WanModel(BaseTpuModel):
             self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v,
                                            "img_cond_dim": 64})
             self.vae_config = VideoVAEConfig.tiny()
-            self.t5_config = T5Config.tiny()
+            # wan's TE is umt5 (per-layer relative bias)
+            self.t5_config = T5Config(**{**T5Config.tiny().__dict__, "per_layer_bias": True})
             self.max_txt_len = 16
         elif size in ("14b", "14B"):
             self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_14b().__dict__, "i2v": i2v})
             self.vae_config = VideoVAEConfig.wan()
-            self.t5_config = T5Config.xxl()
+            self.t5_config = T5Config(**{**T5Config.xxl().__dict__, "per_layer_bias": True})
         else:
             self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_1_3b().__dict__, "i2v": i2v})
             self.vae_config = VideoVAEConfig.wan()
-            self.t5_config = T5Config.xxl()
+            self.t5_config = T5Config(**{**T5Config.xxl().__dict__, "per_layer_bias": True})
         self.dit = WanDiT(self.dit_config)
         self.vae = VideoAutoencoderKL(self.vae_config)
         self.t5 = T5Encoder(self.t5_config)

@@ -197,3 +197,29 @@ def test_gemma2_encoder_matches_transformers():
         ref = hf(torch.from_numpy(ids)).last_hidden_state
     out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4, rtol=3e-4)
+
+
+def test_umt5_encoder_matches_transformers():
+    """UMT5 (wan's TE): PER-LAYER relative-bias tables vs the shared-table
+    t5 v1.1 — T5Config.per_layer_bias must match transformers UMT5."""
+    from transformers import UMT5Config, UMT5EncoderModel
+
+    from ai_toolkit_tpu.models.text_encoders import T5Config, T5Encoder
+
+    hf = UMT5EncoderModel(UMT5Config(
+        vocab_size=1000, d_model=64, d_kv=16, d_ff=128, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=32, relative_attention_max_distance=128,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False, use_cache=False,
+    )).eval()
+    flat = {k: v.numpy() for k, v in hf.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, t5_rules(per_layer_bias=True))
+    assert not unmatched, unmatched[:8]
+
+    cfg = T5Config(vocab_size=1000, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+                   num_heads=4, per_layer_bias=True, dtype=jnp.float32)
+    ours = T5Encoder(cfg)
+    ids = np.random.default_rng(4).integers(1, 999, (2, 10)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).last_hidden_state
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
