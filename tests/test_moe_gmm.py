@@ -122,3 +122,64 @@ def test_moeffn_grouped_matches_dense_module():
     yd = dense.apply({"params": params}, x)
     yg = grouped.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(yg), np.asarray(yd), atol=1e-5, rtol=1e-5)
+
+
+def test_moeffn_matches_reference_torch_moe():
+    """MoEFFN (dense dispatch) vs a torch mirror of the reference hidream
+    MoE (src/models/moe.py MoEGate + MOEFeedForwardSwiGLU.moe_infer):
+    unnormalized softmax top-k gates, per-expert SwiGLU with the reference's
+    2/3-and-round-to-256 hidden sizing, half-width shared expert."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as TF
+
+    from ai_toolkit_tpu.models.flux_dit import MoEFFN
+
+    d, req_hidden, e, k = 32, 96, 4, 2  # ref rounds 2/3*96 -> 64 (multiple_of=32 here)
+    multiple_of = 32
+    routed_h = multiple_of * ((int(2 * req_hidden / 3) + multiple_of - 1) // multiple_of)
+    shared_h = multiple_of * ((int(2 * (req_hidden // 2) / 3) + multiple_of - 1) // multiple_of)
+
+    rng = np.random.default_rng(0)
+    gate_w = rng.normal(size=(e, d)).astype(np.float32) * 0.1
+    w1 = rng.normal(size=(e, d, routed_h)).astype(np.float32) * 0.1
+    w3 = rng.normal(size=(e, d, routed_h)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(e, routed_h, d)).astype(np.float32) * 0.1
+    sw1 = rng.normal(size=(d, shared_h)).astype(np.float32) * 0.1
+    sw3 = rng.normal(size=(d, shared_h)).astype(np.float32) * 0.1
+    sw2 = rng.normal(size=(shared_h, d)).astype(np.float32) * 0.1
+    x = rng.normal(size=(2, 8, d)).astype(np.float32)
+
+    # torch reference path (moe_infer semantics)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).reshape(-1, d)
+        logits = TF.linear(xt, torch.from_numpy(gate_w))
+        scores = logits.softmax(-1)
+        topv, topi = torch.topk(scores, k, dim=-1, sorted=False)
+        out = torch.zeros_like(xt)
+        flat_i = topi.reshape(-1)
+        flat_w = topv.reshape(-1, 1)
+        for ei in range(e):
+            m = flat_i == ei
+            tok = torch.nonzero(m).squeeze(-1) // k
+            if tok.numel() == 0:
+                continue
+            xi = xt[tok]
+            o = TF.silu(xi @ torch.from_numpy(w1[ei])) * (xi @ torch.from_numpy(w3[ei]))
+            o = o @ torch.from_numpy(w2[ei])
+            o = o * flat_w[m]
+            out.scatter_reduce_(0, tok[:, None].expand(-1, d), o, reduce="sum")
+        shared = TF.silu(xt @ torch.from_numpy(sw1)) * (xt @ torch.from_numpy(sw3))
+        ref = (out + shared @ torch.from_numpy(sw2)).reshape(2, 8, d).numpy()
+
+    params = {
+        "gate": {"kernel": jnp.asarray(gate_w.T)},
+        "experts": {"w1": {"kernel": jnp.asarray(w1)},
+                    "w3": {"kernel": jnp.asarray(w3)},
+                    "w2": {"kernel": jnp.asarray(w2)}},
+        "shared": {"w1": {"kernel": jnp.asarray(sw1)},
+                   "w3": {"kernel": jnp.asarray(sw3)},
+                   "w2": {"kernel": jnp.asarray(sw2)}},
+    }
+    mod = MoEFFN(d, routed_h, e, k, jnp.float32, jnp.float32, shared_hidden=shared_h)
+    out_j = mod.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j), ref, atol=1e-5, rtol=1e-5)
