@@ -229,3 +229,86 @@ def test_unet_matches_torch_mirror():
     np.testing.assert_allclose(
         np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
     )
+
+
+class TUNetXL(TUNet):
+    """SDXL extras: add_embedding over (text_embeds | time_ids sincos)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        ted = cfg.time_embed_dim
+        self.add_embedding = nn.Module()
+        self.add_embedding.linear_1 = nn.Linear(cfg.projection_class_embeddings_dim, ted)
+        self.add_embedding.linear_2 = nn.Linear(ted, ted)
+
+    def forward(self, x, t, ctx, text_embeds, time_ids):
+        cfg = self.cfg
+        temb = self.time_embedding.linear_2(
+            F.silu(self.time_embedding.linear_1(_temb_sincos(t, cfg.block_out_channels[0])))
+        )
+        tid = _temb_sincos(time_ids.reshape(-1), cfg.addition_time_embed_dim).reshape(
+            x.shape[0], -1
+        )
+        add = torch.cat([text_embeds, tid], dim=-1)
+        temb = temb + self.add_embedding.linear_2(F.silu(self.add_embedding.linear_1(add)))
+        h = self.conv_in(x)
+        skips = [h]
+        for i, blk in enumerate(self.down_blocks):
+            for j, res in enumerate(blk.resnets):
+                h = res(h, temb)
+                if cfg.transformer_layers[i]:
+                    h = blk.attentions[j](h, ctx)
+                skips.append(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0].conv(h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.resnets[1](h, temb)
+        for bi, blk in enumerate(self.up_blocks):
+            i = len(self.down_blocks) - 1 - bi
+            for j, res in enumerate(blk.resnets):
+                h = res(torch.cat([h, skips.pop()], dim=1), temb)
+                if cfg.transformer_layers[i]:
+                    h = blk.attentions[j](h, ctx)
+            if hasattr(blk, "upsamplers"):
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+
+def test_sdxl_added_cond_matches_torch_mirror():
+    """SDXL micro-conditioning: add_embedding over pooled text + sincos
+    time_ids must match the diffusers layout through unet_rules."""
+    cfg = UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1, transformer_layers=(0, 1),
+        num_heads=2, cross_attention_dim=48, addition_time_embed_dim=8,
+        projection_class_embeddings_dim=32 + 6 * 8, dtype=jnp.float32,
+        param_dtype=jnp.float32, remat=False,
+    )
+    torch.manual_seed(1)
+    tm = TUNetXL(cfg).eval()
+    flat = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, unet_rules(len(cfg.block_out_channels)))
+    assert not unmatched, unmatched[:8]
+
+    ours = UNet2DCondition(cfg)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    t = np.asarray([11, 700], np.int64)
+    ctx = rng.normal(size=(2, 5, 48)).astype(np.float32)
+    text_embeds = rng.normal(size=(2, 32)).astype(np.float32)
+    time_ids = np.tile(np.asarray([[512, 512, 0, 0, 512, 512]], np.float32), (2, 1))
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+                 torch.from_numpy(ctx), torch.from_numpy(text_embeds),
+                 torch.from_numpy(time_ids))
+    out = ours.apply(
+        {"params": tree}, jnp.asarray(x), jnp.asarray(t.astype(np.float32)),
+        jnp.asarray(ctx),
+        added_cond={"time_ids": jnp.asarray(time_ids), "text_embeds": jnp.asarray(text_embeds)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
+    )
