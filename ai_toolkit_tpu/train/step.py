@@ -218,11 +218,14 @@ def make_train_step(
             tw = schedule.loss_weights(
                 t, timestep_type=cfg.timestep_type, v2=cfg.timestep_weights_v2
             )
+        elif cfg.learnable_snr and not is_flow and "lsnr" in trainable:
+            # learnable SNR takes priority over min_snr_gamma, matching the
+            # reference branch order (SDTrainer.py:970-979)
+            tw = jax.lax.stop_gradient(
+                _lsnr_weight(trainable["lsnr"]["params"], schedule.snr(t))
+            )
         elif cfg.min_snr_gamma and not is_flow:
             tw = schedule.min_snr_weight(t, cfg.min_snr_gamma)
-        elif cfg.learnable_snr and not is_flow and "lsnr" in trainable:
-            snr_now = schedule.snr(t)
-            tw = jax.lax.stop_gradient(_lsnr_weight(trainable["lsnr"]["params"], snr_now))
 
         loss, aux = compute_loss(
             pred,
@@ -253,7 +256,7 @@ def make_train_step(
                 (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
                 axis=tuple(range(1, pred.ndim)),
             )
-            aux = {**aux, "new_lsnr": _lsnr_update(trainable["lsnr"], per, snr_now)}
+            aux = {**aux, "new_lsnr": _lsnr_update(trainable["lsnr"], per, schedule.snr(t))}
         return loss, aux
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
@@ -269,23 +272,52 @@ def make_train_step(
             (loss, aux), grads = grad_fn(state.trainable, state.model_variables, batch, rng,
                                          image_seq_len)
         else:
-            # batch leaves have a leading [accum, micro_b, ...] axis
+            # batch leaves have a leading [accum, micro_b, ...] axis. Aux
+            # metrics are averaged across microbatches; the lsnr cell is
+            # threaded sequentially through the carry (each microbatch sees
+            # the previous one's update, mirroring the reference's
+            # per-backward LearnableSNRGamma.forward calls).
+            micro0 = jax.tree.map(lambda x: x[0], batch)
+            aux_shapes = jax.eval_shape(
+                lambda tr: grad_fn(tr, state.model_variables, micro0, rng, image_seq_len)[0][1],
+                state.trainable,
+            )
+            has_lsnr = "new_lsnr" in aux_shapes
+            aux0 = {
+                k: jnp.zeros(v.shape, jnp.float32)
+                for k, v in aux_shapes.items() if k != "new_lsnr"
+            }
+            lsnr0 = state.trainable["lsnr"] if has_lsnr else None
+
             def scan_body(carry, xs):
-                g_acc, loss_acc = carry
+                g_acc, loss_acc, lsnr_c, aux_acc = carry
                 micro, r = xs
-                (l, _), g = grad_fn(state.trainable, state.model_variables, micro, r,
+                trainable = (
+                    state.trainable if lsnr_c is None
+                    else {**state.trainable, "lsnr": lsnr_c}
+                )
+                (l, a), g = grad_fn(trainable, state.model_variables, micro, r,
                                     image_seq_len)
+                if has_lsnr:
+                    lsnr_c = a.pop("new_lsnr")
+                aux_acc = {k: aux_acc[k] + a[k].astype(jnp.float32) for k in aux_acc}
                 return (
-                    jax.tree.map(lambda a, b: a + b, g_acc, g),
+                    jax.tree.map(lambda x, y: x + y, g_acc, g),
                     loss_acc + l,
+                    lsnr_c,
+                    aux_acc,
                 ), None
 
             zero = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable)
             rngs = jax.random.split(rng, cfg.grad_accum)
-            (grads, loss_sum), _ = jax.lax.scan(scan_body, (zero, 0.0), (batch, rngs))
+            (grads, loss_sum, lsnr_f, aux_sum), _ = jax.lax.scan(
+                scan_body, (zero, 0.0, lsnr0, aux0), (batch, rngs)
+            )
             grads = jax.tree.map(lambda g: g / cfg.grad_accum, grads)
             loss = loss_sum / cfg.grad_accum
-            aux = {}
+            aux = {k: v / cfg.grad_accum for k, v in aux_sum.items()}
+            if has_lsnr:
+                aux["new_lsnr"] = lsnr_f
 
         new_state = state.apply_gradients(grads, ema_decay=cfg.ema_decay)
         new_lsnr = aux.pop("new_lsnr", None)

@@ -429,6 +429,39 @@ def test_learnable_snr_gamma():
     assert all(np.isfinite(v) for v in p1.values())
 
 
+def test_learnable_snr_survives_grad_accum():
+    """Regression: with gradient_accumulation_steps > 1 the scan path must
+    still thread the lsnr cell (sequential microbatch updates) and keep aux
+    metrics; and learnable_snr must win over a simultaneously-set
+    min_snr_gamma (reference branch order) without a trace-time NameError."""
+    from ai_toolkit_tpu.samplers import DDPMSchedule
+    from ai_toolkit_tpu.train.step import init_lsnr_state, make_train_step
+
+    model = TinyDiT()
+    x = jnp.zeros((2, 4, 4, 2))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)), {})
+    lora = build_lora(variables["params"], LoRASpec(rank=4, alpha=4.0), jax.random.key(1))
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create(
+        {"params": variables["params"]}, {"lora": lora, "lsnr": init_lsnr_state()}, tx
+    )
+    cfg = TrainStepConfig(
+        timestep_type="linear", grad_accum=2, learnable_snr=True, min_snr_gamma=5.0
+    )
+    step = jax.jit(make_train_step(model.apply, DDPMSchedule(), cfg))
+    p0 = {k: float(v) for k, v in state.trainable["lsnr"]["params"].items()}
+    lat = jax.random.normal(jax.random.key(7), (2, 2, 4, 4, 2))  # [accum, micro_b, ...]
+    state, metrics = step(state, {"latents": lat}, jax.random.key(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_raw" in metrics  # aux survives the scan path
+    lsnr = state.trainable["lsnr"]
+    # two microbatches -> two sequential lsnr updates in one optimizer step
+    assert int(lsnr["count"]) == 2
+    p1 = {k: float(v) for k, v in lsnr["params"].items()}
+    assert any(abs(p1[k] - p0[k]) > 1e-8 for k in p1), (p0, p1)
+    assert all(np.isfinite(v) for v in p1.values())
+
+
 def test_blended_blur_noise_changes_target():
     """blended_blur_noise blends a low-frequency latent residual into the
     noise (reference util/blended_blur_noise) — losses stay finite and the
