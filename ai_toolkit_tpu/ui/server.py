@@ -180,10 +180,30 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json({"error": "not found"}, 404)
         return self._json({"error": "unknown route"}, 404)
 
+    def _csrf_ok(self) -> bool:
+        """Reject cross-site POSTs even when no auth token is configured.
+
+        A hostile webpage can fire a "simple" cross-origin POST at
+        127.0.0.1 without a preflight; requiring ``application/json`` (which
+        forces a CORS preflight we never approve) plus a local Origin, when
+        the browser sends one, blocks that.
+        """
+        origin = self.headers.get("Origin")
+        if origin:
+            host = self.headers.get("Host", "")
+            if origin not in (f"http://{host}", f"https://{host}"):
+                return False
+        ctype = self.headers.get("Content-Type", "").split(";")[0].strip()
+        return ctype in ("application/json", "")
+
     def do_POST(self):
         if not self._auth_ok():
             return self._json({"error": "unauthorized"}, 401)
+        if not self._csrf_ok():
+            return self._json({"error": "cross-origin request rejected"}, 403)
         if self.path == "/api/launch":
+            if self.headers.get("Content-Type", "").split(";")[0].strip() != "application/json":
+                return self._json({"error": "Content-Type must be application/json"}, 415)
             return self._launch()
         parts = self.path.strip("/").split("/")
         if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] in ("stop", "save", "sample"):
@@ -374,7 +394,8 @@ async function go(){
  const body={name:name.value,arch:arch.value,name_or_path:ckpt.value,
   dataset_folder:ds.value,steps:+steps.value,rank:+rank.value,
   trigger_word:trig.value};
- const r=await fetch('/api/launch',{method:'POST',body:JSON.stringify(body)});
+ const r=await fetch('/api/launch',{method:'POST',
+  headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
  document.getElementById('out').textContent=JSON.stringify(await r.json(),null,2);
 }
 </script></body></html>"""

@@ -144,6 +144,50 @@ def test_dashboard_and_runs_endpoints(tmp_path):
         srv.stop()
 
 
+def test_post_csrf_rejection(tmp_path):
+    """Cross-site POSTs are rejected even without an auth token: foreign
+    Origin -> 403; /api/launch without application/json -> 4xx (a browser
+    simple POST can't set that header cross-origin without a preflight)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    srv = UIServer(db_path=str(tmp_path / "no.db"), port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        req = urllib.request.Request(
+            base + "/api/jobs/j1/stop", method="POST",
+            headers={"Origin": "http://evil.example"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            raise AssertionError("foreign Origin not rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps({"name": "x"}).encode(),
+            headers={"Content-Type": "text/plain"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            raise AssertionError("non-json launch not rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code in (403, 415)
+        # same-origin JSON with the local Host as Origin is allowed through
+        req = urllib.request.Request(
+            base + "/api/jobs/j1/stop", method="POST",
+            headers={"Origin": f"http://127.0.0.1:{srv.port}"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5)
+        except urllib.error.HTTPError as e:
+            assert e.code == 500  # db missing, but not a CSRF rejection
+    finally:
+        srv.stop()
+
+
 @pytest.mark.slow
 def test_quick_launch_endpoint(tmp_path):
     """POST /api/launch composes a LoRA config and spawns a detached run.py
@@ -180,7 +224,11 @@ def test_quick_launch_endpoint(tmp_path):
             "model_kwargs": {"size": "tiny"}, "resolution": 64,
         }).encode()
         resp = json.load(urllib.request.urlopen(
-            urllib.request.Request(base + "/api/launch", data=body), timeout=10
+            urllib.request.Request(
+                base + "/api/launch", data=body,
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=10,
         ))
         assert resp.get("launched") == "quick_test", resp
         assert os.path.isfile(resp["config"])
