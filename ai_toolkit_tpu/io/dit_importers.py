@@ -524,6 +524,26 @@ def load_wan_checkpoint(path: str, model) -> dict:
         )
         if tree:
             variables["t5"] = _merge_imported(variables["t5"], tree, "wan umt5")
+    # exact diffusers AutoencoderKLWan import (wan21.py:456 loads vae/)
+    vae_dir = os.path.join(path, "vae") if os.path.isdir(path) else None
+    if vae_dir and os.path.isdir(vae_dir):
+        from ai_toolkit_tpu.io.video_vae_import import (
+            load_wan_vae_tree, wan_vae_config_from_json,
+        )
+        from ai_toolkit_tpu.models.wan_vae import WanVAE
+
+        cfg = wan_vae_config_from_json(vae_dir)
+        model.vae_config = cfg
+        model.vae = WanVAE(cfg)
+        tree, unmatched = load_wan_vae_tree(vae_dir)
+        if unmatched:
+            print(f"wan vae import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        sd_, td = cfg.spatial_downscale, cfg.temporal_downscale
+        ref = model.vae.init(
+            jax.random.key(0),
+            jax.numpy.zeros((1, td + 1, 2 * sd_, 2 * sd_, 3)),
+        )["params"]
+        variables["vae"] = _merge_imported(ref, tree, "wan vae")
     return variables
 
 

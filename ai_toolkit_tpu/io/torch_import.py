@@ -40,6 +40,8 @@ def convert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(v.transpose(2, 1, 0))
     if kind == "plus_one":  # gemma RMSNorm stores w, applies (1 + w)
         return np.ascontiguousarray(v + 1.0)
+    if kind == "flatten_c":  # broadcast-shaped norm gains (C,1,1[,1]) -> (C,)
+        return np.ascontiguousarray(v.reshape(v.shape[0]))
     return np.ascontiguousarray(v)  # direct / scale / bias / embedding
 
 

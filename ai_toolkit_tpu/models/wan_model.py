@@ -21,7 +21,7 @@ from ai_toolkit_tpu.models.base import BaseTpuModel
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import T5Config, T5Encoder
 from ai_toolkit_tpu.models.text_encoders.clip_vision import CLIPVisionConfig, CLIPVisionModel
-from ai_toolkit_tpu.models.video_vae import VideoAutoencoderKL, VideoVAEConfig
+from ai_toolkit_tpu.models.wan_vae import WanVAE, WanVAEConfig
 from ai_toolkit_tpu.models.wan_dit import (
     WanConfig,
     WanDiT,
@@ -57,22 +57,22 @@ class WanModel(BaseTpuModel):
             self.vision_config = CLIPVisionConfig.tiny() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v,
                                            "img_cond_dim": 64})
-            self.vae_config = VideoVAEConfig.tiny()
+            self.vae_config = WanVAEConfig.tiny()
             # wan's TE is umt5 (per-layer relative bias)
             self.t5_config = T5Config(**{**T5Config.tiny().__dict__, "per_layer_bias": True})
             self.max_txt_len = 16
         elif size in ("14b", "14B"):
             self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_14b().__dict__, "i2v": i2v})
-            self.vae_config = VideoVAEConfig.wan()
+            self.vae_config = WanVAEConfig.wan21()
             self.t5_config = T5Config(**{**T5Config.xxl().__dict__, "per_layer_bias": True})
         else:
             self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_1_3b().__dict__, "i2v": i2v})
-            self.vae_config = VideoVAEConfig.wan()
+            self.vae_config = WanVAEConfig.wan21()
             self.t5_config = T5Config(**{**T5Config.xxl().__dict__, "per_layer_bias": True})
         self.dit = WanDiT(self.dit_config)
-        self.vae = VideoAutoencoderKL(self.vae_config)
+        self.vae = WanVAE(self.vae_config)
         self.t5 = T5Encoder(self.t5_config)
         self.clip_vision = CLIPVisionModel(self.vision_config) if self.vision_config else None
         self.tokenizer = load_tokenizer(
@@ -94,7 +94,7 @@ class WanModel(BaseTpuModel):
         )
         td, sd_ = self.vae_config.temporal_downscale, self.vae_config.spatial_downscale
         vae_vars = self.vae.init(
-            r_vae, jnp.zeros((1, td, 2 * sd_, 2 * sd_, 3))
+            r_vae, jnp.zeros((1, td + 1, 2 * sd_, 2 * sd_, 3))
         )
         t5_vars = self.t5.init(r_t5, jnp.zeros((1, self.max_txt_len), jnp.int32))
         out = {"dit": dit_vars["params"], "vae": vae_vars["params"], "t5": t5_vars["params"]}
@@ -187,20 +187,23 @@ class WanModel(BaseTpuModel):
         return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
 
     def encode_images(self, variables, images, rng=None):
-        """images: [B, T, H, W, 3] (or [B, H, W, 3] treated as T=temporal_ds)."""
+        """images: [B, T, H, W, 3] (or [B, H, W, 3] = single-frame video).
+
+        The causal VAE encodes T = td*k+1 frames to k+1 latent frames; a lone
+        image is a T=1 video (reference wan trains images the same way)."""
         if images.ndim == 4:
-            images = jnp.repeat(images[:, None], self.vae_config.temporal_downscale, axis=1)
+            images = images[:, None]
         return self.vae.apply(
-            {"params": variables["vae"]}, images, rng, method=VideoAutoencoderKL.encode
+            {"params": variables["vae"]}, images, rng, method=WanVAE.encode
         )
 
     def decode_latents(self, variables, latents):
-        return self.vae.apply({"params": variables["vae"]}, latents, method=VideoAutoencoderKL.decode)
+        return self.vae.apply({"params": variables["vae"]}, latents, method=WanVAE.decode)
 
     def latent_shape(self, height: int, width: int, num_frames: int = 1):
         sd_ = self.vae_config.spatial_downscale
         td = self.vae_config.temporal_downscale
-        t = max(1, num_frames // td)
+        t = (max(1, num_frames) - 1) // td + 1
         return t, height // sd_, width // sd_, self.vae_config.latent_channels
 
     def image_seq_len(self, height: int, width: int) -> int:
@@ -209,9 +212,10 @@ class WanModel(BaseTpuModel):
         return (h // cfg.patch_size[1]) * (w // cfg.patch_size[2])
 
     def frame_count_snapper(self, frames: int) -> int:
-        """Snap to the VAE's temporal grid (reference get_frame_count_snapper)."""
+        """Snap to the causal VAE's temporal grid: td*k+1 frames
+        (reference get_frame_count_snapper — wan wants 4k+1)."""
         td = self.vae_config.temporal_downscale
-        return max(td, (frames // td) * td)
+        return max(1, ((frames - 1) // td) * td + 1)
 
     def lora_targets(self):
         return wan_lora_targets()

@@ -15,10 +15,11 @@ def wan_tiny():
 
 
 def test_wan_video_vae_roundtrip(wan_tiny):
+    # causal VAE contract: T = td*k+1 frames <-> k+1 latent frames
     model, variables = wan_tiny
-    vid = jax.random.uniform(jax.random.key(0), (1, 4, 16, 16, 3)) * 2 - 1
+    vid = jax.random.uniform(jax.random.key(0), (1, 5, 16, 16, 3)) * 2 - 1
     lat = model.encode_images(variables, vid)
-    t, h, w, c = model.latent_shape(16, 16, num_frames=4)
+    t, h, w, c = model.latent_shape(16, 16, num_frames=5)
     assert lat.shape == (1, t, h, w, c)
     dec = model.decode_latents(variables, lat)
     assert dec.shape == vid.shape
@@ -65,10 +66,13 @@ def test_wan_i2v_forward():
 
 
 def test_frame_snapper(wan_tiny):
+    # wan snaps to td*k+1 (reference get_frame_count_snapper: 4k+1)
     model, _ = wan_tiny
     td = model.vae_config.temporal_downscale
-    assert model.frame_count_snapper(17) % td == 0
-    assert model.frame_count_snapper(1) == td
+    assert model.frame_count_snapper(17) % td == 1
+    assert model.frame_count_snapper(17) <= 17
+    assert model.frame_count_snapper(1) == 1
+    assert model.frame_count_snapper(td + 1) == td + 1
 
 
 def test_wan22_multistage_routing():
