@@ -562,6 +562,22 @@ def load_ltx2_checkpoint(path: str, model) -> dict:
             print(f"ltx2 import: {len(unmatched)} unmatched (audio-stream keys "
                   f"land here by design; e.g. {unmatched[:3]})")
         variables["dit"] = _merge_imported(variables["dit"], tree, "ltx2 dit")
+    # exact AutoencoderKLLTX2Video import (ltx2.py:486 loads vae/)
+    vae_dir = os.path.join(path, "vae") if os.path.isdir(path) else None
+    if vae_dir and os.path.isdir(vae_dir):
+        from ai_toolkit_tpu.io.video_vae_import import load_ltx_video_vae
+        from ai_toolkit_tpu.models.ltx_video_vae import LTXVideoVAE
+
+        cfg, tree, unmatched = load_ltx_video_vae(vae_dir)
+        if unmatched:
+            print(f"ltx2 vae import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        model.vae_config = cfg
+        model.vae = LTXVideoVAE(cfg)
+        sd_, td = cfg.spatial_downscale, cfg.temporal_downscale
+        ref = model.vae.init(
+            jax.random.key(0), jax.numpy.zeros((1, td + 1, 2 * sd_, 2 * sd_, 3))
+        )["params"]
+        variables["vae"] = _merge_imported(ref, tree, "ltx2 vae")
     return variables
 
 

@@ -111,3 +111,77 @@ def load_wan_vae_tree(vae_dir: str) -> tuple[dict, list[str]]:
     """vae/ dir (or single safetensors) -> (flax param tree, unmatched keys)."""
     flat = load_safetensors_dir(vae_dir)
     return torch_to_tree(flat, wan_vae_rules())
+
+
+def ltx_video_vae_rules() -> list[Rule]:
+    """diffusers ``AutoencoderKLLTX2Video`` keys (converter rename target,
+    ``convert_ltx2_to_diffusers.py:48-76``). LTX convs wrap nn.Conv3d in
+    ``.conv``; norms are paramless."""
+    rules: list[Rule] = []
+    for side in ("encoder", "decoder"):
+        rules += [
+            (rf"{side}\.conv_in\.conv\.weight", f"{side}/conv_in/kernel", "conv3d"),
+            (rf"{side}\.conv_in\.conv\.bias", f"{side}/conv_in/bias", "direct"),
+            (rf"{side}\.conv_out\.conv\.weight", f"{side}/conv_out/kernel", "conv3d"),
+            (rf"{side}\.conv_out\.conv\.bias", f"{side}/conv_out/bias", "direct"),
+            (rf"{side}\.mid_block\.resnets\.(\d+)\.conv(1|2)\.conv\.weight",
+             side + "/mid_block_resnets_{0}/conv{1}/kernel", "conv3d"),
+            (rf"{side}\.mid_block\.resnets\.(\d+)\.conv(1|2)\.conv\.bias",
+             side + "/mid_block_resnets_{0}/conv{1}/bias", "direct"),
+        ]
+    for grp, path in (
+        ("encoder.down_blocks", "encoder/down_blocks_{0}"),
+        ("decoder.up_blocks", "decoder/up_blocks_{0}"),
+    ):
+        g = grp.replace(".", r"\.")
+        rules += [
+            (rf"{g}\.(\d+)\.resnets\.(\d+)\.conv(1|2)\.conv\.weight",
+             path + "_resnets_{1}/conv{2}/kernel", "conv3d"),
+            (rf"{g}\.(\d+)\.resnets\.(\d+)\.conv(1|2)\.conv\.bias",
+             path + "_resnets_{1}/conv{2}/bias", "direct"),
+            (rf"{g}\.(\d+)\.resnets\.(\d+)\.conv_shortcut\.conv\.weight",
+             path + "_resnets_{1}/conv_shortcut/kernel", "conv3d"),
+            (rf"{g}\.(\d+)\.resnets\.(\d+)\.conv_shortcut\.conv\.bias",
+             path + "_resnets_{1}/conv_shortcut/bias", "direct"),
+            (rf"{g}\.(\d+)\.downsamplers\.0\.conv\.conv\.weight",
+             path + "_downsamplers_0/conv/kernel", "conv3d"),
+            (rf"{g}\.(\d+)\.downsamplers\.0\.conv\.conv\.bias",
+             path + "_downsamplers_0/conv/bias", "direct"),
+            (rf"{g}\.(\d+)\.upsamplers\.0\.conv\.conv\.weight",
+             path + "_upsamplers_0/conv/kernel", "conv3d"),
+            (rf"{g}\.(\d+)\.upsamplers\.0\.conv\.conv\.bias",
+             path + "_upsamplers_0/conv/bias", "direct"),
+        ]
+    return rules
+
+
+def load_ltx_video_vae(vae_dir: str):
+    """vae/ dir -> (LTXVideoVAEConfig with checkpoint stats, param tree,
+    unmatched). latents_mean/std are top-level buffers in the state dict."""
+    from ai_toolkit_tpu.models.ltx_video_vae import LTXVideoVAEConfig
+
+    flat = load_safetensors_dir(vae_dir)
+    mean = flat.pop("latents_mean", None)
+    std = flat.pop("latents_std", None)
+    base = LTXVideoVAEConfig.ltx2()
+    cfg_path = os.path.join(vae_dir, "config.json")
+    kw = {}
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            c = json.load(f)
+        if "latent_channels" in c:
+            kw["latent_channels"] = c["latent_channels"]
+        if "block_out_channels" in c:
+            kw["block_out_channels"] = tuple(c["block_out_channels"])
+        if "patch_size" in c:
+            kw["patch_size"] = c["patch_size"]
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        base,
+        latents_mean=tuple(float(v) for v in mean) if mean is not None else None,
+        latents_std=tuple(float(v) for v in std) if std is not None else None,
+        **kw,
+    )
+    tree, unmatched = torch_to_tree(flat, ltx_video_vae_rules())
+    return cfg, tree, unmatched

@@ -702,6 +702,17 @@ class SDTrainProcess:
         if not cfg.datasets:
             raise ValueError("no datasets configured")
 
+        # snap requested frame counts onto the model's temporal grid (causal
+        # video VAEs want td*k+1; reference get_frame_count_snapper)
+        if hasattr(model, "frame_count_snapper"):
+            for d in cfg.datasets:
+                if getattr(d, "num_frames", 1) > 1:
+                    snapped = model.frame_count_snapper(d.num_frames)
+                    if snapped != d.num_frames:
+                        print(f"dataset {d.folder_path}: num_frames "
+                              f"{d.num_frames} -> {snapped} (VAE temporal grid)")
+                        d.num_frames = snapped
+
         encode_jit = jax.jit(lambda imgs: model.encode_images(variables, imgs))
 
         def encode_fn(imgs: np.ndarray) -> np.ndarray:

@@ -30,7 +30,7 @@ from ai_toolkit_tpu.config.modules import ModelConfig
 from ai_toolkit_tpu.models.base import BaseTpuModel
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
-from ai_toolkit_tpu.models.video_vae import VideoAutoencoderKL, VideoVAEConfig
+from ai_toolkit_tpu.models.ltx_video_vae import LTXVideoVAE, LTXVideoVAEConfig
 from ai_toolkit_tpu.models.wan_dit import (
     WanConfig,
     WanDiT,
@@ -58,7 +58,7 @@ class LTX2Model(BaseTpuModel):
         self.joint_audio = bool(config.model_kwargs.get("joint_audio", False))
         if size == "tiny":
             self.dit_config = WanConfig.tiny()
-            self.vae_config = VideoVAEConfig.tiny()
+            self.vae_config = LTXVideoVAEConfig.tiny()
             self.llm_config = LLMConfig.tiny()
             self.max_txt_len = 16
         else:
@@ -66,12 +66,9 @@ class LTX2Model(BaseTpuModel):
                 in_channels=128, dim=4096, ffn_dim=16384, num_heads=32, num_layers=48,
                 text_dim=3840, patch_size=(1, 1, 1), axes_dim=(32, 48, 48),
             )
-            # 128-ch latents, 32x spatial / 8x temporal (vae_scale_factors (8,32,32))
-            self.vae_config = VideoVAEConfig(
-                latent_channels=128, base_channels=64,
-                channel_multipliers=(1, 2, 4, 4, 8, 8),
-                temporal_downscales=(False, True, True, True, False, False),
-            )
+            # exact AutoencoderKLLTX2Video geometry: 128-ch latents,
+            # 32x spatial / 8x temporal (vae_scale_factors (8,32,32))
+            self.vae_config = LTXVideoVAEConfig.ltx2()
             # Gemma-family caption encoder (3840-d states)
             self.llm_config = LLMConfig(
                 vocab_size=256_000, d_model=3840, n_layers=48, n_heads=16, n_kv_heads=8,
@@ -94,7 +91,7 @@ class LTX2Model(BaseTpuModel):
             self.audio_vae = AudioAutoencoderKL(self.audio_vae_config)
         else:
             self.dit = WanDiT(self.dit_config)
-        self.vae = VideoAutoencoderKL(self.vae_config)
+        self.vae = LTXVideoVAE(self.vae_config)
         self.te = LLMEncoder(self.llm_config)
         self.tokenizer = load_tokenizer(
             config.name_or_path, "tokenizer", vocab_size=self.llm_config.vocab_size,
@@ -122,7 +119,7 @@ class LTX2Model(BaseTpuModel):
                 jnp.zeros((1,)), pe, None,
             )
         td, sd_ = self.vae_config.temporal_downscale, self.vae_config.spatial_downscale
-        vae_vars = self.vae.init(r_vae, jnp.zeros((1, td, 2 * sd_, 2 * sd_, 3)))
+        vae_vars = self.vae.init(r_vae, jnp.zeros((1, td + 1, 2 * sd_, 2 * sd_, 3)))
         te_vars = self.te.init(r_te, jnp.zeros((1, self.max_txt_len), jnp.int32))
         out = {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
         if self.joint_audio:
@@ -228,19 +225,20 @@ class LTX2Model(BaseTpuModel):
         return multi_axis_rope(ids, [self.av_config.audio_head_dim])
 
     def encode_images(self, variables, images, rng=None):
+        # causal VAE: a lone image is a T=1 video (8k+1 frame grid)
         if images.ndim == 4:
-            images = jnp.repeat(images[:, None], self.vae_config.temporal_downscale, axis=1)
+            images = images[:, None]
         return self.vae.apply(
-            {"params": variables["vae"]}, images, rng, method=VideoAutoencoderKL.encode
+            {"params": variables["vae"]}, images, rng, method=LTXVideoVAE.encode
         )
 
     def decode_latents(self, variables, latents):
-        return self.vae.apply({"params": variables["vae"]}, latents, method=VideoAutoencoderKL.decode)
+        return self.vae.apply({"params": variables["vae"]}, latents, method=LTXVideoVAE.decode)
 
     def latent_shape(self, height: int, width: int, num_frames: int = 1):
         sd_ = self.vae_config.spatial_downscale
         td = self.vae_config.temporal_downscale
-        t = max(1, num_frames // td)
+        t = (max(1, num_frames) - 1) // td + 1
         return t, height // sd_, width // sd_, self.vae_config.latent_channels
 
     def image_seq_len(self, height: int, width: int) -> int:
@@ -249,8 +247,9 @@ class LTX2Model(BaseTpuModel):
         return (h // cfg.patch_size[1]) * (w // cfg.patch_size[2])
 
     def frame_count_snapper(self, frames: int) -> int:
+        # ltx wants 8k+1 frames (tiny: 2k+1)
         td = self.vae_config.temporal_downscale
-        return max(td, (frames // td) * td)
+        return max(1, ((frames - 1) // td) * td + 1)
 
     def lora_targets(self):
         return wan_lora_targets()

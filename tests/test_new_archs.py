@@ -188,9 +188,10 @@ def test_ltx2_video_forward_and_geometry():
     out = model.predict(variables, noisy, jnp.array([0.5]), {**cond, "pe": pe})
     assert out.shape == noisy.shape
     assert np.isfinite(np.asarray(out)).all()
-    # frame snapping follows the VAE temporal grid
+    # frame snapping follows the VAE temporal grid (causal: td*k+1)
     td = model.vae_config.temporal_downscale
-    assert model.frame_count_snapper(17) % td == 0
+    assert model.frame_count_snapper(17) % td == 1
+    assert model.frame_count_snapper(17) <= 17
 
 
 def test_flux2_forward_and_conditioning():
