@@ -13,6 +13,77 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+# Reference knobs that are deliberate no-ops in the TPU runtime (hardware or
+# backend concepts with no analog). These load silently; everything ELSE that
+# lands in ``extras`` triggers a warning (or an error with AIT_STRICT_CONFIG=1)
+# so features never silently vanish.
+_TPU_NA_KEYS = {
+    # torch/cuda backend toggles
+    "xformers", "sdp", "attention_backend", "low_vram", "device", "gpu_ids",
+    "use_flash_attention", "compile", "torch_compile", "cpu_offload",
+    "layer_offloading", "layer_offloading_transformer_percent",
+    "layer_offloading_text_encoder_percent", "accuracy_recovery_adapter",
+    # trainer-internal bookkeeping keys some configs carry
+    "orig_batch_size", "num_workers_dataloader",
+}
+
+
+# keys some subsystems intentionally read FROM extras (our extension points)
+_CONSUMED_EXTRAS = {
+    "process": {"guidance_loss", "adapter_assist_name_or_path", "slider",
+                "replacements", "caption"},
+    "train": {"guidance_loss", "scheduler_params", "network_weight",
+              "weighting_table"},
+    "sample": {"sample_rate"},
+}
+
+# non-trainer process types read their own keys straight from process extras
+_TRAINER_TYPES = {"sd_trainer", "ui_trainer", "diffusion_trainer", "slider",
+                  "concept_slider", "textual_inversion"}
+
+
+def unconsumed_keys(proc) -> list[tuple[str, str]]:
+    """Every (section, key) a loaded config carries that nothing consumes."""
+    out: list[tuple[str, str]] = []
+
+    def scan(name, obj):
+        ok = _CONSUMED_EXTRAS.get(name, set())
+        for k in (getattr(obj, "extras", None) or {}):
+            if k not in _TPU_NA_KEYS and k not in ok:
+                out.append((name, k))
+
+    if getattr(proc, "type", "") in _TRAINER_TYPES:
+        scan("process", proc)
+    for name in ("save", "train", "model", "sample", "logging", "validation", "mesh"):
+        scan(name, getattr(proc, name, None))
+    scan("train.ema_config", getattr(proc.train, "ema_config", None))
+    for i, d in enumerate(getattr(proc, "datasets", []) or []):
+        scan(f"datasets[{i}]", d)
+    return out
+
+
+def warn_unconsumed(proc, source: str = "") -> None:
+    """Print one warning per unapplied knob; raise under AIT_STRICT_CONFIG=1.
+
+    Round-2 honesty fix: the reference's ~120 TrainConfig knobs can't all be
+    implemented at once, but a knob that silently no-ops is worse than a
+    crash — a user's config "loads" while features quietly vanish."""
+    import os
+
+    keys = unconsumed_keys(proc)
+    if not keys:
+        return
+    where = f" in {source}" if source else ""
+    for section, key in keys:
+        print(f"config warning{where}: '{section}.{key}' is not implemented "
+              f"and will be IGNORED (see docs/PARITY.md for the knob matrix)")
+    if os.environ.get("AIT_STRICT_CONFIG") == "1":
+        raise ValueError(
+            f"unimplemented config keys (AIT_STRICT_CONFIG=1): "
+            f"{[f'{s}.{k}' for s, k in keys]}"
+        )
+
+
 def _build(cls, data: dict[str, Any] | None):
     data = dict(data or {})
     names = {f.name for f in dataclasses.fields(cls)}
@@ -149,6 +220,9 @@ class SampleConfig:
     @classmethod
     def from_dict(cls, d: dict[str, Any] | None) -> "SampleConfig":
         obj = _build(cls, d)
+        if not obj.prompts and "samples" in obj.extras:
+            # UI-style configs use `samples: [{prompt: ...}]`
+            obj.prompts = obj.extras.pop("samples") or []
         obj.prompts = [SampleItem.from_any(p) for p in obj.prompts]
         return obj
 
@@ -260,6 +334,7 @@ class TrainConfig:
     weight_dtype: str | None = None
     noise_offset: float = 0.0
     noise_multiplier: float = 1.0
+    num_train_timesteps: int = 1000
     min_snr_gamma: float | None = None
     snr_gamma: float | None = None
     # learnable SNR loss balancing (reference learnable_snr_gos)
@@ -275,7 +350,12 @@ class TrainConfig:
     linear_timesteps2: bool = False
     do_cfg: bool = False
     cfg_scale: float = 1.0
+    do_random_cfg: bool = False  # sample cfg_scale ~ U(1, max_cfg_scale) per step
+    max_cfg_scale: float = 4.0
+    cfg_rescale: float = 0.0  # std-matching rescale of the CFG-combined pred
+    negative_prompt: str | None = None  # train-time CFG negative
     max_negative_prompts: int = 1
+    prompt_dropout_prob: float = 0.0  # chance a caption trains unconditionally
     unload_text_encoder: bool = False
     cache_text_embeddings: bool = False
     diff_output_preservation: bool = False
@@ -289,6 +369,25 @@ class TrainConfig:
     random_scale: bool = False
     match_noise_norm: bool = False
     loss_multiplier: float = 1.0
+    reg_weight: float = 1.0  # loss scale for is_reg datasets
+    img_multiplier: float = 1.0  # scales pixels before VAE encode
+    latent_multiplier: float = 1.0  # scales cached/encoded latents
+    noisy_latent_multiplier: float = 1.0  # scales the noised model input
+    standardize_images: bool = False  # per-sample mean0/std1 before encode
+    standardize_latents: bool = False  # per-sample mean0/std1 on latents
+    max_loss: float | None = None  # skip updates whose loss exceeds this
+    audio_loss_multiplier: float = 1.0  # joint-AV audio stream loss weight
+    correct_pred_norm: bool = False
+    correct_pred_norm_multiplier: float = 1.0
+    # multistage (wan22): which expert trains alternates every N steps, with
+    # timesteps drawn from that expert's noise range
+    switch_boundary_every: int = 1
+    adapter_assist_name_or_path: str | None = None
+    adapter_assist_type: str = "t2i"
+    diffusion_feature_extractor_path: str | None = None
+    diffusion_feature_extractor_weight: float = 1.0
+    latent_feature_extractor_path: str | None = None
+    latent_feature_loss_weight: float = 1.0
     blended_blur_noise: bool = False
     do_guidance_loss: bool = False
     guidance_loss_target: float = 1.0
@@ -324,16 +423,28 @@ class ModelConfig:
     is_v3: bool = False
     is_pixart: bool = False
     is_lumina2: bool = False
+    is_v_pred: bool = False  # v-prediction fine-tune (sd2-768 style)
     quantize: bool = False
     quantize_te: bool = False
     qtype: str = "qfloat8"
     qtype_te: str = "qfloat8"
+    quantize_kwargs: dict[str, Any] = field(default_factory=dict)
+    text_encoder_bits: int = 16  # 8 -> quantize the TE
     low_vram: bool = False
     attn_masking: bool = False
     model_kwargs: dict[str, Any] = field(default_factory=dict)
     vae_path: str | None = None
     refiner_name_or_path: str | None = None
     text_encoder_path: str | None = None
+    # aux component dir (reference: wan vae path etc.)
+    extras_name_or_path: str | None = None
+    assistant_lora_path: str | None = None
+    inference_lora_path: str | None = None
+    # full fine-tune param filters (reference model.only_if_contains,
+    # train_full_fine_tune_flex.yaml:78)
+    only_if_contains: list[str] | None = None
+    ignore_if_contains: list[str] | None = None
+    dtype: str | None = None  # reference alias for the weights dtype
     # TPU-native additions
     param_dtype: str = "bf16"
     remat_policy: str = "block"  # none | block | full
@@ -342,6 +453,10 @@ class ModelConfig:
     @classmethod
     def from_dict(cls, d: dict[str, Any] | None) -> "ModelConfig":
         obj = _build(cls, d)
+        if obj.dtype:
+            obj.param_dtype = obj.dtype
+        if obj.text_encoder_bits and obj.text_encoder_bits <= 8:
+            obj.quantize_te = True
         if obj.arch is None:
             # map legacy flags to arch ids (reference toolkit/config_modules.py:623-821)
             if obj.is_flux:
@@ -402,6 +517,9 @@ class DatasetConfig:
     mask_path: str | None = None
     unconditional_path: str | None = None  # paired negative images (sliders)
     mask_min_value: float = 0.0
+    # paired vision-encoder images (IP-adapter/redux: same stem, any ext;
+    # reference dataloader clip_image_path)
+    clip_image_path: str | None = None
     control_path: Any = None
     # auto-generated control maps (reference DatasetConfig.controls,
     # config_modules.py:1070): e.g. ["depth", "line", "inpaint"]
@@ -537,10 +655,13 @@ class JobConfig:
     @classmethod
     def from_raw(cls, raw: dict[str, Any]) -> "JobConfig":
         cfg = raw.get("config", {})
-        return cls(
+        obj = cls(
             job=str(raw.get("job", "extension")),
             name=str(cfg.get("name", "unnamed")),
             processes=[ProcessConfig.from_dict(p) for p in cfg.get("process", [])],
             meta=dict(raw.get("meta", {}) or {}),
             raw=raw,
         )
+        for proc in obj.processes:
+            warn_unconsumed(proc, source=obj.name)
+        return obj

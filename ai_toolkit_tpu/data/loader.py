@@ -21,6 +21,24 @@ from ai_toolkit_tpu.data.caching import load_cached_latent
 from ai_toolkit_tpu.data.dataset import FileItem, FolderDataset, load_pixels
 
 
+def _load_paired_image(item: FileItem, folder: str, fallback: np.ndarray) -> np.ndarray:
+    """Find <folder>/<stem>.<any image ext>, resized to the item's bucket;
+    fall back to the training image when absent."""
+    import glob
+    import os
+
+    from PIL import Image
+
+    stem = os.path.splitext(os.path.basename(item.path))[0]
+    for cand in sorted(glob.glob(os.path.join(folder, stem + ".*"))):
+        if os.path.splitext(cand)[1].lower() in (".png", ".jpg", ".jpeg", ".webp", ".bmp"):
+            img = Image.open(cand).convert("RGB").resize(
+                (fallback.shape[1], fallback.shape[0]), Image.BICUBIC
+            )
+            return np.asarray(img, np.float32) / 127.5 - 1.0
+    return fallback
+
+
 class DataLoader:
     def __init__(
         self,
@@ -60,6 +78,13 @@ class DataLoader:
         out["latents"] = lat.astype(np.float32)
         if self.want_pixels and batch[0].kind == "image":
             out["pixels"] = np.stack([load_pixels(it) for it in batch])
+            if ds.cfg.clip_image_path:
+                # paired vision-encoder images (same stem, any extension;
+                # reference dataloader clip_image_path)
+                out["clip_pixels"] = np.stack(
+                    [_load_paired_image(it, ds.cfg.clip_image_path, out["pixels"][i])
+                     for i, it in enumerate(batch)]
+                )
         if ds.cfg.do_i2v and batch[0].kind == "video":
             out["first_frame"] = np.stack([it.load_video()[0] for it in batch])
         if ds.cfg.do_audio and batch[0].kind == "video":

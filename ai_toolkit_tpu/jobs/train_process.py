@@ -78,10 +78,10 @@ class SDTrainProcess:
         # unfused for sampling; an inference lora is the opposite.
         self._assistant_lora = None
         self._inference_lora = None
-        apath = cfg.model.extras.get("assistant_lora_path") or cfg.model.model_kwargs.get(
+        apath = cfg.model.assistant_lora_path or cfg.model.model_kwargs.get(
             "assistant_lora_path"
         )
-        ipath = cfg.model.extras.get("inference_lora_path") or cfg.model.model_kwargs.get(
+        ipath = cfg.model.inference_lora_path or cfg.model.model_kwargs.get(
             "inference_lora_path"
         )
         if apath or ipath:
@@ -142,7 +142,7 @@ class SDTrainProcess:
         # adapter_assist_name_or_path, SDTrainer.py:1403-1498): control-image
         # residuals guide training; the assistant itself is never trained
         self._assist_net = None
-        assist = cfg.extras.get("adapter_assist_name_or_path") or tc.extras.get(
+        assist = tc.adapter_assist_name_or_path or cfg.extras.get(
             "adapter_assist_name_or_path"
         )
         if assist and hasattr(model, "unet_config"):
@@ -163,9 +163,12 @@ class SDTrainProcess:
             print(f"assistant adapter active: {assist}")
 
         # 3. schedule (+ user overrides, e.g. weighting_table / shift)
-        schedule = get_schedule(
-            tc.noise_scheduler, cfg.model.arch, **(tc.extras.get("scheduler_params") or {})
-        )
+        sched_overrides = dict(tc.extras.get("scheduler_params") or {})
+        if tc.num_train_timesteps != 1000:
+            sched_overrides.setdefault("num_train_timesteps", tc.num_train_timesteps)
+        if cfg.model.is_v_pred:
+            sched_overrides.setdefault("prediction_type", "v_prediction")
+        schedule = get_schedule(tc.noise_scheduler, cfg.model.arch, **sched_overrides)
 
         # 4. trainable (LoRA / full fine-tune)
         trainable, key_map, fmt, prefix = self._build_trainable(model, variables, rng)
@@ -263,6 +266,14 @@ class SDTrainProcess:
 
         # 8. train step (jitted with shardings)
         step_cfg = TrainStepConfig.from_train_config(tc)
+        if getattr(model, "multistage", False) and tc.switch_boundary_every > 1:
+            from dataclasses import replace as _dc_replace
+
+            step_cfg = _dc_replace(
+                step_cfg,
+                stage_boundary=float(getattr(model, "stage_boundary", 0.875)),
+                switch_every=int(tc.switch_boundary_every),
+            )
         predict_fn = getattr(model, "predict_train", model.predict)
         if getattr(self, "custom_adapter", None) is not None:
             _base_predict, _runtime = predict_fn, self.custom_adapter
@@ -306,9 +317,7 @@ class SDTrainProcess:
         # train.diffusion_feature_extractor_path/_weight). Missing weight file
         # -> random-init feature net (offline), still a fixed projection loss.
         aux_loss_fn = None
-        dfe_path = tc.extras.get("diffusion_feature_extractor_path") or tc.extras.get(
-            "latent_feature_extractor_path"
-        )
+        dfe_path = tc.diffusion_feature_extractor_path or tc.latent_feature_extractor_path
         if dfe_path is not None:
             from ai_toolkit_tpu.models.dfe import load_dfe, make_dfe_loss
 
@@ -318,8 +327,11 @@ class SDTrainProcess:
             if real is None:
                 print(f"DFE: no weight file at {dfe_path!r} — random-init feature net")
             module, dfe_params, dfe_ver = load_dfe(real, in_ch)
-            dfe_w = float(tc.extras.get("diffusion_feature_extractor_weight",
-                                        tc.extras.get("latent_feature_loss_weight", 1.0)))
+            dfe_w = float(
+                tc.diffusion_feature_extractor_weight
+                if tc.diffusion_feature_extractor_path
+                else tc.latent_feature_loss_weight
+            )
             aux_loss_fn = make_dfe_loss(module, dfe_params, dfe_ver, schedule, dfe_w)
             print(f"DFE perceptual loss active (v{dfe_ver}, weight {dfe_w})")
         if base is not None:
@@ -604,8 +616,16 @@ class SDTrainProcess:
             print(f"textual inversion: trigger '{trigger}' -> {n_vec} vectors")
             return {"emb": {"bank": jnp.asarray(bank)}}, None, "embedding", ""
         if net is None or net.type in ("full", "fine_tune"):
-            # full fine-tune: train the diffusion component itself
-            return {main_key: variables[main_key]}, None, "kohya", "lora_transformer"
+            # full fine-tune: train the diffusion component itself; optional
+            # module filters (reference model.only_if_contains)
+            tree = variables[main_key]
+            inc = cfg.model.only_if_contains or (net.only_if_contains if net else None)
+            exc = cfg.model.ignore_if_contains or (net.ignore_if_contains if net else None)
+            if inc or exc:
+                tree = _filter_param_tree(tree, inc, exc)
+                n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+                print(f"full fine-tune (filtered to {n:,} params)")
+            return {main_key: tree}, None, "kohya", "lora_transformer"
         spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
         if net.type in ("lokr", "lycoris_lokr"):
             from ai_toolkit_tpu.adapters.lycoris import build_lokr
@@ -713,9 +733,24 @@ class SDTrainProcess:
                               f"{d.num_frames} -> {snapped} (VAE temporal grid)")
                         d.num_frames = snapped
 
+        # loss scale for regularization datasets (reference reg_weight)
+        if cfg.train.reg_weight != 1.0:
+            for d in cfg.datasets:
+                if d.is_reg:
+                    d.loss_multiplier = d.loss_multiplier * cfg.train.reg_weight
+
+        img_mult = cfg.train.img_multiplier
+        standardize = cfg.train.standardize_images
         encode_jit = jax.jit(lambda imgs: model.encode_images(variables, imgs))
 
         def encode_fn(imgs: np.ndarray) -> np.ndarray:
+            if standardize:
+                ax = tuple(range(1, imgs.ndim))
+                mu = imgs.mean(axis=ax, keepdims=True)
+                sd = np.maximum(imgs.std(axis=ax, keepdims=True), 1e-6)
+                imgs = (imgs - mu) / sd
+            if img_mult != 1.0:
+                imgs = imgs * img_mult
             return np.asarray(encode_jit(jnp.asarray(imgs)))
 
         cache_dir = None
@@ -743,16 +778,25 @@ class SDTrainProcess:
         return loader, text_cache
 
     def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
+        captions = raw["captions"]
+        p_drop = self.cfg.train.prompt_dropout_prob
+        if p_drop > 0:
+            # unconditional-training dropout (reference prompt_dropout_prob)
+            r = np.random.default_rng(None)
+            captions = ["" if r.random() < p_drop else c for c in captions]
         if getattr(self, "ti_trigger", None) or getattr(self, "train_te", False):
             # textual inversion / TE training: raw token ids into the step
             # (the text encoder runs in-graph so grads reach emb/lora_te)
-            ids = np.stack([model.tokenizer.encode(c) for c in raw["captions"]])
+            ids = np.stack([model.tokenizer.encode(c) for c in captions])
             cond = {"input_ids": jnp.asarray(ids)}
         else:
-            cond = text_cache.get(raw["captions"])
+            cond = text_cache.get(captions)
             cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        latents_np = raw["latents"]
+        if self.cfg.train.latent_multiplier != 1.0:
+            latents_np = latents_np * self.cfg.train.latent_multiplier
         batch: dict = {
-            "latents": jnp.asarray(raw["latents"]),
+            "latents": jnp.asarray(latents_np),
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
         }
         lat = raw["latents"]
@@ -780,7 +824,7 @@ class SDTrainProcess:
                         return out["penultimate_hidden_state"], out["pooled_output"]
 
                     self._vision_tokens_encode = jax.jit(_enc_tokens)
-                tokens, pooled = self._encode_vision_cached(raw["pixels"])
+                tokens, pooled = self._encode_vision_cached(raw.get("clip_pixels", raw["pixels"]))
                 cond["vision_tokens"] = tokens
                 cond["vision_pooled"] = pooled
                 if atype == "redux":
@@ -827,7 +871,8 @@ class SDTrainProcess:
             d = model.vae_config.downscale
             cond["added_cond"] = model.added_cond(cond.pop("pooled"), lat.shape[1] * d, lat.shape[2] * d)
         if self.cfg.train.do_cfg and not getattr(self, "ti_trigger", None):
-            negs = [self.cfg.sample.neg or ""] * len(raw["captions"])
+            neg_text = self.cfg.train.negative_prompt or self.cfg.sample.neg or ""
+            negs = [neg_text] * len(raw["captions"])
             neg_cond = {k: jnp.asarray(v) for k, v in text_cache.get(negs).items()}
             if model.is_flow_matching and "pe" in cond:
                 neg_cond["pe"] = cond["pe"]
@@ -843,7 +888,7 @@ class SDTrainProcess:
                     return vt.apply({"params": vv}, px)["pooled_output"]
 
                 self._vision_encode = jax.jit(_enc)
-            cond["ip_embeds"] = self._vision_encode(jnp.asarray(raw["pixels"]))
+            cond["ip_embeds"] = self._vision_encode(jnp.asarray(raw.get("clip_pixels", raw["pixels"])))
         if "unconditional_pixels" in raw:
             batch["unconditional_latents"] = jnp.asarray(
                 self._encode_control(raw["unconditional_pixels"])
@@ -1132,6 +1177,45 @@ class SDTrainProcess:
                     save_image_atomic(img, path)
                 if self.logger:
                     self.logger.log_image(img, f"sample_{i}", step)
+
+
+def _filter_param_tree(tree, include, exclude):
+    """Keep subtrees whose '/'-joined path matches an include substring (if
+    given) and no exclude substring. Reference-style torch patterns like
+    'transformer.transformer_blocks.' are normalized ('.'->'/', the
+    'transformer.' prefix dropped, diffusers block-list names mapped onto our
+    module names) so reference full-FT configs work as-is."""
+
+    def norm(p):
+        p = p.strip().strip(".")
+        if p.startswith("transformer."):
+            p = p[len("transformer."):]
+        return p.replace(".", "/")
+
+    def variants(p):
+        out = {p}
+        out.add(p.replace("single_transformer_blocks", "single_blocks"))
+        out.add(p.replace("transformer_blocks", "double_blocks"))
+        out.add(p.replace("transformer_blocks", "blocks"))
+        return out
+
+    inc = [v for p in (include or []) for v in variants(norm(p))]
+    exc = [v for p in (exclude or []) for v in variants(norm(p))]
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            keep = (not inc or any(p in path for p in inc)) and not any(
+                p in path for p in exc
+            )
+            return node if keep else None
+        out = {}
+        for k, v in node.items():
+            sub = walk(v, f"{path}/{k}" if path else k)
+            if sub is not None and (not isinstance(sub, dict) or sub):
+                out[k] = sub
+        return out
+
+    return walk(tree, "")
 
 
 def _flatten_params(tree: dict, prefix: str = "") -> dict:

@@ -46,6 +46,19 @@ class TrainStepConfig:
     do_prior_pred: bool = False  # run an adapter-off forward (DOP / prior losses)
     do_cfg: bool = False  # train the CFG-combined prediction (baked guidance)
     cfg_scale: float = 1.0
+    do_random_cfg: bool = False  # cfg_scale ~ U(1, max_cfg_scale) per step
+    max_cfg_scale: float = 4.0
+    cfg_rescale: float = 0.0  # blend toward the std-matched combined pred
+    noisy_multiplier: float = 1.0  # scales the noised model input
+    standardize_latents: bool = False  # per-sample mean0/std1 latents
+    max_loss: float | None = None  # zero the update when loss exceeds this
+    audio_loss_multiplier: float = 1.0
+    correct_pred_norm: bool = False  # rescale pred toward target norm
+    correct_pred_norm_multiplier: float = 1.0
+    # multistage expert training (wan22): alternate the trained expert every
+    # `switch_every` steps, sampling t from that expert's noise range
+    stage_boundary: float | None = None
+    switch_every: int = 0
     # learnable SNR gamma (reference train_tools.LearnableSNRGamma): four
     # scalars adapt online so |gamma / ((snr+o1)*scale+o2)| balances the
     # per-timestep loss against a rolling mean target. DDPM schedules only.
@@ -75,6 +88,17 @@ class TrainStepConfig:
             do_prior_pred=tc.diff_output_preservation or tc.inverted_mask_prior,
             do_cfg=tc.do_cfg,
             cfg_scale=tc.cfg_scale,
+            do_random_cfg=bool(getattr(tc, "do_random_cfg", False)),
+            max_cfg_scale=float(getattr(tc, "max_cfg_scale", 4.0)),
+            cfg_rescale=float(getattr(tc, "cfg_rescale", 0.0)),
+            noisy_multiplier=float(getattr(tc, "noisy_latent_multiplier", 1.0)),
+            standardize_latents=bool(getattr(tc, "standardize_latents", False)),
+            max_loss=getattr(tc, "max_loss", None),
+            audio_loss_multiplier=float(getattr(tc, "audio_loss_multiplier", 1.0)),
+            correct_pred_norm=bool(getattr(tc, "correct_pred_norm", False)),
+            correct_pred_norm_multiplier=float(
+                getattr(tc, "correct_pred_norm_multiplier", 1.0)
+            ),
             learnable_snr=bool(getattr(tc, "learnable_snr_gos", False)),
         )
 
@@ -147,16 +171,26 @@ def make_train_step(
 
     is_flow = hasattr(schedule, "euler_step")
 
-    def microbatch_loss(trainable, model_variables, batch, rng, seq_len):
+    def microbatch_loss(trainable, model_variables, batch, rng, seq_len, t_range=None):
         latents = batch["latents"]
         b = latents.shape[0]
         rng_t, rng_n, rng_o = jax.random.split(rng, 3)
+
+        if cfg.standardize_latents:
+            ax = tuple(range(1, latents.ndim))
+            mu = jnp.mean(latents, axis=ax, keepdims=True)
+            sd = jnp.std(latents.astype(jnp.float32), axis=ax, keepdims=True)
+            latents = ((latents - mu) / jnp.maximum(sd, 1e-6).astype(latents.dtype))
 
         if is_flow:
             t = schedule.sample_timesteps(
                 rng_t, b, timestep_type=cfg.timestep_type,
                 image_seq_len=seq_len, timestep_bias=cfg.timestep_bias,
             )
+            if t_range is not None:
+                # multistage: squeeze into the active expert's noise range
+                lo, hi = t_range
+                t = lo + t * (hi - lo)
         else:
             t = schedule.sample_timesteps(rng_t, b)
 
@@ -183,6 +217,8 @@ def make_train_step(
 
         noisy = schedule.add_noise(latents, noise, t)
         target = schedule.target(latents, noise, t)
+        if cfg.noisy_multiplier != 1.0:
+            noisy = noisy * cfg.noisy_multiplier
 
         variables = merge_variables(model_variables, trainable)
         cond = batch.get("cond", {})
@@ -206,7 +242,22 @@ def make_train_step(
             # CFG-trained negatives (reference train.do_cfg): regress the
             # guidance-combined prediction so sampling at cfg_scale is baked in
             pred_neg = predict_fn(variables, noisy, t, batch["neg_cond"])
-            pred = pred_neg + cfg.cfg_scale * (pred - pred_neg)
+            if cfg.do_random_cfg:
+                scale = jax.random.uniform(
+                    jax.random.fold_in(rng_o, 13), (), minval=1.0,
+                    maxval=cfg.max_cfg_scale,
+                )
+            else:
+                scale = cfg.cfg_scale
+            pred_pos = pred
+            pred = pred_neg + scale * (pred - pred_neg)
+            if cfg.cfg_rescale > 0.0:
+                # std-matching rescale (reference cfg_rescale; Lin et al. 2023)
+                ax = tuple(range(1, pred.ndim))
+                std_pos = jnp.std(pred_pos.astype(jnp.float32), axis=ax, keepdims=True)
+                std_cfg = jnp.std(pred.astype(jnp.float32), axis=ax, keepdims=True)
+                rescaled = pred * (std_pos / jnp.maximum(std_cfg, 1e-6)).astype(pred.dtype)
+                pred = cfg.cfg_rescale * rescaled + (1.0 - cfg.cfg_rescale) * pred
 
         prior_pred = None
         if cfg.do_prior_pred:
@@ -227,6 +278,15 @@ def make_train_step(
         elif cfg.min_snr_gamma and not is_flow:
             tw = schedule.min_snr_weight(t, cfg.min_snr_gamma)
 
+        if cfg.correct_pred_norm:
+            # rescale pred toward the target's per-(sample,channel) spatial
+            # norm (reference SDTrainer correct_pred_norm), stop-grad factor
+            ax = tuple(range(1, pred.ndim - 1))
+            tn = jnp.linalg.norm(target.astype(jnp.float32), axis=ax, keepdims=True)
+            pn = jnp.linalg.norm(pred.astype(jnp.float32), axis=ax, keepdims=True)
+            factor = (tn / jnp.maximum(pn, 1e-6)) ** cfg.correct_pred_norm_multiplier
+            pred = pred * jax.lax.stop_gradient(factor).astype(pred.dtype)
+
         loss, aux = compute_loss(
             pred,
             target,
@@ -245,7 +305,7 @@ def make_train_step(
                 audio_pred, audio_target, loss_type=cfg.loss_type, huber_c=cfg.huber_c,
                 timestep_weights=tw, loss_multiplier=batch.get("loss_multiplier"),
             )
-            loss = loss + audio_loss
+            loss = loss + cfg.audio_loss_multiplier * audio_loss
             aux = {**aux, "audio_loss": audio_loss}
         if aux_loss_fn is not None:
             extra = aux_loss_fn(pred, noisy, latents, noise, t)
@@ -257,6 +317,9 @@ def make_train_step(
                 axis=tuple(range(1, pred.ndim)),
             )
             aux = {**aux, "new_lsnr": _lsnr_update(trainable["lsnr"], per, schedule.snr(t))}
+        if cfg.max_loss is not None:
+            # reference train.max_loss: outlier batches produce no update
+            loss = jnp.where(loss < cfg.max_loss, loss, jnp.zeros_like(loss))
         return loss, aux
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
@@ -268,9 +331,18 @@ def make_train_step(
         # jit with static_argnames=("image_seq_len",) — one compile per bucket.
         rng = jax.random.fold_in(rng, state.step)
 
+        t_range = None
+        if cfg.switch_every > 0 and cfg.stage_boundary is not None:
+            # alternate the trained expert every switch_every steps
+            # (reference multistage switch_boundary_every, SDTrainer.py:2199)
+            phase = (state.step // cfg.switch_every) % 2
+            lo = jnp.where(phase == 0, cfg.stage_boundary, 0.0)
+            hi = jnp.where(phase == 0, 1.0, cfg.stage_boundary)
+            t_range = (lo, hi)
+
         if cfg.grad_accum <= 1:
             (loss, aux), grads = grad_fn(state.trainable, state.model_variables, batch, rng,
-                                         image_seq_len)
+                                         image_seq_len, t_range)
         else:
             # batch leaves have a leading [accum, micro_b, ...] axis. Aux
             # metrics are averaged across microbatches; the lsnr cell is
@@ -279,7 +351,8 @@ def make_train_step(
             # per-backward LearnableSNRGamma.forward calls).
             micro0 = jax.tree.map(lambda x: x[0], batch)
             aux_shapes = jax.eval_shape(
-                lambda tr: grad_fn(tr, state.model_variables, micro0, rng, image_seq_len)[0][1],
+                lambda tr: grad_fn(tr, state.model_variables, micro0, rng, image_seq_len,
+                                   t_range)[0][1],
                 state.trainable,
             )
             has_lsnr = "new_lsnr" in aux_shapes
@@ -297,7 +370,7 @@ def make_train_step(
                     else {**state.trainable, "lsnr": lsnr_c}
                 )
                 (l, a), g = grad_fn(trainable, state.model_variables, micro, r,
-                                    image_seq_len)
+                                    image_seq_len, t_range)
                 if has_lsnr:
                     lsnr_c = a.pop("new_lsnr")
                 aux_acc = {k: aux_acc[k] + a[k].astype(jnp.float32) for k in aux_acc}

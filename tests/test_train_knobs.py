@@ -1,0 +1,148 @@
+"""Round-2 config-honesty knobs: warnings for unconsumed keys + semantics of
+the newly implemented TrainConfig options (reference toolkit/config_modules.py
+TrainConfig)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+from ai_toolkit_tpu.samplers import FlowMatchSchedule
+from ai_toolkit_tpu.train.optimizers import get_optimizer
+from ai_toolkit_tpu.train.state import TrainState
+from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+
+
+class TinyDiT(nn.Module):
+    @nn.compact
+    def __call__(self, x, t, cond):
+        from ai_toolkit_tpu.ops.layers import Linear
+
+        b = x.shape[0]
+        h = x.reshape(b, -1)
+        y = Linear(32, dtype=jnp.float32, param_dtype=jnp.float32, name="fc1")(h)
+        y = nn.silu(y + t[:, None])
+        y = Linear(h.shape[-1], dtype=jnp.float32, param_dtype=jnp.float32, name="fc2")(y)
+        return y.reshape(x.shape)
+
+
+def _state_and_step(cfg):
+    model = TinyDiT()
+    x = jnp.zeros((2, 4, 4, 2))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)), {})
+    lora = build_lora(variables["params"], LoRASpec(rank=4, alpha=4.0), jax.random.key(1))
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": variables["params"]}, {"lora": lora}, tx)
+    step = jax.jit(make_train_step(model.apply, FlowMatchSchedule(), cfg))
+    return state, step
+
+
+def test_config_warns_on_unconsumed_keys(capsys, monkeypatch):
+    from ai_toolkit_tpu.config.modules import JobConfig
+
+    raw = {"job": "extension", "config": {"name": "x", "process": [{
+        "type": "sd_trainer",
+        "train": {"steps": 1, "totally_made_up_knob": True},
+        "model": {"arch": "sd1"},
+    }]}}
+    JobConfig.from_raw(raw)
+    outp = capsys.readouterr().out
+    assert "totally_made_up_knob" in outp and "IGNORED" in outp
+
+    monkeypatch.setenv("AIT_STRICT_CONFIG", "1")
+    with pytest.raises(ValueError, match="totally_made_up_knob"):
+        JobConfig.from_raw(raw)
+
+
+def test_tpu_na_keys_are_silent(capsys):
+    from ai_toolkit_tpu.config.modules import JobConfig
+
+    raw = {"job": "extension", "config": {"name": "x", "process": [{
+        "type": "sd_trainer",
+        "train": {"steps": 1, "xformers": True, "attention_backend": "sdp"},
+        "model": {"arch": "sd1"},
+    }]}}
+    JobConfig.from_raw(raw)
+    assert "config warning" not in capsys.readouterr().out
+
+
+def test_max_loss_zeroes_outlier_updates():
+    state, step = _state_and_step(
+        TrainStepConfig(timestep_type="linear", max_loss=1e-9)
+    )
+    batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
+    state, m = step(state, batch, jax.random.key(0))
+    # outlier batch -> zero loss and zero gradients (only optimizer weight
+    # decay may still touch params, mirroring a skipped backward)
+    assert float(m["loss"]) == 0.0
+    assert float(m["grad_norm"]) == 0.0
+
+
+def test_standardize_and_multipliers_change_loss():
+    batch = {"latents": 3.0 + 2.0 * jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
+    base_state, base_step = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    _, l0 = base_step(base_state, batch, jax.random.key(0))
+    knob_state, knob_step = _state_and_step(TrainStepConfig(
+        timestep_type="linear", standardize_latents=True, noisy_multiplier=0.5,
+    ))
+    _, l1 = knob_step(knob_state, batch, jax.random.key(0))
+    assert np.isfinite(float(l1["loss"]))
+    assert float(l0["loss"]) != float(l1["loss"])
+
+
+def test_random_cfg_rescale_and_pred_norm():
+    cfg = TrainStepConfig(
+        timestep_type="linear", do_cfg=True, do_random_cfg=True, max_cfg_scale=3.0,
+        cfg_rescale=0.7, correct_pred_norm=True, correct_pred_norm_multiplier=0.5,
+    )
+    state, step = _state_and_step(cfg)
+    lat = jax.random.normal(jax.random.key(5), (2, 4, 4, 2))
+    batch = {"latents": lat, "neg_cond": {}}
+    state, m = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_stage_switch_ranges():
+    """switch_every alternates the sampled timestep range each step —
+    losses stay finite and the step counter drives the phase."""
+    cfg = TrainStepConfig(
+        timestep_type="linear", stage_boundary=0.9, switch_every=1,
+    )
+    state, step = _state_and_step(cfg)
+    batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2))}
+    losses = []
+    for i in range(2):
+        state, m = step(state, batch, jax.random.key(7))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # same data rng but opposite phases -> different effective timesteps
+    assert losses[0] != losses[1]
+
+
+def test_full_ft_filter_tree():
+    from ai_toolkit_tpu.jobs.train_process import _filter_param_tree
+
+    tree = {
+        "double_blocks": {"w": np.ones((2,))},
+        "single_blocks": {"w": np.ones((2,))},
+        "final_layer": {"w": np.ones((2,))},
+    }
+    out = _filter_param_tree(
+        tree, ["transformer.transformer_blocks.", "transformer.single_transformer_blocks."],
+        None,
+    )
+    assert set(out) == {"double_blocks", "single_blocks"}
+    out2 = _filter_param_tree(tree, None, ["final_layer"])
+    assert set(out2) == {"double_blocks", "single_blocks"}
+
+
+def test_v_pred_and_num_timesteps_flow_into_schedule():
+    from ai_toolkit_tpu.samplers import get_schedule
+
+    s = get_schedule("ddpm", "sd1", prediction_type="v_prediction",
+                     num_train_timesteps=500)
+    assert s.prediction_type == "v_prediction"
+    assert s.num_train_timesteps == 500
