@@ -119,7 +119,66 @@ def generate_sd(
             else:
                 rng, sub = jax.random.split(rng)
                 x = schedule.euler_ancestral_step(x, denoised, sigma, sigma_next, sub)
-    else:  # ddim / ddpm default
+    elif sampler in ("heun", "lms"):
+        sigmas = schedule.inference_sigmas(gen.sample_steps)
+        x = x * float(sigmas[0])
+
+        def denoised_at(xx, s):
+            eps = predict_cfg(
+                schedule.scale_model_input(xx, s), schedule.timestep_for_sigma(s)
+            )
+            return schedule.denoised_from_eps(xx, eps, s)
+
+        if sampler == "heun":
+            for i in range(len(sigmas) - 1):
+                s, sn = float(sigmas[i]), float(sigmas[i + 1])
+                x = schedule.heun_step(x, denoised_at(x, s), s, sn, denoised_at)
+        else:
+            ds: list = []
+            sig64 = np.asarray(sigmas, np.float64)
+            for i in range(len(sigmas) - 1):
+                s = float(sigmas[i])
+                den = denoised_at(x, s)
+                ds.insert(0, (x.astype(jnp.float32) - den.astype(jnp.float32)) / s)
+                ds = ds[:4]
+                coeffs = schedule.lms_coefficients(len(ds), sig64, i)
+                x = schedule.lms_step(x, ds, coeffs)
+    elif sampler == "lcm":
+        ts = schedule.lcm_timesteps(gen.sample_steps)
+        for i, t in enumerate(ts):
+            t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            pred = predict_cfg(x, int(t))
+            rng, sub = jax.random.split(rng)
+            x = schedule.lcm_step(x, pred, int(t), t_prev, sub)
+    elif sampler == "pndm":
+        # plms multistep (diffusers PNDMScheduler skip_prk path): the second
+        # timestep runs twice (predictor/corrector warmup), then 1-4 step
+        # Adams-Bashforth on the eps history
+        base = schedule.pndm_timesteps(gen.sample_steps)
+        step_sz = schedule.num_train_timesteps // gen.sample_steps
+        seq = [int(base[0])] + [int(t) for t in base[1:2]] * 2 + [int(t) for t in base[2:]]
+        ets: list = []
+        cur_sample = None
+        for counter, t in enumerate(seq):
+            eps = predict_cfg(x, int(t))
+            t_use, t_prev = t, t - step_sz
+            if counter != 1:
+                ets = ets[-3:] + [eps]
+            else:
+                t_prev, t_use = t, t + step_sz
+            if len(ets) == 1 and counter == 0:
+                eff, cur_sample = eps, x
+            elif len(ets) == 1 and counter == 1:
+                eff = (eps + ets[-1]) / 2
+                x, cur_sample = cur_sample, None
+            elif len(ets) == 2:
+                eff = (3 * ets[-1] - ets[-2]) / 2
+            elif len(ets) == 3:
+                eff = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+            else:
+                eff = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+            x = schedule.pndm_prev_sample(x, int(t_use), int(t_prev), eff)
+    elif sampler in ("ddim", "ddpm", "flowmatch"):
         ts = schedule.ddim_timesteps(gen.sample_steps)
         for i in range(len(ts)):
             t_prev = int(ts[i + 1]) if i + 1 < len(ts) else -1
@@ -127,6 +186,11 @@ def generate_sd(
             x = schedule.ddim_step(
                 x, pred, jnp.full((1,), int(ts[i]), jnp.int32), jnp.full((1,), t_prev, jnp.int32)
             )
+    else:
+        raise ValueError(
+            f"unknown sampler '{sampler}' — supported: ddim, ddpm, euler_a, "
+            f"dpmpp_2m, heun, lms, lcm, pndm"
+        )
 
     img = model.decode_latents(variables, x)
     return _to_uint8(img)

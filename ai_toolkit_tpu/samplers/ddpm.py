@@ -163,6 +163,95 @@ class DDPMSchedule:
         return (xf + noise * sigma_up).astype(x.dtype)
 
     @staticmethod
+    def heun_step(x, denoised, sigma, sigma_next, denoised_fn):
+        """Heun's method (k-diffusion sample_heun, deterministic 2nd order).
+
+        ``denoised_fn(x, sigma) -> denoised`` supplies the correction-stage
+        model evaluation at the euler-predicted point."""
+        xf = x.astype(jnp.float32)
+        d = (xf - denoised.astype(jnp.float32)) / sigma
+        x_euler = xf + d * (sigma_next - sigma)
+        if sigma_next == 0:
+            return x_euler.astype(x.dtype)
+        den2 = denoised_fn(x_euler.astype(x.dtype), sigma_next).astype(jnp.float32)
+        d2 = (x_euler - den2) / sigma_next
+        return (xf + (d + d2) * 0.5 * (sigma_next - sigma)).astype(x.dtype)
+
+    @staticmethod
+    def lms_coefficients(order: int, sigmas: np.ndarray, i: int) -> list[float]:
+        """Integrated-Lagrange linear-multistep coefficients (k-diffusion
+        ``linear_multistep_coeff`` / diffusers LMSDiscreteScheduler)."""
+
+        def integrand(tau, j):
+            prod = np.ones_like(tau)
+            for k in range(order):
+                if k == j:
+                    continue
+                prod = prod * (tau - sigmas[i - k]) / (sigmas[i - j] - sigmas[i - k])
+            return prod
+
+        out = []
+        xs = np.linspace(sigmas[i], sigmas[i + 1], 513)
+        for j in range(order):
+            ys = integrand(xs, j)
+            out.append(float(np.trapezoid(ys, xs)))
+        return out
+
+    @staticmethod
+    def lms_step(x, d_history: list, coeffs: list[float]):
+        """x_{i+1} = x_i + sum_j c_j * d_{i-j}; ``d_history`` newest-first."""
+        xf = x.astype(jnp.float32)
+        for c, d in zip(coeffs, d_history):
+            xf = xf + c * d.astype(jnp.float32)
+        return xf.astype(x.dtype)
+
+    # ---- LCM (diffusers LCMScheduler; consistency boundary conditions) ----
+
+    def lcm_timesteps(self, num_steps: int, original_steps: int = 50) -> np.ndarray:
+        k = self.num_train_timesteps // original_steps
+        origin = np.arange(1, original_steps + 1) * k - 1
+        skip = max(len(origin) // num_steps, 1)
+        return origin[::-1][::skip][:num_steps]
+
+    def lcm_step(
+        self, x: jax.Array, pred: jax.Array, t: int, t_prev: int,
+        rng: jax.Array, timestep_scaling: float = 10.0, sigma_data: float = 0.5,
+    ) -> jax.Array:
+        """One LCM step: consistency-parameterized x0 + re-noising to the next
+        timestep (diffusers LCMScheduler.step)."""
+        xf = x.astype(jnp.float32)
+        x0 = self.pred_to_x0(pred.astype(jnp.float32), xf, jnp.full((1,), t, jnp.int32))
+        scaled = t * timestep_scaling
+        c_skip = sigma_data**2 / (scaled**2 + sigma_data**2)
+        c_out = scaled / float(np.sqrt(scaled**2 + sigma_data**2))
+        denoised = c_out * x0 + c_skip * xf
+        if t_prev < 0:
+            return denoised.astype(x.dtype)
+        acp_prev = float(self.alphas_cumprod[t_prev])
+        noise = jax.random.normal(rng, x.shape, jnp.float32)
+        return (
+            np.sqrt(acp_prev) * denoised + np.sqrt(1.0 - acp_prev) * noise
+        ).astype(x.dtype)
+
+    # ---- PNDM (diffusers PNDMScheduler, plms path / skip_prk_steps) ----
+
+    def pndm_timesteps(self, num_steps: int) -> np.ndarray:
+        step = self.num_train_timesteps // num_steps
+        return ((np.arange(num_steps) * step).round().astype(int) + 1)[::-1]
+
+    def pndm_prev_sample(self, x: jax.Array, t: int, t_prev: int, eps: jax.Array) -> jax.Array:
+        """The PNDM transfer formula (diffusers ``PNDMScheduler._get_prev_sample``)."""
+        acp_t = float(self.alphas_cumprod[t])
+        acp_prev = float(self.alphas_cumprod[t_prev]) if t_prev >= 0 else 1.0
+        xf = x.astype(jnp.float32)
+        ef = eps.astype(jnp.float32)
+        sample_coeff = (acp_prev / acp_t) ** 0.5
+        denom = acp_t * (1.0 - acp_prev) ** 0.5 + (
+            acp_t * (1.0 - acp_t) * acp_prev
+        ) ** 0.5
+        return (sample_coeff * xf - (acp_prev - acp_t) * ef / denom).astype(x.dtype)
+
+    @staticmethod
     def dpmpp_2m_step(
         x: jax.Array,
         denoised: jax.Array,
