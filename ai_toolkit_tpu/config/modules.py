@@ -384,6 +384,8 @@ class TrainConfig:
     switch_boundary_every: int = 1
     adapter_assist_name_or_path: str | None = None
     adapter_assist_type: str = "t2i"
+    merge_network_on_save: bool = False  # also export the merged full model
+    merge_network_on_save_strength: float = 1.0
     diffusion_feature_extractor_path: str | None = None
     diffusion_feature_extractor_weight: float = 1.0
     latent_feature_extractor_path: str | None = None

@@ -1069,6 +1069,18 @@ class SDTrainProcess:
                 save_tree = state.trainable["lora"]
                 if state.ema is not None and "lora" in state.ema:
                     save_tree = state.ema["lora"]
+                if final and self.cfg.train.merge_network_on_save:
+                    # merged full model in interop layout (reference
+                    # merge_network_on_save + saving.py keymap path)
+                    from ai_toolkit_tpu.adapters.lora import merge_lora
+
+                    main_key = self._main_component(state.model_variables)
+                    strength = self.cfg.train.merge_network_on_save_strength
+                    merged = merge_lora(
+                        state.model_variables[main_key],
+                        jax.tree.map(np.asarray, save_tree), multiplier=strength,
+                    )
+                    self._export_interop(state, {main_key: merged})
                 extra_flat = None
                 te_keys = [k for k in state.trainable if k.startswith("lora_te")]
                 if te_keys:
@@ -1094,6 +1106,7 @@ class SDTrainProcess:
                 )
             else:
                 # full fine-tune: save component weights as flat safetensors
+                # (fast step saves / resume)...
                 from safetensors.numpy import save_file
 
                 main_key = next(iter(state.trainable))
@@ -1103,6 +1116,11 @@ class SDTrainProcess:
                     f"{self.job_name}.safetensors" if final else f"{self.job_name}_{step:09d}.safetensors",
                 )
                 save_file(flat, path, metadata={"step": str(step), "software": "ai_toolkit_tpu"})
+                if final:
+                    # ...and an interop HF-layout export on the final save
+                    # (reference saves full models in loadable layouts,
+                    # toolkit/saving.py:22-139)
+                    self._export_interop(state, {main_key: state.trainable[main_key]})
             if isinstance(state.trainable, dict) and "lsnr" in state.trainable:
                 # reference writes learnable_snr.json next to the checkpoint
                 import json as _json
@@ -1111,6 +1129,24 @@ class SDTrainProcess:
                 with open(os.path.join(self.save_root, "learnable_snr.json"), "w") as f:
                     _json.dump(lp, f)
             print(f"saved: {path}")
+
+    def _export_interop(self, state: TrainState, overrides: dict) -> None:
+        """HF-layout full-model export of frozen base + trained overrides."""
+        from ai_toolkit_tpu.io.full_export import export_full_model
+
+        if "quant" in state.model_variables:
+            print("interop export skipped: base model is int8-quantized "
+                  "(train with quantize: false to export full weights)")
+            return
+        variables = {**state.model_variables, **overrides}
+        out_dir = os.path.join(self.save_root, f"{self.job_name}_diffusers")
+        try:
+            written = export_full_model(self.model, variables, out_dir)
+        except NotImplementedError as e:
+            print(f"interop export skipped: {e}")
+            return
+        for p in written:
+            print(f"exported: {p}")
 
     def _sample(self, state: TrainState, step: int):
         cfg = self.cfg

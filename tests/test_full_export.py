@@ -1,0 +1,120 @@
+"""Full-model interop export (round-2 gap: reference toolkit/saving.py).
+
+Export inverts the importer rule lists, so the checks are strict round
+trips: export a random-init model to torch-layout safetensors, re-import
+through the real import path, and require (a) zero unmatched keys both ways
+and (b) numerically identical trees (fp16 write tolerance)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai_toolkit_tpu.config.modules import ModelConfig
+from ai_toolkit_tpu.io.full_export import export_full_model
+from ai_toolkit_tpu.models.registry import get_model_class
+
+
+def _flat_paths(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat_paths(v, prefix + (k,))
+        else:
+            yield "/".join(prefix + (k,)), v
+
+
+def _assert_trees_close(a, b, atol=2e-3):
+    pa = dict(_flat_paths(a))
+    pb = dict(_flat_paths(b))
+    assert set(pa) == set(pb), (
+        f"missing: {sorted(set(pa) - set(pb))[:5]} extra: {sorted(set(pb) - set(pa))[:5]}"
+    )
+    for k in pa:
+        np.testing.assert_allclose(
+            np.asarray(pa[k], np.float32), np.asarray(pb[k], np.float32),
+            atol=atol, rtol=2e-3, err_msg=k,
+        )
+
+
+def test_flux_full_export_roundtrip(tmp_path):
+    from safetensors import safe_open
+
+    from ai_toolkit_tpu.io.flux_import import flux_dit_rules
+    from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+    model = get_model_class("flux")(ModelConfig(arch="flux", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    written = export_full_model(model, variables, str(tmp_path))
+    subdirs = {p.split(str(tmp_path) + os.sep)[1].split(os.sep)[0] for p in written}
+    assert {"transformer", "vae", "text_encoder", "text_encoder_2"} <= subdirs
+
+    with safe_open(os.path.join(tmp_path, "transformer",
+                                "diffusion_pytorch_model.safetensors"), "np") as f:
+        flat = {k: f.get_tensor(k) for k in f.keys()}
+    tree, unmatched = torch_to_tree(flat, flux_dit_rules(model.dit_config.scan_blocks))
+    assert not unmatched, unmatched[:5]
+    _assert_trees_close(jax.tree.map(np.asarray, variables["dit"]), tree)
+
+    # full checkpoint-dir reload through the real import path
+    from ai_toolkit_tpu.io.flux_import import load_flux_checkpoint
+
+    re = load_flux_checkpoint(str(tmp_path), model)
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
+    )
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["vae"]), jax.tree.map(np.asarray, re["vae"])
+    )
+
+
+def test_wan_full_export_roundtrip(tmp_path):
+    from safetensors import safe_open
+
+    from ai_toolkit_tpu.io.dit_importers import wan_dit_tree
+
+    model = get_model_class("wan21")(ModelConfig(arch="wan21", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    export_full_model(model, variables, str(tmp_path))
+    with safe_open(os.path.join(tmp_path, "transformer",
+                                "diffusion_pytorch_model.safetensors"), "np") as f:
+        flat = {k: f.get_tensor(k) for k in f.keys()}
+    tree, unmatched = wan_dit_tree(flat, model.dit_config)
+    assert not unmatched, unmatched[:5]
+    _assert_trees_close(jax.tree.map(np.asarray, variables["dit"]), tree)
+
+
+def test_sd15_full_export_roundtrip(tmp_path):
+    from safetensors import safe_open
+
+    from ai_toolkit_tpu.io.sd_import import clip_rules, unet_rules, vae_rules
+    from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+    model = get_model_class("sd15")(ModelConfig(arch="sd15", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    export_full_model(model, variables, str(tmp_path))
+    checks = [
+        ("unet", "unet/diffusion_pytorch_model.safetensors",
+         unet_rules(len(model.unet_config.block_out_channels))),
+        ("vae", "vae/diffusion_pytorch_model.safetensors",
+         vae_rules(len(model.vae_config.channel_multipliers),
+                   model.vae_config.layers_per_block)),
+        ("clip", "text_encoder/model.safetensors", clip_rules()),
+    ]
+    for comp, rel, rules in checks:
+        with safe_open(os.path.join(tmp_path, rel), "np") as f:
+            flat = {k: f.get_tensor(k) for k in f.keys()}
+        tree, unmatched = torch_to_tree(flat, rules)
+        assert not unmatched, (comp, unmatched[:5])
+        _assert_trees_close(jax.tree.map(np.asarray, variables[comp]), tree)
+
+
+def test_export_unsupported_arch_raises():
+    model = get_model_class("hidream")(
+        ModelConfig(arch="hidream", model_kwargs={"size": "tiny"})
+    )
+    variables = model.init_variables(jax.random.key(0))
+    with pytest.raises(NotImplementedError, match="full-model export"):
+        export_full_model(model, variables, "/tmp/should_not_be_written")
