@@ -213,8 +213,8 @@ def main(argv=None) -> int:
 
         from ai_toolkit_tpu.ui.server import UIServer
 
-        srv = UIServer(port=args.port).start()
-        print(f"monitor UI on :{srv.port} (ctrl-c to stop)")
+        srv = UIServer(port=args.port, queue_worker=True).start()
+        print(f"monitor UI + queue worker on :{srv.port} (ctrl-c to stop)")
         try:
             while True:
                 time.sleep(3600)

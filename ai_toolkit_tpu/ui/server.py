@@ -31,7 +31,40 @@ import json
 import os
 import sqlite3
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_JOB_SCHEMA = """CREATE TABLE IF NOT EXISTS Job (
+    id TEXT PRIMARY KEY,
+    name TEXT,
+    status TEXT DEFAULT 'queued',
+    stop INTEGER DEFAULT 0,
+    step INTEGER DEFAULT 0,
+    total_steps INTEGER DEFAULT 0,
+    info TEXT DEFAULT '',
+    speed_string TEXT DEFAULT '',
+    pid INTEGER,
+    save_now INTEGER DEFAULT 0,
+    sample_now INTEGER DEFAULT 0,
+    config_path TEXT DEFAULT '',
+    device TEXT DEFAULT 'all',
+    queued_at REAL DEFAULT 0
+)"""
+
+
+def ensure_schema(db_path: str) -> None:
+    """Create the Job table the reference UI/trainer contract uses
+    (ui/prisma/schema.prisma:24-50) plus queue columns."""
+    with sqlite3.connect(db_path, timeout=5.0) as conn:
+        conn.execute("PRAGMA journal_mode=WAL")
+        conn.execute(_JOB_SCHEMA)
+        cols = {r[1] for r in conn.execute("PRAGMA table_info(Job)")}
+        for col, decl in (("config_path", "TEXT DEFAULT ''"),
+                          ("device", "TEXT DEFAULT 'all'"),
+                          ("queued_at", "REAL DEFAULT 0"),
+                          ("pid", "INTEGER")):
+            if col not in cols:
+                conn.execute(f"ALTER TABLE Job ADD COLUMN {col} {decl}")
 
 
 def accelerator_stats() -> dict:
@@ -172,6 +205,9 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) == 5 and parts[3] == "samples" and "/" not in parts[4] and ".." not in parts[4]:
                 return self._serve_file(os.path.join(d, "samples", parts[4]))
             return self._json({"error": "not found"}, 404)
+        if self.path.startswith("/api/datasets"):
+            parts = [p for p in self.path.strip("/").split("/")[2:] if p]
+            return self._datasets_get(parts)
         if self.path.startswith("/api/jobs/"):
             job_id = self.path.split("/")[3]
             rows = self._jobs(job_id)
@@ -193,19 +229,36 @@ class _Handler(BaseHTTPRequestHandler):
             host = self.headers.get("Host", "")
             if origin not in (f"http://{host}", f"https://{host}"):
                 return False
+        # the three content types a cross-site "simple" POST can carry; any
+        # other type forces a CORS preflight this server never approves
         ctype = self.headers.get("Content-Type", "").split(";")[0].strip()
-        return ctype in ("application/json", "")
+        return ctype not in (
+            "application/x-www-form-urlencoded", "multipart/form-data", "text/plain"
+        )
+
+    def _read_body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(n) if n else b""
+
+    def _json_body(self):
+        try:
+            return json.loads(self._read_body() or b"{}")
+        except ValueError:
+            return None
 
     def do_POST(self):
         if not self._auth_ok():
             return self._json({"error": "unauthorized"}, 401)
         if not self._csrf_ok():
             return self._json({"error": "cross-origin request rejected"}, 403)
-        if self.path == "/api/launch":
-            if self.headers.get("Content-Type", "").split(";")[0].strip() != "application/json":
-                return self._json({"error": "Content-Type must be application/json"}, 415)
-            return self._launch()
+        ctype = self.headers.get("Content-Type", "").split(";")[0].strip()
         parts = self.path.strip("/").split("/")
+        if self.path in ("/api/launch", "/api/jobs/queue"):
+            if ctype != "application/json":
+                return self._json({"error": "Content-Type must be application/json"}, 415)
+            return self._launch(queue=self.path.endswith("queue"))
+        if len(parts) >= 3 and parts[:2] == ["api", "datasets"]:
+            return self._datasets_post(parts[2:], ctype)
         if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] in ("stop", "save", "sample"):
             field = {"stop": "stop", "save": "save_now", "sample": "sample_now"}[parts[3]]
             try:
@@ -218,21 +271,105 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json({"error": str(e)}, 500)
         return self._json({"error": "unknown route"}, 404)
 
+    # ---- datasets (reference ui/src/app/api/datasets + api/img routes) ----
 
-    def _launch(self):
-        """Quick-launch: JSON body -> LoRA train config -> detached run.py.
+    def _datasets_root(self) -> str:
+        return getattr(self.server, "datasets_root", "datasets")
 
-        The TPU analog of the reference gradio quick-UI (flux_train_ui.py)
-        and the cron worker's startJob spawn (ui/cron/actions/startJob.ts):
-        one POST composes a standard sd_trainer config and runs it.
+    def _dataset_dir(self, name: str, create: bool = False) -> str | None:
+        if not name or "/" in name or ".." in name or name.startswith("."):
+            return None
+        d = os.path.join(self._datasets_root(), name)
+        if create:
+            os.makedirs(d, exist_ok=True)
+        return d if os.path.isdir(d) else None
+
+    @staticmethod
+    def _safe_file(fn: str) -> bool:
+        return bool(fn) and "/" not in fn and ".." not in fn and not fn.startswith(".")
+
+    def _datasets_get(self, parts: list[str]):
+        img_exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp", ".mp4", ".webm", ".mov")
+        if not parts:
+            root = self._datasets_root()
+            out = []
+            if os.path.isdir(root):
+                for name in sorted(os.listdir(root)):
+                    d = os.path.join(root, name)
+                    if os.path.isdir(d):
+                        n = sum(1 for f in os.listdir(d) if f.lower().endswith(img_exts))
+                        out.append({"name": name, "num_images": n})
+            return self._json(out)
+        d = self._dataset_dir(parts[0])
+        if d is None:
+            return self._json({"error": "not found"}, 404)
+        if len(parts) == 1:
+            items = []
+            for f in sorted(os.listdir(d)):
+                if not f.lower().endswith(img_exts):
+                    continue
+                stem = os.path.splitext(f)[0]
+                cap_path = os.path.join(d, stem + ".txt")
+                cap = ""
+                if os.path.isfile(cap_path):
+                    with open(cap_path, encoding="utf-8", errors="replace") as fh:
+                        cap = fh.read()
+                items.append({"file": f, "caption": cap})
+            return self._json(items)
+        if len(parts) == 3 and parts[1] == "img" and self._safe_file(parts[2]):
+            return self._serve_file(os.path.join(d, parts[2]))
+        return self._json({"error": "not found"}, 404)
+
+    def _datasets_post(self, parts: list[str], ctype: str):
+        if len(parts) == 1:  # create dataset dir
+            d = self._dataset_dir(parts[0], create=True)
+            if d is None:
+                return self._json({"error": "bad name"}, 400)
+            return self._json({"created": parts[0]})
+        d = self._dataset_dir(parts[0])
+        if d is None:
+            return self._json({"error": "not found"}, 404)
+        if len(parts) == 3 and parts[1] == "img" and self._safe_file(parts[2]):
+            # raw-body upload; form content types are rejected (CSRF: they're
+            # the only types a cross-site page can send without a preflight)
+            if ctype in ("application/x-www-form-urlencoded", "multipart/form-data",
+                         "text/plain", ""):
+                return self._json({"error": "raw image/video body required"}, 415)
+            body = self._read_body()
+            if not body:
+                return self._json({"error": "empty body"}, 400)
+            tmp = os.path.join(d, "." + parts[2] + ".tmp")
+            with open(tmp, "wb") as f:
+                f.write(body)
+            os.replace(tmp, os.path.join(d, parts[2]))
+            return self._json({"uploaded": parts[2], "bytes": len(body)})
+        if len(parts) == 3 and parts[1] == "caption" and self._safe_file(parts[2]):
+            body = self._json_body()
+            if body is None or "caption" not in body:
+                return self._json({"error": "json {caption} required"}, 400)
+            stem = os.path.splitext(parts[2])[0]
+            with open(os.path.join(d, stem + ".txt"), "w", encoding="utf-8") as f:
+                f.write(str(body["caption"]))
+            return self._json({"saved": stem + ".txt"})
+        if len(parts) == 3 and parts[1] == "delete" and self._safe_file(parts[2]):
+            removed = []
+            stem = os.path.splitext(parts[2])[0]
+            for f in (parts[2], stem + ".txt"):
+                p = os.path.join(d, f)
+                if os.path.isfile(p):
+                    os.remove(p)
+                    removed.append(f)
+            return self._json({"deleted": removed})
+        return self._json({"error": "unknown route"}, 404)
+
+
+    def _launch(self, queue: bool = False):
+        """Quick-launch: JSON body -> LoRA train config -> detached run.py,
+        or (``queue=True``) a 'queued' Job row the worker starts when its
+        device set frees up (reference ui/cron/actions/processQueue.ts).
         """
-        import subprocess
-        import sys
-
-        try:
-            n = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(n) or b"{}")
-        except ValueError:
+        req = self._json_body()
+        if req is None:
             return self._json({"error": "bad json"}, 400)
         name = str(req.get("name", "quick_lora"))
         if not name.replace("-", "").replace("_", "").isalnum():
@@ -276,30 +413,146 @@ class _Handler(BaseHTTPRequestHandler):
         cfg_path = os.path.join(cfg_dir, f"{name}.yaml")
         with open(cfg_path, "w") as f:
             yaml.safe_dump(cfg, f)
-        log_path = os.path.join(cfg_dir, f"{name}.log")
-        run_py = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "run.py",
-        )
-        with open(log_path, "ab") as logf:
-            proc = subprocess.Popen(
-                [sys.executable, run_py, cfg_path],
-                stdout=logf, stderr=subprocess.STDOUT,
-                start_new_session=True,  # detached: survives the server
-            )
+        if queue:
+            job_id = str(uuid.uuid4())
+            import time as _time
+
+            try:
+                ensure_schema(self.server.db_path)
+                with self._db() as conn:
+                    conn.execute(
+                        "INSERT INTO Job (id, name, status, config_path, device, "
+                        "queued_at, total_steps) VALUES (?, ?, 'queued', ?, ?, ?, ?)",
+                        (job_id, name, cfg_path, str(req.get("device", "all")),
+                         _time.time(), int(req.get("steps", 2000))),
+                    )
+            except sqlite3.Error as e:
+                return self._json({"error": str(e)}, 500)
+            return self._json({"queued": name, "id": job_id, "config": cfg_path})
+        proc, log_path = _spawn_job(cfg_path, cfg_dir, name)
         return self._json({"launched": name, "pid": proc.pid,
                            "config": cfg_path, "log": log_path})
+
+
+def _spawn_job(cfg_path: str, log_dir: str, name: str,
+               job_id: str | None = None, db_path: str | None = None):
+    """Detached run.py subprocess; AITK_JOB_ID/AITK_DB_PATH wire the spawned
+    trainer to its Job row (the reference startJob.ts contract)."""
+    import subprocess
+    import sys
+
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, f"{name}.log")
+    run_py = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "run.py",
+    )
+    env = dict(os.environ)
+    if job_id:
+        env["AITK_JOB_ID"] = job_id
+        env["AITK_DB_PATH"] = os.path.abspath(db_path or "aitk_db.db")
+    with open(log_path, "ab") as logf:
+        proc = subprocess.Popen(
+            [sys.executable, run_py, cfg_path],
+            stdout=logf, stderr=subprocess.STDOUT, env=env,
+            start_new_session=True,  # detached: survives the server
+        )
+    return proc, log_path
+
+
+class QueueWorker:
+    """queued -> running scheduler: one job per device set at a time
+    (reference ui/cron/actions/processQueue.ts:6-60 + worker.ts:41-80)."""
+
+    def __init__(self, db_path: str, runs_root: str, poll_s: float = 1.0):
+        self.db_path = db_path
+        self.runs_root = runs_root
+        self.poll_s = poll_s
+        self._procs: dict[str, object] = {}  # job_id -> Popen
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        ensure_schema(self.db_path)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def _conn(self):
+        conn = sqlite3.connect(self.db_path, timeout=5.0)
+        conn.row_factory = sqlite3.Row
+        return conn
+
+    def _loop(self):
+        while not self._stop.wait(self.poll_s):
+            try:
+                self.tick()
+            except sqlite3.Error:
+                pass
+
+    def tick(self):
+        # 1) reap finished processes we spawned
+        for job_id, proc in list(self._procs.items()):
+            rc = proc.poll()
+            if rc is None:
+                continue
+            del self._procs[job_id]
+            with self._conn() as conn:
+                row = conn.execute(
+                    "SELECT status FROM Job WHERE id = ?", (job_id,)
+                ).fetchone()
+                if row and row["status"] in ("running", "queued"):
+                    conn.execute(
+                        "UPDATE Job SET status = ? WHERE id = ?",
+                        ("completed" if rc == 0 else "failed", job_id),
+                    )
+        # 2) per device set: start the oldest queued job if nothing runs there
+        with self._conn() as conn:
+            running = {
+                r["device"]
+                for r in conn.execute("SELECT device FROM Job WHERE status = 'running'")
+            }
+            queued = conn.execute(
+                "SELECT id, name, config_path, device FROM Job "
+                "WHERE status = 'queued' ORDER BY queued_at"
+            ).fetchall()
+        started_devices = set()
+        for row in queued:
+            dev = row["device"] or "all"
+            if dev in running or dev in started_devices:
+                continue
+            proc, _ = _spawn_job(
+                row["config_path"], os.path.join(self.runs_root, "_quick_ui"),
+                row["name"], job_id=row["id"], db_path=self.db_path,
+            )
+            self._procs[row["id"]] = proc
+            with self._conn() as conn:
+                conn.execute(
+                    "UPDATE Job SET status = 'running', pid = ? WHERE id = ?",
+                    (proc.pid, row["id"]),
+                )
+            started_devices.add(dev)
 
 
 class UIServer:
     """Threaded REST server; start()/stop() for embedding in run.py or tests."""
 
     def __init__(self, db_path: str = "aitk_db.db", host: str = "127.0.0.1", port: int = 8676,
-                 runs_root: str = "output"):
+                 runs_root: str = "output", datasets_root: str = "datasets",
+                 queue_worker: bool = False, poll_s: float = 1.0):
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.db_path = db_path
         self.httpd.runs_root = runs_root
+        self.httpd.datasets_root = datasets_root
         self._thread: threading.Thread | None = None
+        self.worker = (
+            QueueWorker(db_path, runs_root, poll_s=poll_s) if queue_worker else None
+        )
 
     @property
     def port(self) -> int:
@@ -308,9 +561,13 @@ class UIServer:
     def start(self):
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self.worker is not None:
+            self.worker.start()
         return self
 
     def stop(self):
+        if self.worker is not None:
+            self.worker.stop()
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)

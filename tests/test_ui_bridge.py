@@ -188,6 +188,131 @@ def test_post_csrf_rejection(tmp_path):
         srv.stop()
 
 
+def test_datasets_routes(tmp_path):
+    """Dataset browser/upload/caption-edit REST routes (reference
+    ui/src/app/api/datasets + api/img)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    srv = UIServer(db_path=str(tmp_path / "db.db"), port=0,
+                   datasets_root=str(tmp_path / "ds")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def post(path, body, ctype="application/json"):
+        req = urllib.request.Request(base + path, data=body,
+                                     headers={"Content-Type": ctype})
+        return json.load(urllib.request.urlopen(req, timeout=5))
+
+    def get(path):
+        return json.load(urllib.request.urlopen(base + path, timeout=5))
+
+    try:
+        assert get("/api/datasets") == []
+        assert post("/api/datasets/cats", b"{}")["created"] == "cats"
+        png = b"\x89PNG\r\n\x1a\nfakebytes"
+        r = post("/api/datasets/cats/img/a.png", png, ctype="image/png")
+        assert r["bytes"] == len(png)
+        post("/api/datasets/cats/caption/a.png",
+             json.dumps({"caption": "a cat"}).encode())
+        listing = get("/api/datasets/cats")
+        assert listing == [{"file": "a.png", "caption": "a cat"}]
+        assert get("/api/datasets") == [{"name": "cats", "num_images": 1}]
+        img = urllib.request.urlopen(base + "/api/datasets/cats/img/a.png", timeout=5)
+        assert img.read() == png
+        # form-typed upload is rejected (cross-site simple POST shape)
+        try:
+            post("/api/datasets/cats/img/b.png", png,
+                 ctype="application/x-www-form-urlencoded")
+            raise AssertionError("form upload not rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code in (403, 415)
+        # traversal rejected
+        try:
+            get("/api/datasets/../secret")
+            raise AssertionError("traversal not rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        r = post("/api/datasets/cats/delete/a.png", b"{}")
+        assert sorted(r["deleted"]) == ["a.png", "a.txt"]
+        assert get("/api/datasets/cats") == []
+    finally:
+        srv.stop()
+
+
+@pytest.mark.slow
+def test_queue_worker_serializes_jobs(tmp_path):
+    """Enqueue two jobs -> the worker runs them one at a time per device set
+    with queued->running->completed transitions (reference processQueue.ts)."""
+    import json
+    import os
+    import time
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    ds = tmp_path / "imgs"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            ds / f"im_{i}.png")
+        (ds / f"im_{i}.txt").write_text("x")
+    os.environ["AIT_PLATFORM"] = "cpu"
+    db = str(tmp_path / "aitk_db.db")
+    srv = UIServer(db_path=db, port=0, runs_root=str(tmp_path / "out"),
+                   queue_worker=True, poll_s=0.5).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        ids = []
+        for i in range(2):
+            body = json.dumps({
+                "name": f"q{i}", "arch": "sd3", "dataset_folder": str(ds),
+                "steps": 2, "rank": 2, "batch_size": 1, "dtype": "float32",
+                "noise_scheduler": "flowmatch", "timestep_type": "linear",
+                "optimizer": "adamw", "quantize": False,
+                "model_kwargs": {"size": "tiny"}, "resolution": 64,
+                "sample_every": 0,
+            }).encode()
+            r = json.load(urllib.request.urlopen(urllib.request.Request(
+                base + "/api/jobs/queue", data=body,
+                headers={"Content-Type": "application/json"}), timeout=10))
+            assert "id" in r, r
+            ids.append(r["id"])
+
+        def statuses():
+            rows = json.load(urllib.request.urlopen(base + "/api/jobs", timeout=5))
+            return {r["id"]: r["status"] for r in rows}
+
+        saw_serialized = False
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            st = statuses()
+            if st.get(ids[0]) in ("running", "completed") and st.get(ids[1]) == "queued":
+                saw_serialized = True
+            if all(st.get(j) == "completed" for j in ids):
+                break
+            time.sleep(1)
+        st = statuses()
+        logs = ""
+        for n in ("q0", "q1"):
+            p = tmp_path / "out" / "_quick_ui" / f"{n}.log"
+            if p.exists():
+                logs += f"\n--- {n}: " + p.read_text()[-800:]
+        assert all(st.get(j) == "completed" for j in ids), (st, logs)
+        assert saw_serialized, "second job never waited in 'queued'"
+        for n in ("q0", "q1"):
+            assert (tmp_path / "out" / n / f"{n}.safetensors").exists()
+    finally:
+        os.environ.pop("AIT_PLATFORM", None)
+        srv.stop()
+
+
 @pytest.mark.slow
 def test_quick_launch_endpoint(tmp_path):
     """POST /api/launch composes a LoRA config and spawns a detached run.py
