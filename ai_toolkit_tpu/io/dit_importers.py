@@ -581,6 +581,78 @@ def load_ltx2_checkpoint(path: str, model) -> dict:
     return variables
 
 
+def flite_rules(scan_blocks: bool = True) -> list[Rule]:
+    """F-Lite DiT checkpoint keys (vendored f_light/src/model.py layout)."""
+    b = "blocks/block/" if scan_blocks else "block_{0}/"
+    kind = "_stack" if scan_blocks else ""
+
+    def lin(src, dst, bias=True):
+        out = [(rf"blocks\.(\d+)\.{src}\.weight", b + dst + "/kernel", "linear" + kind)]
+        if bias:
+            out.append((rf"blocks\.(\d+)\.{src}\.bias", b + dst + "/bias", "direct" + kind))
+        return out
+
+    rules: list[Rule] = []
+    rules += lin(r"self_attn\.qkv", "self_qkv")
+    rules += lin(r"self_attn\.proj", "self_proj", bias=False)
+    rules += lin(r"cross_attn\.q", "cross_q")
+    rules += lin(r"cross_attn\.context_kv", "cross_kv")
+    rules += lin(r"cross_attn\.proj", "cross_proj", bias=False)
+    rules += lin(r"mlp\.0", "mlp_in")
+    rules += lin(r"mlp\.2", "mlp_out")
+    rules += lin(r"adaLN_modulation\.1", "mod")
+    for i in (1, 2, 3):
+        rules.append((rf"blocks\.(\d+)\.norm{i}\.weight", b + f"norm{i}_scale",
+                      "direct" + kind))
+    rules.append((r"blocks\.(\d+)\.self_attn\.lambda_param", b + "lambda_param",
+                  "direct" + kind))
+    rules += [
+        (r"patch_embed\.patch_proj\.weight", "patch_proj_kernel", "conv2d"),
+        (r"patch_embed\.patch_proj\.bias", "patch_proj_bias", "direct"),
+        (r"register_tokens", "register_tokens", "direct"),
+        (r"time_embed\.0\.weight", "time_embed_in/kernel", "linear"),
+        (r"time_embed\.0\.bias", "time_embed_in/bias", "direct"),
+        (r"time_embed\.2\.weight", "time_embed_out/kernel", "linear"),
+        (r"time_embed\.2\.bias", "time_embed_out/bias", "direct"),
+        (r"final_modulation\.1\.weight", "final_mod/kernel", "linear"),
+        (r"final_modulation\.1\.bias", "final_mod/bias", "direct"),
+        (r"final_norm\.weight", "final_norm_scale", "direct"),
+        (r"final_proj\.weight", "final_proj/kernel", "linear"),
+        (r"final_proj\.bias", "final_proj/bias", "direct"),
+    ]
+    return rules
+
+
+def load_flite_checkpoint(path: str, model) -> dict:
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        tree, unmatched = torch_to_tree(flat, flite_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"f-lite import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "f-lite dit")
+    from ai_toolkit_tpu.io.sd_import import t5_rules, vae_rules
+
+    for subdir, comp, rules in (
+        ("vae", "vae", vae_rules(len(model.vae_config.channel_multipliers),
+                                 model.vae_config.layers_per_block)),
+        ("text_encoder", "t5", t5_rules()),
+    ):
+        d = os.path.join(path, subdir)
+        if comp in variables and os.path.isdir(d):
+            flat = load_safetensors_dir(d)
+            tree, _ = torch_to_tree(flat, rules)
+            if tree:
+                variables[comp] = _merge_imported(variables[comp], tree, f"f-lite {comp}")
+    return variables
+
+
 def load_flux2_checkpoint(path: str, model) -> dict:
     import jax
 

@@ -136,4 +136,26 @@ def load_qwen_checkpoint(path: str, model) -> dict:
         if unmatched:
             print(f"qwen import: {len(unmatched)} unmatched keys (e.g. {unmatched[:3]})")
         variables["dit"] = tree
+    # qwen's VAE is diffusers AutoencoderKLQwenImage == the wan 2.1 causal
+    # VAE; exact import via the wan rules when the model runs the 3D VAE
+    vae_dir = os.path.join(path, "vae")
+    if getattr(model, "_vae_3d", False) and os.path.isdir(vae_dir):
+        from ai_toolkit_tpu.io.flux_import import _merge_imported
+        from ai_toolkit_tpu.io.video_vae_import import (
+            load_wan_vae_tree,
+            wan_vae_config_from_json,
+        )
+        from ai_toolkit_tpu.models.wan_vae import WanVAE
+
+        cfg = wan_vae_config_from_json(vae_dir)
+        model.vae_config = cfg
+        model.vae = WanVAE(cfg)
+        tree, unmatched = load_wan_vae_tree(vae_dir)
+        if unmatched:
+            print(f"qwen vae import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        sd_ = cfg.spatial_downscale
+        ref = model.vae.init(
+            jax.random.key(0), jax.numpy.zeros((1, 1, 2 * sd_, 2 * sd_, 3))
+        )["params"]
+        variables["vae"] = _merge_imported(ref, tree, "qwen vae")
     return variables

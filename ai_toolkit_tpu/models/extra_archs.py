@@ -49,20 +49,17 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 # hidden, heads, head_dim, depth_double, depth_single, ctx_dim, vae, te, llm_d
 _SPECS: dict[str, dict] = {
-    "boogu_image": dict(hidden=3360, heads=24, head_dim=140, dd=0, ds=40, ctx=4096,
+    # exact released dims (src/transformer.py:508-531): hidden 3360, 28 heads
+    # x120 (GQA kv 7), 40 layers (8 double-stream) — the lumina2-style GQA
+    # block is NOT structurally represented here (stand-in, no importer)
+    "boogu_image": dict(hidden=3360, heads=28, head_dim=120, dd=8, ds=32, ctx=4096,
                         vae="flux", te="llm", llm_d=4096),
-    "boogu_image_edit": dict(hidden=3360, heads=24, head_dim=140, dd=0, ds=40, ctx=4096,
+    "boogu_image_edit": dict(hidden=3360, heads=28, head_dim=120, dd=8, ds=32, ctx=4096,
                              vae="flux", te="llm", llm_d=4096, edit=True),
-    "f-lite": dict(hidden=1152, heads=16, head_dim=72, dd=0, ds=28, ctx=4096,
-                   vae="sd", te="t5"),
     "ideogram4": dict(hidden=2304, heads=18, head_dim=128, dd=0, ds=34, ctx=2048,
                       vae="flux2", te="llm", llm_d=2048),
     "prx_pixel": dict(hidden=1792, heads=14, head_dim=128, dd=0, ds=24, ctx=2304,
                       vae="flux", te="llm", llm_d=2304),
-    "mageflow": dict(hidden=3072, heads=24, head_dim=128, dd=8, ds=32, ctx=2048,
-                     vae="flux2", te="llm", llm_d=2048),
-    "mageflow_edit": dict(hidden=3072, heads=24, head_dim=128, dd=8, ds=32, ctx=2048,
-                          vae="flux2", te="llm", llm_d=2048, edit=True),
     "anima": dict(hidden=2048, heads=16, head_dim=128, dd=0, ds=24, ctx=2048,
                   vae="flux", te="llm", llm_d=2048),
     "nucleus_image": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=28, ctx=2048,
@@ -173,6 +170,17 @@ class GenericDiTModel(BaseTpuModel):
         }
 
     def load_variables(self, rng: jax.Array) -> dict:
+        if self.config.name_or_path:
+            # Honesty over silence (round-2 review): these table-driven archs
+            # have no checkpoint importer yet — training would run against
+            # RANDOM weights, which is almost never what the user wants.
+            raise NotImplementedError(
+                f"arch '{self.config.arch}' has no checkpoint importer yet — "
+                f"it can train from random init (name_or_path: \"\") for "
+                f"architecture experiments, but cannot load "
+                f"'{self.config.name_or_path}'. Fully-supported archs with "
+                f"importers: see docs/PARITY.md."
+            )
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:

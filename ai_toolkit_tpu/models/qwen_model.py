@@ -46,15 +46,20 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 @register_model
 class QwenImageModel(BaseTpuModel):
     arch = "qwen_image"
-    archs = ["qwen_image", "qwen_image_edit", "qwen_image_edit_plus"]
+    archs = ["qwen_image", "qwen_image_edit", "qwen_image_edit_plus",
+             "mageflow", "mageflow_edit"]
     is_flow_matching = True
     bucket_divisibility = 32  # 16 VAE * 2 patch (reference get_bucket_divisibility)
     max_txt_len = 256
 
     def __init__(self, config: ModelConfig):
         super().__init__(config)
-        self.is_edit = config.arch in ("qwen_image_edit", "qwen_image_edit_plus")
+        self.is_edit = config.arch in (
+            "qwen_image_edit", "qwen_image_edit_plus", "mageflow_edit"
+        )
+        self.is_mageflow = (config.arch or "").startswith("mageflow")
         size = config.model_kwargs.get("size", "full")
+        self._vae_3d = False
         if size == "tiny":
             base = FluxConfig.tiny()
             self.dit_config = FluxConfig(**{
@@ -63,21 +68,67 @@ class QwenImageModel(BaseTpuModel):
             self.vae_config = VAEConfig.tiny()
             self.llm_config = LLMConfig.tiny()
             self.max_txt_len = 16
+        elif self.is_mageflow:
+            # MageFlow NR-MMDiT (reference extensions_built_in/diffusion_models/
+            # mageflow/src/transformer.py:485-727): qwen-image block structure
+            # (joint to_q/add_q_proj attention, 6-way img/txt mod, gelu-approx
+            # MLPs), dims from the checkpoint's transformer/config.json; the
+            # vendored MageVAE is 128-ch/16x (latent stand-in here — DiCo/NeRF
+            # decoder import is an open gap), Qwen3-family text encoder.
+            d = self._mageflow_config_json()
+            hd = d.get("hidden_size", 3072)
+            heads = d.get("num_heads", 24)
+            self.dit_config = FluxConfig(
+                in_channels=d.get("in_channels", 128), hidden_size=hd,
+                num_heads=heads, head_dim=hd // heads,
+                depth_double=d.get("depth", 32), depth_single=0,
+                context_dim=d.get("context_in_dim", 2048), vec_dim=256,
+                guidance_embed=False,
+                axes_dim=tuple(d.get("axes_dim", (16, 56, 56))),
+            )
+            self.vae_config = (
+                VAEConfig.tiny() if config.model_kwargs.get("vae_size") == "tiny"
+                else VAEConfig(latent_channels=128, channel_multipliers=(1, 2, 4, 4, 8))
+            )
+            self.llm_config = (
+                LLMConfig.tiny() if config.model_kwargs.get("te_size") == "tiny"
+                else LLMConfig.qwen25_7b()
+            )
         else:
             self.dit_config = FluxConfig(
                 in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
                 depth_double=60, depth_single=0, context_dim=3584, vec_dim=256,
                 guidance_embed=False, axes_dim=(16, 56, 56),
             )
-            self.vae_config = VAEConfig.flux()  # 16-ch latents (qwen 3D VAE at t=1)
+            # qwen's VAE is the wan 2.1 causal VAE applied at T=1
+            # (diffusers AutoencoderKLQwenImage) — exact import supported
+            from ai_toolkit_tpu.models.wan_vae import WanVAEConfig
+
+            self.vae_config = WanVAEConfig.wan21()
+            self._vae_3d = True
             self.llm_config = LLMConfig.qwen25_7b()
         self.dit = FluxDiT(self.dit_config)
-        self.vae = AutoencoderKL(self.vae_config)
+        if self._vae_3d:
+            from ai_toolkit_tpu.models.wan_vae import WanVAE
+
+            self.vae = WanVAE(self.vae_config)
+        else:
+            self.vae = AutoencoderKL(self.vae_config)
         self.te = LLMEncoder(self.llm_config)
         self.tokenizer = load_tokenizer(
             config.name_or_path, "tokenizer", vocab_size=self.llm_config.vocab_size,
             eos_id=2, max_len=self.max_txt_len,
         )
+
+    def _mageflow_config_json(self) -> dict:
+        import json
+        import os
+
+        p = os.path.join(self.config.name_or_path or "", "transformer", "config.json")
+        if os.path.isfile(p):
+            with open(p) as f:
+                return {**json.load(f), **self.config.model_kwargs.get("transformer_config", {})}
+        return dict(self.config.model_kwargs.get("transformer_config", {}))
 
     def init_variables(self, rng: jax.Array) -> dict:
         r_dit, r_vae, r_te = jax.random.split(rng, 3)
@@ -93,9 +144,10 @@ class QwenImageModel(BaseTpuModel):
             pe,
             None,
         )
-        vae_vars = self.vae.init(
-            r_vae, jnp.zeros((1, 2 * self.vae_config.downscale, 2 * self.vae_config.downscale, 3))
-        )
+        sd_ = self.vae_config.spatial_downscale if self._vae_3d else self.vae_config.downscale
+        shape = ((1, 1, 2 * sd_, 2 * sd_, 3) if self._vae_3d
+                 else (1, 2 * sd_, 2 * sd_, 3))
+        vae_vars = self.vae.init(r_vae, jnp.zeros(shape))
         te_vars = self.te.init(r_te, jnp.zeros((1, self.max_txt_len), jnp.int32))
         return {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
 
@@ -157,13 +209,27 @@ class QwenImageModel(BaseTpuModel):
         return unpack_latents(out[:, :n_img], h, w)
 
     def encode_images(self, variables, images, rng=None):
+        if self._vae_3d:
+            from ai_toolkit_tpu.models.wan_vae import WanVAE
+
+            lat = self.vae.apply(
+                {"params": variables["vae"]}, images[:, None], rng, method=WanVAE.encode
+            )
+            return lat[:, 0]
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
 
     def decode_latents(self, variables, latents):
+        if self._vae_3d:
+            from ai_toolkit_tpu.models.wan_vae import WanVAE
+
+            out = self.vae.apply(
+                {"params": variables["vae"]}, latents[:, None], method=WanVAE.decode
+            )
+            return out[:, 0]
         return self.vae.apply({"params": variables["vae"]}, latents, method=AutoencoderKL.decode)
 
     def latent_shape(self, height: int, width: int):
-        d = self.vae_config.downscale
+        d = self.vae_config.spatial_downscale if self._vae_3d else self.vae_config.downscale
         return height // d, width // d, self.vae_config.latent_channels
 
     def image_seq_len(self, height: int, width: int) -> int:

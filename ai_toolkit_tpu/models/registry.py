@@ -43,4 +43,5 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.cogview4_model  # noqa: F401
     import ai_toolkit_tpu.models.omnigen2_model  # noqa: F401
     import ai_toolkit_tpu.models.flux2_model  # noqa: F401
+    import ai_toolkit_tpu.models.f_lite  # noqa: F401
     import ai_toolkit_tpu.models.extra_archs  # noqa: F401

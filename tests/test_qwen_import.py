@@ -119,3 +119,61 @@ def test_qwen_import_structure_and_forward():
     ours = np.asarray(tree["final_mod"]["kernel"])
     h2 = ours.shape[-1] // 2
     np.testing.assert_allclose(ours[:, :h2], w.T[:, h2:], atol=1e-7)
+
+
+def test_mageflow_registers_on_qwen_path(tmp_path):
+    """MageFlow (reference mageflow/src/transformer.py) shares the qwen-image
+    block structure key-for-key; dims come from transformer/config.json."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from ai_toolkit_tpu.models.flux_dit import FluxConfig, FluxDiT
+
+    # checkpoint-dir path: dims from config.json, weights via the importer
+    tdir = tmp_path / "transformer"
+    tdir.mkdir()
+    cfg_json = {
+        "in_channels": 16, "out_channels": 16, "context_in_dim": 32,
+        "hidden_size": 64, "num_heads": 4, "depth": 2,
+        "axes_dim": [4, 6, 6], "checkpoint": False, "patch_size": 1,
+    }
+    (tdir / "config.json").write_text(json.dumps(cfg_json))
+
+    model = get_model_class("mageflow")(
+        ModelConfig(arch="mageflow", name_or_path=str(tmp_path),
+                    model_kwargs={"te_size": "tiny", "vae_size": "tiny"})
+    )
+    assert model.dit_config.hidden_size == 64
+    assert model.dit_config.depth_double == 2 and model.dit_config.depth_single == 0
+    assert model.dit_config.in_channels == 16
+
+    scan_cfg = FluxConfig(**{**model.dit_config.__dict__, "scan_blocks": True})
+    dit = FluxDiT(scan_cfg)
+    pe = jnp.zeros((1, 24, scan_cfg.head_dim // 2, 2, 2))
+    ref = dit.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16)), jnp.zeros((1, 8, 32)),
+        jnp.zeros((1,)), jnp.zeros((1, scan_cfg.vec_dim)), pe, None,
+    )["params"]
+    rng = np.random.default_rng(1)
+    flat = _fake_diffusers_flat(ref, 2, rng)
+    save_file(flat, str(tdir / "diffusion_pytorch_model.safetensors"))
+
+    variables = model.load_variables(jax.random.key(0))
+    got = np.asarray(
+        variables["dit"]["double_blocks"]["block"]["img_qkv"]["kernel"]
+    ) if "double_blocks" in variables["dit"] else None
+    assert got is not None and got.shape[0] == 2  # both layers imported
+    q_w = flat["transformer_blocks.1.attn.to_q.weight"]
+    np.testing.assert_allclose(got[1][:, : q_w.shape[0]], q_w.T, atol=1e-6)
+
+
+def test_extra_archs_refuse_silent_random_checkpoints(tmp_path):
+    model = get_model_class("boogu_image")(
+        ModelConfig(arch="boogu_image", name_or_path=str(tmp_path),
+                    model_kwargs={"size": "tiny"})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="no checkpoint importer"):
+        model.load_variables(jax.random.key(0))
