@@ -42,9 +42,26 @@ from flax import linen as nn
 from ai_toolkit_tpu.ops.layers import LayerNorm, Linear
 
 ADAPTER_TYPES = (
+    "decorator",
     "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value", "photo_maker",
     "photo_maker_full", "mean_flow", "t2i",
 )
+
+
+class DecoratorBank(nn.Module):
+    """Learned token bank appended to the text sequence (reference
+    toolkit/models/decorator.py: N trainable tokens, zeroed for the
+    unconditional branch)."""
+
+    ctx_dim: int
+    n_tokens: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_size: int):
+        bank = self.param("bank", nn.initializers.normal(1.0),
+                          (self.n_tokens, self.ctx_dim), self.dtype)
+        return jnp.tile(bank[None], (batch_size, 1, 1))
 
 
 class ReduxEncoder(nn.Module):
@@ -275,6 +292,10 @@ class CustomAdapterRuntime:
         if params is None:
             return cond
         t = self.adapter_type
+        if t == "decorator":
+            b = cond[self.ctx_key].shape[0]
+            extra = self.module.apply({"params": params}, b)
+            return _append_ctx(cond, self.ctx_key, extra)
         if t == "redux" and cond.get("vision_tokens") is not None:
             extra = self.module.apply({"params": params}, cond["vision_tokens"])
             return _append_ctx(cond, self.ctx_key, extra)
@@ -340,7 +361,10 @@ def init_custom_adapter(
     """Build (trainable params, runtime) for an adapter type."""
     t = adapter_cfg.get("type")
     n_tokens = int(adapter_cfg.get("num_tokens", 8))
-    if t == "redux":
+    if t == "decorator":
+        mod = DecoratorBank(ctx_dim, n_tokens=int(adapter_cfg.get("num_tokens", 4)))
+        params = mod.init(rng, 1)["params"]
+    elif t == "redux":
         mod = ReduxEncoder(ctx_dim)
         params = mod.init(rng, jnp.zeros((1, 4, vision_dim)))["params"]
     elif t == "clip_fusion":

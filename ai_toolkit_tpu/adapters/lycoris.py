@@ -53,6 +53,50 @@ def build_lokr(params: dict, spec: LoRASpec, rng: jax.Array, factor: int = -1) -
     return out
 
 
+def build_loha(params: dict, spec: LoRASpec, rng: jax.Array) -> dict:
+    """LoHa collection (LyCORIS hadamard product): delta =
+    (w1a @ w1b) * (w2a @ w2b) * scale; w2b zero -> zero delta at init."""
+    out: dict = {}
+    targets = [
+        (path, node["kernel"].shape)
+        for path, node in _iter_modules(params)
+        if len(node["kernel"].shape) == 2 and _matches("/".join(path), spec)
+    ]
+    rngs = jax.random.split(rng, max(1, len(targets)))
+    r = spec.rank
+    for (path, (cin, cout)), key in zip(targets, rngs):
+        k1, k2, k3 = jax.random.split(key, 3)
+        leaf = {
+            "w1a": jax.random.normal(k1, (cin, r), jnp.float32) * spec.init_std,
+            "w1b": jax.random.normal(k2, (r, cout), jnp.float32) * spec.init_std,
+            "w2a": jax.random.normal(k3, (cin, r), jnp.float32) * spec.init_std,
+            "w2b": jnp.zeros((r, cout), jnp.float32),
+            "scale": jnp.asarray(spec.alpha / r, jnp.float32),
+        }
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+    return out
+
+
+def loha_delta(leaf: dict) -> jax.Array:
+    return (leaf["w1a"] @ leaf["w1b"]) * (leaf["w2a"] @ leaf["w2b"]) * leaf["scale"]
+
+
+def merge_loha(params: dict, loha: dict) -> dict:
+    def walk(p_node, l_node):
+        if isinstance(l_node, dict) and "w1a" in l_node:
+            return {**p_node,
+                    "kernel": p_node["kernel"] + loha_delta(l_node).astype(p_node["kernel"].dtype)}
+        out = dict(p_node)
+        for k, v in l_node.items():
+            out[k] = walk(p_node[k], v)
+        return out
+
+    return walk(params, loha)
+
+
 def build_dora(params: dict, spec: LoRASpec, rng: jax.Array) -> dict:
     """DoRA collection: lora factors + magnitude initialized to ||W||_col."""
     out: dict = {}

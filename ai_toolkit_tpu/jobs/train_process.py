@@ -502,7 +502,7 @@ class SDTrainProcess:
         cfg = self.cfg
         net = cfg.network
         main_key = self._main_component(variables)
-        if cfg.adapter and cfg.adapter.get("type") == "ip_adapter":
+        if cfg.adapter and cfg.adapter.get("type") in ("ip_adapter", "ip_adapter_plus"):
             from ai_toolkit_tpu.adapters.ip_adapter import init_ip_adapter
             from ai_toolkit_tpu.models.text_encoders.clip_vision import (
                 CLIPVisionConfig,
@@ -521,20 +521,40 @@ class SDTrainProcess:
                 vkey, jnp.zeros((1, sz, sz, 3))
             )["params"]
             self.vision_size = sz
-            n_tokens = int(cfg.adapter.get("num_tokens", 4))
+            # plus variant: patch tokens through a perceiver resampler
+            # (reference ip-adapter-plus, toolkit/ip_adapter.py Resampler)
+            self.ip_plus = cfg.adapter.get("type") == "ip_adapter_plus" or bool(
+                cfg.adapter.get("is_plus")
+            )
+            n_tokens = int(cfg.adapter.get("num_tokens", 16 if self.ip_plus else 4))
+            rdim = int(cfg.adapter.get("resampler_dim", min(768, vis_cfg.hidden_size)))
             ip, proj_params, proj = init_ip_adapter(
                 variables[self._main_component(variables)],
                 model.unet_config.cross_attention_dim,
-                vis_cfg.projection_dim,
+                vis_cfg.hidden_size if self.ip_plus else vis_cfg.projection_dim,
                 n_tokens,
                 jax.random.fold_in(rng, 98),
+                plus=self.ip_plus,
+                resampler_dim=rdim,
+                resampler_depth=int(cfg.adapter.get("resampler_depth", 4)),
+                resampler_heads=int(cfg.adapter.get("resampler_heads", max(1, rdim // 64))),
             )
             model.ip_proj = proj
             self.ip_mode = True
             print(f"IP-Adapter: {sum(1 for _ in jax.tree.leaves(ip)) // 3} cross-attn sites, "
                   f"{n_tokens} tokens")
             return {"ip": ip, "ip_proj": proj_params}, None, "ip_adapter", ""
+        if cfg.adapter and cfg.adapter.get("type") == "text_encoder":
+            # full text-encoder swap training (reference custom_adapter type
+            # 'text_encoder'): a trainable TE copy runs in-graph while the
+            # diffusion core stays frozen
+            te_key = next(k for k in ("clip", "t5", "te") if k in variables)
+            self.train_te = True
+            print(f"text_encoder swap: training a full copy of '{te_key}'")
+            return ({"te_full": jax.tree.map(jnp.asarray, variables[te_key])},
+                    None, "kohya", "")
         if cfg.adapter and cfg.adapter.get("type") in (
+            "decorator",
             "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
             "photo_maker", "photo_maker_full", "mean_flow", "t2i",
         ):
@@ -551,7 +571,7 @@ class SDTrainProcess:
                 cfg.adapter["_unet_channels"] = list(model.unet_config.block_out_channels)
                 cfg.adapter.setdefault("downscale", model.vae_config.downscale)
             vision_dim = 0
-            if atype not in ("single_value", "mean_flow", "t2i"):
+            if atype not in ("single_value", "mean_flow", "t2i", "decorator"):
                 from ai_toolkit_tpu.models.text_encoders.clip_vision import (
                     CLIPVisionConfig,
                     CLIPVisionModel,
@@ -633,6 +653,12 @@ class SDTrainProcess:
             lokr = build_lokr(variables[main_key], spec, rng, factor=net.lokr_factor)
             print(f"LoKr: {sum(1 for _ in jax.tree.leaves(lokr)) // 3} modules")
             return {"lokr": lokr}, None, "kohya", "lora_transformer"
+        if net.type in ("loha", "lycoris_loha"):
+            from ai_toolkit_tpu.adapters.lycoris import build_loha
+
+            loha = build_loha(variables[main_key], spec, rng)
+            print(f"LoHa: {sum(1 for _ in jax.tree.leaves(loha)) // 5} modules (rank {spec.rank})")
+            return {"loha": loha}, None, "kohya", "lora_transformer"
         if net.type == "dora":
             from ai_toolkit_tpu.adapters.lycoris import build_dora
 
@@ -771,7 +797,7 @@ class SDTrainProcess:
             want_pixels=self.ip_mode or (
                 self.custom_adapter is not None
                 and self.custom_adapter.adapter_type
-                not in ("single_value", "mean_flow", "t2i")
+                not in ("single_value", "mean_flow", "t2i", "decorator")
             ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
@@ -813,6 +839,8 @@ class SDTrainProcess:
                 # r is sampled inside the train step; reserve rope slots for
                 # the appended r tokens
                 extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 1))
+            elif atype == "decorator":
+                extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 4))
             elif "pixels" in raw:
                 if not hasattr(self, "_vision_tokens_encode"):
                     vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]
@@ -883,9 +911,12 @@ class SDTrainProcess:
                 vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]
                 sz = self.vision_size
 
+                key = ("penultimate_hidden_state"
+                       if getattr(self, "ip_plus", False) else "pooled_output")
+
                 def _enc(px):
                     px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
-                    return vt.apply({"params": vv}, px)["pooled_output"]
+                    return vt.apply({"params": vv}, px)[key]
 
                 self._vision_encode = jax.jit(_enc)
             cond["ip_embeds"] = self._vision_encode(jnp.asarray(raw.get("clip_pixels", raw["pixels"])))
@@ -1049,8 +1080,8 @@ class SDTrainProcess:
                 )
                 print(f"saved: {path}")
                 return
-            if "lokr" in state.trainable or "dora" in state.trainable:
-                key = "lokr" if "lokr" in state.trainable else "dora"
+            if any(k in state.trainable for k in ("lokr", "dora", "loha")):
+                key = next(k for k in ("lokr", "dora", "loha") if k in state.trainable)
                 tree = state.trainable[key]
                 if state.ema is not None and key in state.ema:
                     tree = state.ema[key]

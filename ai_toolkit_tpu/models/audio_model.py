@@ -102,7 +102,7 @@ class AudioModel(BaseTpuModel):
         """noisy_latents: [B, T_lat, C] audio latents."""
         b, n, c = noisy_latents.shape
         colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, noisy_latents, cond["txt"], t, cond["pe"], None)

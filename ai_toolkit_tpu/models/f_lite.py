@@ -206,7 +206,7 @@ class FLiteDiT(nn.Module):
             (tokens, _, _), _ = nn.scan(
                 Carry,
                 length=cfg.depth,
-                variable_axes={"params": 0, "lora": 0, "lokr": 0, "dora": 0, "quant": 0},
+                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 4,
                 metadata_params={nn.PARTITION_NAME: None},
@@ -336,7 +336,7 @@ class FLiteModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         return self.dit.apply(colls, noisy_latents, cond["txt"], t, cond["pe"])

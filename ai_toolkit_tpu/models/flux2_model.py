@@ -159,7 +159,7 @@ class Flux2Model(BaseTpuModel):
         b, h, w, c = noisy_latents.shape
         img = pack_latents(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(

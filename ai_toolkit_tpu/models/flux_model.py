@@ -164,7 +164,7 @@ class FluxModel(BaseTpuModel):
             img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=-1)
         pe = cond["pe"]
         out = self.dit.apply(
-            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "lokr", "dora", "quant")}},
+            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant")}},
             img,
             cond["txt"],
             t,

@@ -189,7 +189,7 @@ class HiDreamModel(BaseTpuModel):
         if self.is_edit and cond.get("control_latents") is not None:
             img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=1)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None)

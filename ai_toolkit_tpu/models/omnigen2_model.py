@@ -130,7 +130,7 @@ class OmniGen2Model(BaseTpuModel):
             if pe.shape[1] < cond["txt"].shape[1] + img.shape[1] and hasattr(self, "_ctrl_table"):
                 pe = jnp.concatenate([pe, self._ctrl_table], axis=1)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(

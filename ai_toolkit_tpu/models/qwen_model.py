@@ -199,7 +199,7 @@ class QwenImageModel(BaseTpuModel):
         if self.is_edit and cond.get("control_latents") is not None:
             img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=1)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         txt_mask = cond.get("txt_mask")

@@ -99,7 +99,7 @@ class SDModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         collections = {"params": variables["unet"]}
-        for k in ("lora", "lokr", "dora", "quant", "ip"):
+        for k in ("lora", "loha", "lokr", "dora", "quant", "ip"):
             if k in variables:
                 collections[k] = variables[k]
         return self.unet.apply(
@@ -116,7 +116,8 @@ class SDModel(BaseTpuModel):
             tokens = self.ip_proj.apply({"params": variables["ip_proj"]}, cond["ip_embeds"])
             cond = {**cond, "ip_tokens": tokens}
         if "input_ids" in cond:
-            clip_colls = {"params": variables["clip"]}
+            # te_full = trainable full-TE swap (custom adapter 'text_encoder')
+            clip_colls = {"params": variables.get("te_full", variables["clip"])}
             if "emb" in variables:
                 clip_colls["emb"] = variables["emb"]
             if "lora_te" in variables:  # TE LoRA training (train_text_encoder)

@@ -165,7 +165,7 @@ class WanModel(BaseTpuModel):
         b, tt, hh, ww, c = noisy_latents.shape
         cfg = self.dit_config
         tokens = wan_patchify(noisy_latents, cfg.patch_size)
-        adapters = {k: variables[k] for k in ("lora", "lokr", "dora", "quant") if k in variables}
+        adapters = {k: variables[k] for k in ("lora", "loha", "lokr", "dora", "quant") if k in variables}
 
         def run(params):
             return self._dit_apply(

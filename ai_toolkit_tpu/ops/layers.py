@@ -88,6 +88,15 @@ class Linear(nn.Module):
             delta = jnp.einsum("ab,cd->acbd", w1, w2).reshape(kernel.shape)
             kernel = kernel + delta * scale
 
+        if self.has_variable("loha", "w1a"):
+            # LoHa: delta = (w1a@w1b) * (w2a@w2b) * scale (LyCORIS hadamard)
+            w1a = self.get_variable("loha", "w1a").astype(self.dtype)
+            w1b = self.get_variable("loha", "w1b").astype(self.dtype)
+            w2a = self.get_variable("loha", "w2a").astype(self.dtype)
+            w2b = self.get_variable("loha", "w2b").astype(self.dtype)
+            scale = jnp.asarray(self.get_variable("loha", "scale"), self.dtype)
+            kernel = kernel + (w1a @ w1b) * (w2a @ w2b) * scale
+
         if self.has_variable("dora", "magnitude"):
             # DoRA: direction = (W + lora delta) column-normalized, scaled by a
             # learned per-output magnitude; lora factors live in 'dora' too.

@@ -68,6 +68,76 @@ def flops_per_step(cfg: FluxConfig, n_img: int, n_txt: int, batch: int) -> float
     return mult * fwd * batch
 
 
+def bench_sdxl(budget_s: float = 240.0) -> float | None:
+    """SDXL rank-16 LoRA @1024px steps/sec (driver metric #2)."""
+    import time as _time
+
+    from ai_toolkit_tpu.models.unet import UNet2DCondition, UNetConfig, unet_lora_targets
+    from ai_toolkit_tpu.samplers import DDPMSchedule
+
+    t_start = _time.time()
+    cfg = UNetConfig.sdxl()
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((BATCH, 128, 128, 4), jnp.bfloat16)
+    t = jnp.zeros((BATCH,))
+    ctx = jnp.zeros((BATCH, 77, cfg.cross_attention_dim), jnp.bfloat16)
+    added = {"time_ids": jnp.zeros((BATCH, 6)),
+             "text_embeds": jnp.zeros((BATCH, 1280), jnp.bfloat16)}
+    params = jax.jit(unet.init)(jax.random.key(0), lat, t, ctx, added)["params"]
+    lora = build_lora(
+        params, LoRASpec(rank=RANK, alpha=RANK, target_patterns=unet_lora_targets()),
+        jax.random.key(1),
+    )
+
+    def predict_fn(variables, noisy, tt, cond):
+        colls = {"params": variables["params"]}
+        if "lora" in variables:
+            colls["lora"] = variables["lora"]
+        return unet.apply(colls, noisy, tt, cond["context"], cond.get("added_cond"))
+
+    tx = get_optimizer("adamw8bit", 1e-4)
+    step = make_jitted_train_step(
+        predict_fn, DDPMSchedule(), TrainStepConfig(min_snr_gamma=5.0, ema_decay=0.99), tx
+    )
+    state = TrainState.create({"params": params}, {"lora": lora}, tx, use_ema=True)
+    batch = {"latents": lat, "cond": {"context": ctx, "added_cond": added}}
+    for _ in range(WARMUP):
+        state, m = step(state, batch, jax.random.key(2))
+        _ = float(m["loss"])
+        if _time.time() - t_start > budget_s:
+            return None
+    t0 = _time.time()
+    for _ in range(ITERS):
+        state, m = step(state, batch, jax.random.key(2))
+        _ = float(m["loss"])
+    dt = (_time.time() - t0) / ITERS
+    print(f"sdxl: {dt*1000:.1f} ms/step", file=sys.stderr)
+    return 1.0 / dt
+
+
+def bench_latent_cache(budget_s: float = 180.0) -> float | None:
+    """Flux-VAE encode imgs/sec @1024px bs4 (driver latent-cache metric)."""
+    import time as _time
+
+    from ai_toolkit_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    t_start = _time.time()
+    vae = AutoencoderKL(VAEConfig.flux())
+    x = jnp.zeros((4, 1024, 1024, 3), jnp.float32)
+    params = jax.jit(vae.init)(jax.random.key(0), x[:1])["params"]
+    enc = jax.jit(lambda xx: vae.apply({"params": params}, xx, method=AutoencoderKL.encode))
+    _ = float(jnp.sum(enc(x)))
+    if _time.time() - t_start > budget_s:
+        return None
+    t0 = _time.time()
+    iters = 5
+    for _ in range(iters):
+        _ = float(jnp.sum(enc(x)))
+    dt = (_time.time() - t0) / iters
+    print(f"latent cache: {4/dt:.1f} imgs/s", file=sys.stderr)
+    return 4.0 / dt
+
+
 def main():
     cfg = FluxConfig(depth_double=4, depth_single=8, remat=True, remat_policy="dots_flash", scan_blocks=True)
     model = FluxDiT(cfg)
@@ -136,12 +206,31 @@ def main():
         file=sys.stderr,
     )
 
-    print(json.dumps({
+    result = {
         "metric": "flux-class 2.4B rank-16 LoRA train steps/sec @1024px bs1 (1 chip)",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / baseline_sps, 3),
-    }))
+    }
+    # print the primary line IMMEDIATELY so a harness timeout mid-secondary
+    # never loses the headline number...
+    print(json.dumps(result), flush=True)
+
+    # ...then try the secondary driver metrics (SDXL @1024 steps/s,
+    # latent-cache imgs/s) and re-print the full line with them attached
+    # (parsers taking either the first or the last JSON line both work).
+    secondary = {}
+    if os.environ.get("AIT_BENCH_ONLY") != "flux":
+        for name, fn in (("latent_cache_imgs_per_sec", bench_latent_cache),
+                         ("sdxl_lora_1024_steps_per_sec", bench_sdxl)):
+            try:
+                v = fn()
+                if v is not None:
+                    secondary[name] = round(v, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"secondary bench {name} failed: {e}", file=sys.stderr)
+    if secondary:
+        print(json.dumps({**result, "secondary": secondary}), flush=True)
 
 
 if __name__ == "__main__":

@@ -364,3 +364,89 @@ def test_clip_vision_disk_cache(tmp_path):
 
     d = load_file(os.path.join(cache_dir, files[0]))
     assert "tokens" in d and "pooled" in d
+
+
+def test_decorator_token_bank():
+    """Decorator (reference toolkit/models/decorator.py): N learned tokens
+    appended to the text sequence; grads flow into the bank."""
+    ctx_dim = 32
+    params, runtime = init_custom_adapter(
+        {"type": "decorator", "num_tokens": 3}, ctx_dim, "txt", 0, jax.random.key(0)
+    )
+    assert params["bank"].shape == (3, ctx_dim)
+    cond = {"txt": jnp.ones((2, 5, ctx_dim))}
+    out = runtime.apply_cond({"adapter": params}, cond)
+    assert out["txt"].shape == (2, 8, ctx_dim)
+    np.testing.assert_allclose(np.asarray(out["txt"][0, 5:]), np.asarray(params["bank"]),
+                               atol=1e-6)
+
+    def loss(p):
+        return jnp.mean(jnp.square(runtime.apply_cond({"adapter": p}, cond)["txt"]))
+
+    g = jax.grad(loss)(params)
+    assert float(np.abs(np.asarray(g["bank"])).sum()) > 0
+
+
+def test_decorator_training_e2e(tmp_path):
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text("x")
+    cfg = {"job": "extension", "config": {"name": "deco", "process": [{
+        "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
+        "adapter": {"type": "decorator", "num_tokens": 2},
+        "save": {"save_every": 100},
+        "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                      "resolution": 64}],
+        "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                  "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                  "timestep_type": "linear", "ema_config": {"use_ema": False}},
+        "model": {"name_or_path": "", "arch": "sd3",
+                  "model_kwargs": {"size": "tiny"}},
+        "sample": {"sample_every": 0, "prompts": []},
+    }]}}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    assert (tmp_path / "out" / "deco" / "deco.safetensors").exists()
+
+
+def test_text_encoder_swap_training_e2e(tmp_path):
+    """adapter type 'text_encoder' (reference custom_adapter.py:104-286):
+    trains a full TE copy in-graph while the unet stays frozen."""
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text("a photo")
+    cfg = {"job": "extension", "config": {"name": "tesw", "process": [{
+        "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
+        "adapter": {"type": "text_encoder"},
+        "save": {"save_every": 100},
+        "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                      "resolution": 64}],
+        "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "ddpm",
+                  "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                  "timestep_type": "linear", "ema_config": {"use_ema": False}},
+        "model": {"name_or_path": "", "arch": "sd1",
+                  "model_kwargs": {"size": "tiny"}},
+        "sample": {"sample_every": 0, "prompts": []},
+    }]}}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])

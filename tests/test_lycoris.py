@@ -92,3 +92,71 @@ def test_adapter_file_save(tmp_path, net_and_params):
         keys = list(f.keys())
     assert "lora_unet_fc1.dora_scale" in keys
     assert "lora_unet_fc1.lora_down.weight" in keys
+
+
+def test_loha_identity_at_init_and_merge(net_and_params):
+    from ai_toolkit_tpu.adapters.lycoris import build_loha, merge_loha
+
+    net, params, x = net_and_params
+    loha = build_loha(params, LoRASpec(rank=4, alpha=4), jax.random.key(2))
+    assert set(loha.keys()) == {"fc1", "fc2"}
+    assert set(loha["fc1"].keys()) == {"w1a", "w1b", "w2a", "w2b", "scale"}
+    # w2b zero at init -> hadamard delta is zero -> identity
+    base = net.apply({"params": params}, x)
+    out0 = net.apply({"params": params, "loha": loha}, x)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(base), atol=1e-6)
+
+    # randomize factors -> output changes; merge matches the overlay
+    loha = jax.tree.map(
+        lambda v: jax.random.normal(jax.random.key(3), v.shape) * 0.05, loha
+    )
+    out = net.apply({"params": params, "loha": loha}, x)
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+    merged = merge_loha(params, loha)
+    out_m = net.apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_m), rtol=1e-4, atol=1e-5)
+
+    # gradient flows into the zero-init factor first
+    def loss(t):
+        y = net.apply({"params": params, "loha": t}, x)
+        return jnp.mean(jnp.square(y - 1.0))
+
+    loha0 = build_loha(params, LoRASpec(rank=4, alpha=4), jax.random.key(2))
+    g = jax.grad(loss)(loha0)
+    assert float(jnp.abs(g["fc1"]["w2b"]).sum()) > 0
+
+
+def test_loha_e2e_train(tmp_path):
+    """network.type: loha trains + saves through the full trainer path."""
+    import yaml
+    from PIL import Image
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text("x")
+    cfg = {"job": "extension", "config": {"name": "loha", "process": [{
+        "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
+        "network": {"type": "loha", "linear": 4, "linear_alpha": 4},
+        "save": {"save_every": 100},
+        "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                      "resolution": 64}],
+        "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                  "optimizer": "adamw", "lr": 1e-3, "dtype": "float32",
+                  "timestep_type": "linear", "ema_config": {"use_ema": False}},
+        "model": {"name_or_path": "", "arch": "sd3",
+                  "model_kwargs": {"size": "tiny"}},
+        "sample": {"sample_every": 0, "prompts": []},
+    }]}}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    assert (tmp_path / "out" / "loha" / "loha.safetensors").exists()
