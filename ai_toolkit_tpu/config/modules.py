@@ -386,6 +386,9 @@ class TrainConfig:
     adapter_assist_type: str = "t2i"
     merge_network_on_save: bool = False  # also export the merged full model
     merge_network_on_save_strength: float = 1.0
+    # automagic: rotate updates over a param subset (reference automagic.py)
+    do_paramiter_swapping: bool = False
+    paramiter_swapping_factor: float = 0.1
     diffusion_feature_extractor_path: str | None = None
     diffusion_feature_extractor_weight: float = 1.0
     latent_feature_extractor_path: str | None = None

@@ -179,6 +179,10 @@ class SDTrainProcess:
 
         # 5. optimizer + lr schedule
         lr = self._lr_schedule(tc)
+        if tc.do_paramiter_swapping and tc.optimizer.startswith("automagic"):
+            tc.optimizer_params.setdefault(
+                "paramiter_swapping", tc.paramiter_swapping_factor
+            )
         tx = get_optimizer(tc.optimizer, lr, tc.optimizer_params, tc.max_grad_norm)
         state = TrainState.create(variables, trainable, tx, use_ema=tc.ema_config.use_ema)
 

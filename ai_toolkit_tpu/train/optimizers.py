@@ -139,7 +139,9 @@ def get_optimizer(
 
         tx = automagic(lr_bump=p.pop("lr_bump", 3e-6), min_lr=p.pop("min_lr", 1e-7),
                        max_lr=p.pop("max_lr", 1e-3), starting_lr=learning_rate
-                       if isinstance(learning_rate, float) else 1e-5)
+                       if isinstance(learning_rate, float) else 1e-5,
+                       packed_lr_mask=bool(p.pop("packed_lr_mask", True)),
+                       paramiter_swapping=float(p.pop("paramiter_swapping", 0.0)))
     elif name == "sgd":
         tx = optax.sgd(learning_rate, momentum=p.pop("momentum", 0.9))
     else:

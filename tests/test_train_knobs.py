@@ -146,3 +146,36 @@ def test_v_pred_and_num_timesteps_flow_into_schedule():
                      num_train_timesteps=500)
     assert s.prediction_type == "v_prediction"
     assert s.num_train_timesteps == 500
+
+
+def test_automagic_packed_mask_and_swapping():
+    """Automagic fidelity: uint8-packed lr mask (Auto8bitTensor analog) and
+    rotating parameter-subset updates (do_paramiter_swapping)."""
+    import optax  # noqa: F401
+
+    from ai_toolkit_tpu.train.automagic import _unpack_lr, automagic
+
+    params = {"w": jnp.ones((8, 16)), "b": jnp.zeros((16,))}
+    tx = automagic(starting_lr=1e-5, lr_bump=1e-6, paramiter_swapping=0.25)
+    state = tx.init(params)
+    assert state.lr_mask["w"]["q"].dtype == jnp.uint8
+    np.testing.assert_allclose(
+        np.asarray(_unpack_lr(state.lr_mask["w"])), 1e-5, rtol=0.05
+    )
+    g = {"w": jnp.full((8, 16), 0.1), "b": jnp.full((16,), -0.2)}
+    upd, state = tx.update(g, state, params)
+    # swapping: exactly 1/4 of elements move this step
+    moved = np.asarray(upd["w"]) != 0
+    assert abs(moved.mean() - 0.25) < 0.05
+    upd2, state = tx.update(g, state, params)
+    moved2 = np.asarray(upd2["w"]) != 0
+    # a different quarter rotates in
+    assert not np.array_equal(moved, moved2)
+    assert np.isfinite(np.asarray(upd2["w"])).all()
+
+    # unpacked mode still works and bumps lrs on sign agreement
+    tx2 = automagic(starting_lr=1e-5, lr_bump=1e-6, packed_lr_mask=False)
+    s2 = tx2.init(params)
+    for _ in range(3):  # step 1 flips polarity down; repeats then bump up
+        _, s2 = tx2.update(g, s2, params)
+    assert float(np.asarray(s2.lr_mask["w"]).max()) > 1e-5
