@@ -1,0 +1,45 @@
+#!/bin/bash
+# Full-suite runner for time-boxed environments: the whole suite exceeds a
+# single ~600s window on a 1-core host, so it runs as sequential chunks,
+# each sized to finish well inside the window. Exit code is non-zero if any
+# chunk fails; per-chunk output lands in ${LOGDIR:-/tmp/testchunks}.
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${LOGDIR:-/tmp/testchunks}
+mkdir -p "$LOGDIR"
+
+CHUNKS=(
+  "tests/test_config.py tests/test_import.py tests/test_io.py tests/test_data.py tests/test_caption_tools.py tests/test_train_knobs.py"
+  "tests/test_ops_lora.py tests/test_quantize.py tests/test_samplers.py tests/test_samplers_extra.py tests/test_lycoris.py"
+  "tests/test_train_core.py"
+  "tests/test_models.py tests/test_dfe.py tests/test_guidance.py"
+  "tests/test_flux_golden.py tests/test_flux_scan.py tests/test_dit_importers.py"
+  "tests/test_unet_golden.py tests/test_vae_golden.py tests/test_sd3.py tests/test_pixart.py"
+  "tests/test_golden_numerics.py"
+  "tests/test_wan.py tests/test_wan_golden.py"
+  "tests/test_wan_vae_golden.py tests/test_ltx_vae_golden.py tests/test_audio.py"
+  "tests/test_ltx2_av.py"
+  "tests/test_new_archs.py tests/test_qwen_import.py"
+  "tests/test_f_lite_golden.py tests/test_full_export.py"
+  "tests/test_custom_adapter.py"
+  "tests/test_ip_adapter.py"
+  "tests/test_parallel.py tests/test_ring_attention.py tests/test_moe_gmm.py tests/test_flash_attention.py"
+  "tests/test_ui_bridge.py"
+  "tests/test_e2e.py"
+)
+
+fail=0
+i=0
+for chunk in "${CHUNKS[@]}"; do
+  i=$((i + 1))
+  log="$LOGDIR/chunk_$(printf '%02d' "$i").log"
+  echo "=== chunk $i: $chunk"
+  if ! timeout "${CHUNK_TIMEOUT:-595}" python -m pytest $chunk -q ${PYTEST_ARGS:-} >"$log" 2>&1; then
+    echo "  FAIL (see $log)"
+    tail -5 "$log" | sed 's/^/    /'
+    fail=1
+  else
+    tail -1 "$log" | sed 's/^/    /'
+  fi
+done
+exit $fail
