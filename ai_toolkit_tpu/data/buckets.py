@@ -16,30 +16,28 @@ import math
 def get_bucket_for_image_size(
     width: int, height: int, resolution: int = 512, divisibility: int = 8
 ) -> tuple[int, int]:
-    """Returns (bucket_width, bucket_height)."""
-    total_pixels = width * height
-    max_pixels = resolution * resolution
-    target_pixels = min(total_pixels, max_pixels)
+    """Returns (bucket_width, bucket_height).
 
-    scaler = (target_pixels / total_pixels) ** 0.5
-    w_raw = (width * scaler) / divisibility
-    h_raw = (height * scaler) / divisibility
+    Both sides are scaled by sqrt(budget/native) so the aspect ratio is
+    preserved, then each side snaps independently down or up to the grid;
+    of the grid corners that stay within the pixel budget, the one closest
+    to the target wins (ties by the candidate ordering: both-floored first).
+    """
+    budget = min(width * height, resolution * resolution)
+    s = math.sqrt(budget / (width * height))
 
-    candidates = [
-        (math.floor(w_raw) * divisibility, math.floor(h_raw) * divisibility),
-        (math.floor(w_raw) * divisibility, math.ceil(h_raw) * divisibility),
-        (math.ceil(w_raw) * divisibility, math.floor(h_raw) * divisibility),
-        (math.ceil(w_raw) * divisibility, math.ceil(h_raw) * divisibility),
-    ]
-    capped = [(w, h) for w, h in candidates if w > 0 and h > 0 and w * h <= max_pixels]
-    if not capped:
-        capped = [
-            (
-                max(divisibility, math.floor(w_raw) * divisibility),
-                max(divisibility, math.floor(h_raw) * divisibility),
-            )
-        ]
-    return min(capped, key=lambda wh: abs(wh[0] * wh[1] - target_pixels))
+    def snapped(side: float) -> tuple[int, int]:
+        cells = side * s / divisibility
+        return math.floor(cells) * divisibility, math.ceil(cells) * divisibility
+
+    w_lo, w_hi = snapped(width)
+    h_lo, h_hi = snapped(height)
+    corners = [(w_lo, h_lo), (w_lo, h_hi), (w_hi, h_lo), (w_hi, h_hi)]
+    in_budget = [wh for wh in corners if wh[0] > 0 and wh[1] > 0
+                 and wh[0] * wh[1] <= budget]
+    if not in_budget:  # degenerate thin images: clamp to one grid cell
+        in_budget = [(max(divisibility, w_lo), max(divisibility, h_lo))]
+    return min(in_budget, key=lambda wh: budget - wh[0] * wh[1])
 
 
 def resize_and_crop_size(
