@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+
 from ai_toolkit_tpu.io.torch_import import Rule, load_safetensors_dir, torch_to_tree
 
 
@@ -153,6 +155,70 @@ def ltx_video_vae_rules() -> list[Rule]:
              path + "_upsamplers_0/conv/bias", "direct"),
         ]
     return rules
+
+
+def ltx_audio_vae_rules() -> list[Rule]:
+    """diffusers ``AutoencoderKLLTX2Audio`` keeps the original taming-style
+    keys (the converter's rename map only touches latent statistics,
+    ``convert_ltx2_to_diffusers.py:84-86``). Pixel norms are paramless."""
+
+    rules: list[Rule] = []
+    for side in ("encoder", "decoder"):
+        grp = "down" if side == "encoder" else "up"
+        rules += [
+            (rf"{side}\.conv_in\.weight", f"{side}/conv_in/conv/kernel", "conv2d"),
+            (rf"{side}\.conv_in\.bias", f"{side}/conv_in/conv/bias", "direct"),
+            (rf"{side}\.conv_out\.weight", f"{side}/conv_out/conv/kernel", "conv2d"),
+            (rf"{side}\.conv_out\.bias", f"{side}/conv_out/conv/bias", "direct"),
+            # residual blocks inside levels: groups 0=level, 1=block, 2=conv#
+            (rf"{side}\.{grp}\.(\d+)\.block\.(\d+)\.conv(1|2)\.weight",
+             side + "/" + grp + "_{0}_block_{1}/conv{2}/conv/kernel", "conv2d"),
+            (rf"{side}\.{grp}\.(\d+)\.block\.(\d+)\.conv(1|2)\.bias",
+             side + "/" + grp + "_{0}_block_{1}/conv{2}/conv/bias", "direct"),
+            (rf"{side}\.{grp}\.(\d+)\.block\.(\d+)\.nin_shortcut\.weight",
+             side + "/" + grp + "_{0}_block_{1}/nin_shortcut/kernel", "conv2d"),
+            (rf"{side}\.{grp}\.(\d+)\.block\.(\d+)\.nin_shortcut\.bias",
+             side + "/" + grp + "_{0}_block_{1}/nin_shortcut/bias", "direct"),
+            (rf"{side}\.mid\.block_(1|2)\.conv(1|2)\.weight",
+             side + "/mid_block_{0}/conv{1}/conv/kernel", "conv2d"),
+            (rf"{side}\.mid\.block_(1|2)\.conv(1|2)\.bias",
+             side + "/mid_block_{0}/conv{1}/conv/bias", "direct"),
+        ]
+    rules += [
+        (r"encoder\.down\.(\d+)\.downsample\.conv\.weight",
+         "encoder/down_{0}_downsample/kernel", "conv2d"),
+        (r"encoder\.down\.(\d+)\.downsample\.conv\.bias",
+         "encoder/down_{0}_downsample/bias", "direct"),
+        (r"decoder\.up\.(\d+)\.upsample\.conv\.weight",
+         "decoder/up_{0}_upsample/conv/kernel", "conv2d"),
+        (r"decoder\.up\.(\d+)\.upsample\.conv\.bias",
+         "decoder/up_{0}_upsample/conv/bias", "direct"),
+        (r"quant_conv\.weight", "quant_conv/kernel", "conv2d"),
+        (r"quant_conv\.bias", "quant_conv/bias", "direct"),
+        (r"post_quant_conv\.weight", "post_quant_conv/kernel", "conv2d"),
+        (r"post_quant_conv\.bias", "post_quant_conv/bias", "direct"),
+    ]
+    return rules
+
+
+def load_ltx_audio_vae(vae_dir: str):
+    """audio_vae/ dir -> (LTXAudioVAEConfig with stats, tree, unmatched)."""
+    import dataclasses
+
+    from ai_toolkit_tpu.models.ltx_audio_vae import LTXAudioVAEConfig
+
+    flat = load_safetensors_dir(vae_dir)
+    mean = flat.pop("latents_mean", None)
+    std = flat.pop("latents_std", None)
+    cfg = dataclasses.replace(
+        LTXAudioVAEConfig.ltx2(),
+        latents_mean=tuple(float(v) for v in np.asarray(mean).reshape(-1))
+        if mean is not None else None,
+        latents_std=tuple(float(v) for v in np.asarray(std).reshape(-1))
+        if std is not None else None,
+    )
+    tree, unmatched = torch_to_tree(flat, ltx_audio_vae_rules())
+    return cfg, tree, unmatched
 
 
 def load_ltx_video_vae(vae_dir: str):

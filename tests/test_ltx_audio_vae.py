@@ -1,0 +1,198 @@
+"""LTX-2 audio VAE golden: flax LTXAudioVAE vs a torch mirror of the
+taming-style layout the checkpoint uses (converter keeps original keys),
+with pixel norms and height-causal convolutions."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+from ai_toolkit_tpu.io.torch_import import torch_to_tree  # noqa: E402
+from ai_toolkit_tpu.io.video_vae_import import ltx_audio_vae_rules  # noqa: E402
+from ai_toolkit_tpu.models.ltx_audio_vae import (  # noqa: E402
+    LTXAudioVAE,
+    LTXAudioVAEConfig,
+    log_mel_spectrogram,
+    pack_audio_latents,
+    unpack_audio_latents,
+)
+
+
+def _pn(x, eps=1e-6):
+    return x * torch.rsqrt(x.pow(2).mean(dim=1, keepdim=True) + eps)
+
+
+class TConv(nn.Conv2d):
+    def __init__(self, cin, cout, k=3, stride=1, causal=True):
+        super().__init__(cin, cout, k, stride=stride)
+        self.causal = causal
+        self.k = k
+
+    def forward(self, x):
+        p = self.k - 1
+        ph = (p, 0) if self.causal else (p // 2, p - p // 2)
+        pw = ((self.k - 1) // 2,) * 2
+        x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
+        return self._conv_forward(x, self.weight, self.bias)
+
+
+class TRes(nn.Module):
+    def __init__(self, cin, cout, causal):
+        super().__init__()
+        self.conv1 = TConv(cin, cout, causal=causal)
+        self.conv2 = TConv(cout, cout, causal=causal)
+        self.nin_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x):
+        h = self.conv1(F.silu(_pn(x)))
+        h = self.conv2(F.silu(_pn(h)))
+        if self.nin_shortcut is not None:
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class TEncoder(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        ch = [cfg.base_channels * m for m in cfg.ch_mult]
+        self.conv_in = TConv(cfg.in_channels, ch[0], causal=cfg.causal)
+        self.down = nn.ModuleList()
+        for i in range(len(ch)):
+            lvl = nn.Module()
+            lvl.block = nn.ModuleList(
+                [TRes(ch[i], ch[i], cfg.causal) for _ in range(cfg.num_res_blocks)])
+            if i < len(ch) - 1:
+                ds = nn.Module()
+                ds.conv = nn.Conv2d(ch[i], ch[i + 1], 3, stride=2)
+                lvl.downsample = ds
+            self.down.append(lvl)
+        self.mid = nn.Module()
+        self.mid.block_1 = TRes(ch[-1], ch[-1], cfg.causal)
+        self.mid.block_2 = TRes(ch[-1], ch[-1], cfg.causal)
+        self.conv_out = TConv(ch[-1], 2 * cfg.latent_channels, causal=cfg.causal)
+        self.causal = cfg.causal
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for i, lvl in enumerate(self.down):
+            for blk in lvl.block:
+                x = blk(x)
+            if hasattr(lvl, "downsample"):
+                ph = (1, 0) if self.causal else (0, 1)
+                x = F.pad(x, (0, 1, ph[0], ph[1]))
+                x = lvl.downsample.conv(x)
+        x = self.mid.block_2(self.mid.block_1(x))
+        return self.conv_out(F.silu(_pn(x)))
+
+
+class TDecoder(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        ch = [cfg.base_channels * m for m in cfg.ch_mult]
+        self.conv_in = TConv(cfg.latent_channels, ch[-1], causal=cfg.causal)
+        self.mid = nn.Module()
+        self.mid.block_1 = TRes(ch[-1], ch[-1], cfg.causal)
+        self.mid.block_2 = TRes(ch[-1], ch[-1], cfg.causal)
+        self.up = nn.ModuleList()
+        for i in range(len(ch)):
+            lvl = nn.Module()
+            lvl.block = nn.ModuleList(
+                [TRes(ch[i], ch[i], cfg.causal) for _ in range(cfg.num_res_blocks + 1)])
+            if i > 0:
+                us = nn.Module()
+                us.conv = TConv(ch[i], ch[i - 1], causal=cfg.causal)
+                lvl.upsample = us
+            self.up.append(lvl)
+        self.conv_out = TConv(ch[0], cfg.in_channels, causal=cfg.causal)
+        self.causal = cfg.causal
+
+    def forward(self, z):
+        x = self.conv_in(z)
+        x = self.mid.block_2(self.mid.block_1(x))
+        for i in reversed(range(len(self.up))):
+            for blk in self.up[i].block:
+                x = blk(x)
+            if i > 0:
+                x = F.interpolate(x, scale_factor=2.0, mode="nearest")
+                if self.causal:
+                    x = x[:, :, 1:]
+                x = self.up[i].upsample.conv(x)
+        return self.conv_out(F.silu(_pn(x)))
+
+
+class TAudioVAE(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.encoder = TEncoder(cfg)
+        self.quant_conv = nn.Conv2d(2 * cfg.latent_channels, 2 * cfg.latent_channels, 1)
+        self.post_quant_conv = nn.Conv2d(cfg.latent_channels, cfg.latent_channels, 1)
+        self.decoder = TDecoder(cfg)
+
+
+def _walk(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _walk(v, prefix + (k,))
+        else:
+            yield "/".join(prefix + (k,)), v
+
+
+@pytest.mark.parametrize("cfg,T", [
+    (LTXAudioVAEConfig.tiny(), 8),
+    (LTXAudioVAEConfig(base_channels=8, ch_mult=(1, 1, 2), num_res_blocks=2,
+                       latent_channels=4, mel_bins=16), 12),
+])
+def test_ltx_audio_vae_golden(cfg, T):
+    torch.manual_seed(0)
+    tm = TAudioVAE(cfg).eval()
+    for p_ in tm.parameters():
+        p_.data = torch.randn_like(p_) * 0.15
+    flat = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, ltx_audio_vae_rules())
+    assert not unmatched, unmatched[:6]
+
+    vae = LTXAudioVAE(cfg)
+    x = np.random.default_rng(0).normal(
+        size=(1, cfg.in_channels, T, cfg.mel_bins)).astype(np.float32)  # NCHW
+    ref = vae.init(jax.random.key(0),
+                   jnp.asarray(x.transpose(0, 2, 3, 1)))["params"]
+    ref_paths = {p for p, _ in _walk(ref)}
+    got_paths = {p for p, _ in _walk(tree)}
+    assert ref_paths == got_paths, (sorted(ref_paths - got_paths)[:5],
+                                    sorted(got_paths - ref_paths)[:5])
+
+    with torch.no_grad():
+        t_m = tm.quant_conv(tm.encoder(torch.from_numpy(x))).numpy()
+    j_m = np.asarray(vae.apply({"params": tree},
+                               jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               method=LTXAudioVAE.raw_moments)).transpose(0, 3, 1, 2)
+    assert t_m.shape == j_m.shape
+    np.testing.assert_allclose(j_m, t_m, rtol=2e-3, atol=2e-3)
+
+    z = t_m[:, : cfg.latent_channels]
+    with torch.no_grad():
+        t_d = tm.decoder(tm.post_quant_conv(torch.from_numpy(z))).numpy()
+    j_d = np.asarray(vae.apply({"params": tree},
+                               jnp.asarray(z.transpose(0, 2, 3, 1)),
+                               method=LTXAudioVAE.decode)).transpose(0, 3, 1, 2)
+    assert t_d.shape == j_d.shape
+    np.testing.assert_allclose(j_d, t_d, rtol=2e-3, atol=2e-3)
+
+
+def test_mel_frontend_and_packing():
+    wav = np.random.default_rng(0).standard_normal((16000, 2)).astype(np.float32)
+    mel = log_mel_spectrogram(wav, 16000, n_fft=1024, hop=160, n_mels=64)
+    assert mel.shape[1:] == (64, 2)
+    assert mel.shape[0] == 1 + (16000 - 1024) // 160
+    assert np.isfinite(mel).all()
+
+    z = np.random.default_rng(1).normal(size=(2, 5, 16, 8)).astype(np.float32)
+    toks = pack_audio_latents(jnp.asarray(z))
+    assert toks.shape == (2, 5, 128)  # matches audio_in_channels 128
+    back = unpack_audio_latents(toks, 16)
+    np.testing.assert_allclose(np.asarray(back), z)
