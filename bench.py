@@ -76,7 +76,7 @@ def bench_sdxl(budget_s: float | None = None) -> float | None:
     import re
     import subprocess
 
-    budget_s = budget_s or float(os.environ.get("AIT_BENCH_SDXL_TIMEOUT", 420))
+    budget_s = budget_s or float(os.environ.get("AIT_BENCH_SDXL_TIMEOUT", 1100))
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "bench_sdxl.py")
     try:

@@ -11,7 +11,8 @@ mkdir -p "$LOGDIR"
 CHUNKS=(
   "tests/test_config.py tests/test_import.py tests/test_io.py tests/test_data.py tests/test_caption_tools.py tests/test_train_knobs.py"
   "tests/test_ops_lora.py tests/test_quantize.py tests/test_samplers.py tests/test_samplers_extra.py tests/test_lycoris.py"
-  "tests/test_train_core.py"
+  "tests/test_train_core.py --deselect tests/test_train_core.py::test_train_text_encoder_lora --deselect tests/test_train_core.py::test_train_text_encoder_resume --deselect tests/test_train_core.py::test_concept_replacer_process --deselect tests/test_train_core.py::test_oom_skip_resilience"
+  "tests/test_train_core.py::test_train_text_encoder_lora tests/test_train_core.py::test_train_text_encoder_resume tests/test_train_core.py::test_concept_replacer_process tests/test_train_core.py::test_oom_skip_resilience"
   "tests/test_models.py tests/test_dfe.py tests/test_guidance.py"
   "tests/test_flux_golden.py tests/test_flux_scan.py tests/test_dit_importers.py"
   "tests/test_unet_golden.py tests/test_vae_golden.py tests/test_sd3.py tests/test_pixart.py"
