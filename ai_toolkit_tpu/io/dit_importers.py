@@ -578,6 +578,32 @@ def load_ltx2_checkpoint(path: str, model) -> dict:
             jax.random.key(0), jax.numpy.zeros((1, td + 1, 2 * sd_, 2 * sd_, 3))
         )["params"]
         variables["vae"] = _merge_imported(ref, tree, "ltx2 vae")
+    # mel audio chain (audio_vae/ + vocoder/) when the mel backend is active
+    if getattr(model, "audio_backend", None) == "mel" and os.path.isdir(path):
+        avdir = os.path.join(path, "audio_vae")
+        if os.path.isdir(avdir) and "audio_vae" in variables:
+            from ai_toolkit_tpu.io.video_vae_import import load_ltx_audio_vae
+
+            acfg, tree, unmatched = load_ltx_audio_vae(avdir)
+            if unmatched:
+                print(f"ltx2 audio-vae import: {len(unmatched)} unmatched "
+                      f"(e.g. {unmatched[:3]})")
+            model.audio_vae_config = acfg
+            variables["audio_vae"] = _merge_imported(
+                variables["audio_vae"], tree, "ltx2 audio vae"
+            )
+        vdir = os.path.join(path, "vocoder")
+        if os.path.isdir(vdir) and "vocoder" in variables:
+            from ai_toolkit_tpu.models.ltx_vocoder import vocoder_rules
+
+            flat = load_safetensors_dir(vdir)
+            tree, unmatched = torch_to_tree(flat, vocoder_rules())
+            if unmatched:
+                print(f"ltx2 vocoder import: {len(unmatched)} unmatched "
+                      f"(e.g. {unmatched[:3]})")
+            variables["vocoder"] = _merge_imported(
+                variables["vocoder"], tree, "ltx2 vocoder"
+            )
     return variables
 
 

@@ -38,6 +38,8 @@ def convert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(v.transpose(2, 3, 4, 1, 0))
     if kind in ("conv1d",):  # torch [o, i, k] -> [k, i, o]
         return np.ascontiguousarray(v.transpose(2, 1, 0))
+    if kind == "convtranspose1d":  # torch [i, o, k] -> [k, i, o]
+        return np.ascontiguousarray(v.transpose(2, 0, 1))
     if kind == "plus_one":  # gemma RMSNorm stores w, applies (1 + w)
         return np.ascontiguousarray(v + 1.0)
     if kind == "flatten_c":  # broadcast-shaped norm gains (C,1,1[,1]) -> (C,)

@@ -56,6 +56,7 @@ class LTX2Model(BaseTpuModel):
         super().__init__(config)
         size = config.model_kwargs.get("size", "full")
         self.joint_audio = bool(config.model_kwargs.get("joint_audio", False))
+        self.audio_backend = "waveform"
         if size == "tiny":
             self.dit_config = WanConfig.tiny()
             self.vae_config = LTXVideoVAEConfig.tiny()
@@ -79,16 +80,48 @@ class LTX2Model(BaseTpuModel):
             from ai_toolkit_tpu.models.audio_vae import AudioAutoencoderKL, AudioVAEConfig
             from ai_toolkit_tpu.models.ltx2_av import LTX2AVConfig, LTX2AVDiT
 
+            # 'mel' = the reference's exact chain (log-mel -> 2D taming-style
+            # causal VAE -> 16x8 token packing, decode via LTX2Vocoder);
+            # 'waveform' = the 1D causal waveform VAE stand-in (default until
+            # the mel chain has real-checkpoint validation)
+            self.audio_backend = config.model_kwargs.get("audio_vae", "waveform")
             if size == "tiny":
                 self.av_config = LTX2AVConfig.tiny()
-                self.audio_vae_config = AudioVAEConfig.tiny()
+                if self.audio_backend == "mel":
+                    from ai_toolkit_tpu.models.ltx_audio_vae import LTXAudioVAEConfig
+                    from ai_toolkit_tpu.models.ltx_vocoder import VocoderConfig
+
+                    # packed dim (mel/2) * z = 4 == tiny audio_in_channels
+                    self.audio_vae_config = LTXAudioVAEConfig(
+                        base_channels=8, ch_mult=(1, 2), num_res_blocks=1,
+                        latent_channels=2, mel_bins=4,
+                    )
+                    self.vocoder_config = VocoderConfig.tiny()
+                else:
+                    self.audio_vae_config = AudioVAEConfig.tiny()
             else:
                 self.av_config = LTX2AVConfig(video=self.dit_config)
-                # 128-ch audio latents at ~47 latent frames/sec (256x compression
-                # of 48kHz stereo ≈ the reference's mel+VAE total compression)
-                self.audio_vae_config = AudioVAEConfig(latent_channels=128)
+                if self.audio_backend == "mel":
+                    from ai_toolkit_tpu.models.ltx_audio_vae import LTXAudioVAEConfig
+                    from ai_toolkit_tpu.models.ltx_vocoder import VocoderConfig
+
+                    # mel 64 -> 16 lat bins x 8 z = 128 == audio_in_channels
+                    self.audio_vae_config = LTXAudioVAEConfig.ltx2()
+                    self.vocoder_config = VocoderConfig.ltx2()
+                else:
+                    # 128-ch audio latents at ~47 latent frames/sec (256x
+                    # compression of 48kHz stereo ≈ the reference's mel+VAE
+                    # total compression)
+                    self.audio_vae_config = AudioVAEConfig(latent_channels=128)
             self.dit = LTX2AVDiT(self.av_config)
-            self.audio_vae = AudioAutoencoderKL(self.audio_vae_config)
+            if self.audio_backend == "mel":
+                from ai_toolkit_tpu.models.ltx_audio_vae import LTXAudioVAE
+                from ai_toolkit_tpu.models.ltx_vocoder import LTX2Vocoder
+
+                self.audio_vae = LTXAudioVAE(self.audio_vae_config)
+                self.vocoder = LTX2Vocoder(self.vocoder_config)
+            else:
+                self.audio_vae = AudioAutoencoderKL(self.audio_vae_config)
         else:
             self.dit = WanDiT(self.dit_config)
         self.vae = LTXVideoVAE(self.vae_config)
@@ -123,12 +156,24 @@ class LTX2Model(BaseTpuModel):
         te_vars = self.te.init(r_te, jnp.zeros((1, self.max_txt_len), jnp.int32))
         out = {"dit": dit_vars["params"], "vae": vae_vars["params"], "te": te_vars["params"]}
         if self.joint_audio:
-            avae = self.audio_vae.init(
-                jax.random.fold_in(r_vae, 3),
-                jnp.zeros((1, 4 * self.audio_vae_config.downscale,
-                           self.audio_vae_config.in_channels)),
-            )
-            out["audio_vae"] = avae["params"]
+            if self.audio_backend == "mel":
+                mc = self.audio_vae_config
+                avae = self.audio_vae.init(
+                    jax.random.fold_in(r_vae, 3),
+                    jnp.zeros((1, 2 * mc.time_downscale, mc.mel_bins, mc.in_channels)),
+                )
+                out["audio_vae"] = avae["params"]
+                out["vocoder"] = self.vocoder.init(
+                    jax.random.fold_in(r_vae, 4),
+                    jnp.zeros((1, 4, self.vocoder_config.in_channels)),
+                )["params"]
+            else:
+                avae = self.audio_vae.init(
+                    jax.random.fold_in(r_vae, 3),
+                    jnp.zeros((1, 4 * self.audio_vae_config.downscale,
+                               self.audio_vae_config.in_channels)),
+                )
+                out["audio_vae"] = avae["params"]
         return out
 
     def load_variables(self, rng: jax.Array) -> dict:
@@ -203,7 +248,22 @@ class LTX2Model(BaseTpuModel):
         return wan_unpatchify(out, tt, hh, ww, cfg.patch_size, c)
 
     def encode_audio(self, variables, waveform, rng=None):
-        """[B, S, C] waveform -> [B, S/downscale, latent_channels] audio latents."""
+        """[B, S, C] waveform -> [B, T_a, audio_in_channels] audio tokens."""
+        if self.audio_backend == "mel":
+            # the reference chain: log-mel -> 2D causal VAE -> token packing
+            from ai_toolkit_tpu.models.ltx_audio_vae import (
+                LTXAudioVAE, log_mel_jax, pack_audio_latents,
+            )
+
+            mc = self.audio_vae_config
+            mel = log_mel_jax(waveform, mc.sample_rate, n_mels=mc.mel_bins)
+            # trim to the VAE's temporal grid
+            t = (mel.shape[1] // mc.time_downscale) * mc.time_downscale
+            z = self.audio_vae.apply(
+                {"params": variables["audio_vae"]}, mel[:, :t], rng,
+                method=LTXAudioVAE.encode,
+            )
+            return pack_audio_latents(z)
         from ai_toolkit_tpu.models.audio_vae import AudioAutoencoderKL
 
         return self.audio_vae.apply(
@@ -212,7 +272,22 @@ class LTX2Model(BaseTpuModel):
         )
 
     def decode_audio(self, variables, latents):
-        """[B, T_a, latent_channels] audio latents -> [B, S, C] waveform."""
+        """[B, T_a, audio_in_channels] audio tokens -> [B, S, C] waveform."""
+        if self.audio_backend == "mel":
+            from ai_toolkit_tpu.models.ltx_audio_vae import (
+                LTXAudioVAE, unpack_audio_latents,
+            )
+            from ai_toolkit_tpu.models.ltx_vocoder import stack_stereo_mel
+
+            mc = self.audio_vae_config
+            mel_lat = mc.mel_bins // mc.time_downscale
+            z = unpack_audio_latents(latents, mel_lat)
+            mel = self.audio_vae.apply(
+                {"params": variables["audio_vae"]}, z, method=LTXAudioVAE.decode
+            )
+            return self.vocoder.apply(
+                {"params": variables["vocoder"]}, stack_stereo_mel(mel)
+            )
         from ai_toolkit_tpu.models.audio_vae import AudioAutoencoderKL
 
         return self.audio_vae.apply(

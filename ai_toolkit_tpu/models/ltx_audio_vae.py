@@ -214,6 +214,22 @@ def unpack_audio_latents(tokens: jax.Array, mel_lat: int) -> jax.Array:
     return tokens.reshape(b, t, mel_lat, d // mel_lat)
 
 
+def log_mel_jax(
+    wav: jax.Array, sample_rate: int = 16000, n_fft: int = 1024,
+    hop: int = 160, n_mels: int = 64,
+) -> jax.Array:
+    """Jit-able log-mel: [B, S, C] waveform -> [B, T, n_mels, C]."""
+    s = wav.shape[1]
+    n_frames = max(1, 1 + (s - n_fft) // hop)
+    idx = np.arange(n_fft)[None] + hop * np.arange(n_frames)[:, None]
+    win = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    fb = jnp.asarray(_mel_filterbank(sample_rate, n_fft, n_mels))
+    frames = wav.astype(jnp.float32)[:, idx, :] * win[None, None, :, None]
+    power = jnp.abs(jnp.fft.rfft(frames, axis=2)) ** 2  # [B, T, F, C]
+    mel = jnp.einsum("btfc,mf->btmc", power, fb)
+    return jnp.log(jnp.clip(mel, 1e-5, None))
+
+
 def log_mel_spectrogram(
     wav: np.ndarray, sample_rate: int = 16000, n_fft: int = 1024,
     hop: int = 160, n_mels: int = 64,

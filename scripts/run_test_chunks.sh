@@ -26,7 +26,10 @@ CHUNKS=(
   "tests/test_ip_adapter.py"
   "tests/test_parallel.py tests/test_ring_attention.py tests/test_moe_gmm.py tests/test_flash_attention.py"
   "tests/test_ui_bridge.py"
-  "tests/test_e2e.py"
+  "tests/test_e2e.py::test_sd1_e2e_train_save_resume tests/test_e2e.py::test_flux_tiny_e2e tests/test_e2e.py::test_extract_lora_job"
+  "tests/test_e2e.py::test_textual_inversion_e2e tests/test_e2e.py::test_validation_loss_logged tests/test_e2e.py::test_vae_trainer_e2e"
+  "tests/test_e2e.py::test_cli_run_py tests/test_e2e.py::test_slider_trainer_e2e tests/test_e2e.py::test_merge_job_and_img2img"
+  "tests/test_e2e.py::test_image_pair_polarity_slider_e2e tests/test_e2e.py::test_esrgan_trainer_e2e tests/test_e2e.py::test_ip_adapter_training_e2e"
 )
 
 fail=0

@@ -196,3 +196,35 @@ def test_mel_frontend_and_packing():
     assert toks.shape == (2, 5, 128)  # matches audio_in_channels 128
     back = unpack_audio_latents(toks, 16)
     np.testing.assert_allclose(np.asarray(back), z)
+
+
+def test_ltx2_mel_audio_backend_end_to_end():
+    """model_kwargs audio_vae='mel' swaps the joint-AV audio chain onto the
+    reference-exact pipeline: log-mel -> 2D causal VAE -> packed tokens for
+    the DiT; decode runs the vocoder back to a waveform."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("ltx2")(ModelConfig(
+        arch="ltx2", model_kwargs={"size": "tiny", "joint_audio": True,
+                                   "audio_vae": "mel"}))
+    variables = model.init_variables(jax.random.key(0))
+    assert "vocoder" in variables
+    wav = jax.random.normal(jax.random.key(1), (2, 16000, 2)) * 0.1
+    tokens = model.encode_audio(variables, wav)
+    assert tokens.ndim == 3
+    assert tokens.shape[-1] == model.av_config.audio_in_channels
+    out = model.decode_audio(variables, tokens)
+    assert out.ndim == 3 and out.shape[-1] == 2
+    assert np.isfinite(np.asarray(out)).all()
+
+    # joint forward with mel-backed audio tokens
+    t_lat, h, w, c = model.latent_shape(16, 16, num_frames=3)
+    cond = model.encode_prompt(variables, ["a", "b"])
+    cond["pe"] = model.rope_table(t_lat, h, w)
+    cond["pe_audio"] = model.audio_rope_table(int(tokens.shape[1]))
+    cond["noisy_audio"] = tokens
+    noisy = jax.random.normal(jax.random.key(2), (2, t_lat, h, w, c))
+    out_v, out_a = model.predict(variables, noisy, jnp.array([0.5, 0.5]), cond)
+    assert out_v.shape == noisy.shape
+    assert out_a.shape == tokens.shape
