@@ -33,6 +33,7 @@ under jit, and save/load to safetensors via ``save_custom_adapter``.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -44,8 +45,24 @@ from ai_toolkit_tpu.ops.layers import LayerNorm, Linear
 ADAPTER_TYPES = (
     "decorator",
     "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value", "photo_maker",
-    "photo_maker_full", "mean_flow", "t2i",
+    "photo_maker_full", "mean_flow", "t2i", "ilora", "llm_adapter",
 )
+
+
+class LLMContextEmbedder(nn.Module):
+    """Trainable projection from LLM hidden states into the DiT context dim
+    (reference toolkit/models/llm_adapter.py: ``context_embedder`` replacing
+    the flux/lumina2 text path; here the projection lands in the frozen
+    model's own context space — same rank, functional equivalent since
+    ctx_dim >= inner_dim for the supported archs)."""
+
+    ctx_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, llm_states):  # [B, S, H]
+        return Linear(self.ctx_dim, dtype=self.dtype, param_dtype=self.dtype,
+                      name="context_embedder")(llm_states.astype(self.dtype))
 
 
 class DecoratorBank(nn.Module):
@@ -281,6 +298,18 @@ class CustomAdapterRuntime:
     module: nn.Module
     ctx_key: str  # 'txt' (DiT) or 'context' (UNet)
     collection: str = "adapter"
+    # ilora: (params, variables, cond) -> (variables, cond) — installs the
+    # generated per-sample 'lora' collection (adapters/ilora.py)
+    vars_apply: Any = None
+
+    def apply(self, variables: dict, cond: dict) -> tuple[dict, dict]:
+        """Full hook: may edit both the variable collections and the cond."""
+        if self.vars_apply is not None:
+            params = variables.get(self.collection)
+            if params is None:
+                return variables, cond
+            return self.vars_apply(params, variables, cond)
+        return variables, self.apply_cond(variables, cond)
 
     def apply_cond(self, variables: dict, cond: dict) -> dict:
         """Pure: transform the conditioning dict using trainable params in
@@ -325,6 +354,15 @@ class CustomAdapterRuntime:
             pooled_txt = txt.mean(axis=1)
             extra = self.module.apply({"params": params}, pooled_txt, cond["vision_pooled"])
             return _append_ctx(cond, self.ctx_key, extra)
+        if t == "llm_adapter" and cond.get("llm_states") is not None:
+            txt = self.module.apply({"params": params}, cond["llm_states"])
+            out = {**cond, self.ctx_key: txt.astype(cond[self.ctx_key].dtype)
+                   if cond.get(self.ctx_key) is not None else txt}
+            if cond.get("llm_mask") is not None:
+                out["txt_mask"] = cond["llm_mask"]
+            out.pop("llm_states", None)
+            out.pop("llm_mask", None)
+            return out
         if t == "vision_direct" and cond.get("vision_tokens") is not None:
             tokens = self.module.apply({"params": params}, cond["vision_tokens"])
             return {**cond, "ip_tokens": tokens}
@@ -392,6 +430,10 @@ def init_custom_adapter(
     elif t == "mean_flow":
         mod = MeanFlowTimeEncoder(ctx_dim, n_tokens=int(adapter_cfg.get("num_tokens", 1)))
         params = mod.init(rng, jnp.zeros((1,)))["params"]
+    elif t == "llm_adapter":
+        hidden = int(adapter_cfg["_llm_hidden"])
+        mod = LLMContextEmbedder(ctx_dim)
+        params = mod.init(rng, jnp.zeros((1, 4, hidden)))["params"]
     elif t == "t2i":
         from ai_toolkit_tpu.adapters.t2i_adapter import T2IAdapterNet
 

@@ -283,7 +283,8 @@ class SDTrainProcess:
             _base_predict, _runtime = predict_fn, self.custom_adapter
 
             def predict_fn(vars_, noisy, t, cond):  # noqa: F811
-                return _base_predict(vars_, noisy, t, _runtime.apply_cond(vars_, cond))
+                v2, c2 = _runtime.apply(vars_, cond)
+                return _base_predict(v2, noisy, t, c2)
         # split-jit: frozen params are input-only (no output copy), small state
         # donated; model_variables buffers stay valid for encode/sample closures.
         guidance_kind = tc.extras.get("guidance_loss") or cfg.extras.get("guidance_loss")
@@ -557,10 +558,55 @@ class SDTrainProcess:
             print(f"text_encoder swap: training a full copy of '{te_key}'")
             return ({"te_full": jax.tree.map(jnp.asarray, variables[te_key])},
                     None, "kohya", "")
+        if cfg.adapter and cfg.adapter.get("type") == "ilora":
+            # InstantLoRA (reference toolkit/models/ilora.py): per-sample LoRA
+            # weights generated from vision embeds; only the generator trains
+            from ai_toolkit_tpu.adapters.custom_adapter import CustomAdapterRuntime
+            from ai_toolkit_tpu.adapters.ilora import (
+                ILoRAGenerator,
+                build_ilora_spec,
+                make_ilora_apply,
+            )
+            from ai_toolkit_tpu.models.text_encoders.clip_vision import (
+                CLIPVisionConfig,
+                CLIPVisionModel,
+            )
+
+            vis_cfg = (
+                CLIPVisionConfig.tiny()
+                if cfg.model.model_kwargs.get("size") == "tiny"
+                else CLIPVisionConfig.vit_h()
+            )
+            self.vision_tower = CLIPVisionModel(vis_cfg)
+            sz = vis_cfg.image_size
+            variables["clip_vision"] = self.vision_tower.init(
+                jax.random.fold_in(rng, 99), jnp.zeros((1, sz, sz, 3))
+            )["params"]
+            self.vision_size = sz
+            spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
+            base_lora = build_lora(variables[main_key], spec, rng)
+            ispec = build_ilora_spec(base_lora)
+            gen = ILoRAGenerator(
+                total=ispec.total,
+                head_dim=int(cfg.adapter.get("head_dim", 512)),
+                num_heads=int(cfg.adapter.get("num_heads", 1)),
+            )
+            params = gen.init(
+                jax.random.fold_in(rng, 98), jnp.zeros((1, 4, vis_cfg.hidden_size))
+            )["params"]
+            ctx_key = "txt" if hasattr(model, "dit_config") else "context"
+            self.custom_adapter = CustomAdapterRuntime(
+                "ilora", gen, ctx_key,
+                vars_apply=make_ilora_apply(ispec, base_lora, gen),
+            )
+            n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
+            print(f"InstantLoRA: generating {ispec.total:,} lora weights/sample "
+                  f"from {len(ispec.entries)} modules; {n:,} generator params")
+            return {"adapter": params}, None, "custom_adapter", ""
         if cfg.adapter and cfg.adapter.get("type") in (
             "decorator",
             "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
-            "photo_maker", "photo_maker_full", "mean_flow", "t2i",
+            "photo_maker", "photo_maker_full", "mean_flow", "t2i", "llm_adapter",
         ):
             # CustomAdapter umbrella (reference toolkit/custom_adapter.py:104-286)
             from ai_toolkit_tpu.adapters.custom_adapter import init_custom_adapter
@@ -574,8 +620,56 @@ class SDTrainProcess:
             if atype == "t2i":
                 cfg.adapter["_unet_channels"] = list(model.unet_config.block_out_channels)
                 cfg.adapter.setdefault("downscale", model.vae_config.downscale)
+            if atype == "llm_adapter":
+                # reference toolkit/models/llm_adapter.py: an LLM replaces the
+                # text path through a trainable context_embedder projection;
+                # num_cloned_blocks > 0 (trainable cloned DiT blocks) is not
+                # implemented — refuse loudly rather than silently ignore.
+                if int(cfg.adapter.get("num_cloned_blocks", 0)):
+                    raise NotImplementedError(
+                        "llm_adapter num_cloned_blocks > 0 is not supported"
+                    )
+                from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+                from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
+
+                kind = cfg.adapter.get("llm", "qwen2")
+                if cfg.model.model_kwargs.get("size") == "tiny":
+                    lcfg = LLMConfig.tiny()
+                else:
+                    lcfg = {
+                        "llama": LLMConfig.llama31_8b,
+                        "gemma2": LLMConfig.gemma2_2b,
+                    }.get(kind, LLMConfig.qwen25_7b)()
+                self.llm_encoder = LLMEncoder(lcfg)
+                lp = cfg.adapter.get("name_or_path") or ""
+                self.llm_seq_len = int(
+                    cfg.adapter.get("num_tokens")
+                    or (512 if hasattr(model, "dit_config") else 256)
+                )
+                self.llm_tokenizer = load_tokenizer(
+                    lp, "tokenizer", vocab_size=lcfg.vocab_size, eos_id=1,
+                    max_len=self.llm_seq_len,
+                )
+                llm_params = self.llm_encoder.init(
+                    jax.random.fold_in(rng, 97), jnp.zeros((1, 8), jnp.int32)
+                )["params"]
+                if lp and os.path.isdir(lp):
+                    from ai_toolkit_tpu.io.dit_importers import (
+                        _merge_imported,
+                        load_safetensors_dir,
+                    )
+                    from ai_toolkit_tpu.io.sd_import import llm_rules
+                    from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+                    flat = load_safetensors_dir(lp)
+                    tree, unmatched = torch_to_tree(flat, llm_rules(gemma=kind == "gemma2"))
+                    if unmatched:
+                        print(f"llm_adapter import: {len(unmatched)} unmatched")
+                    llm_params = _merge_imported(llm_params, tree, "llm_adapter te")
+                variables["llm_te"] = llm_params
+                cfg.adapter["_llm_hidden"] = lcfg.d_model
             vision_dim = 0
-            if atype not in ("single_value", "mean_flow", "t2i", "decorator"):
+            if atype not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter"):
                 from ai_toolkit_tpu.models.text_encoders.clip_vision import (
                     CLIPVisionConfig,
                     CLIPVisionModel,
@@ -801,7 +895,7 @@ class SDTrainProcess:
             want_pixels=self.ip_mode or (
                 self.custom_adapter is not None
                 and self.custom_adapter.adapter_type
-                not in ("single_value", "mean_flow", "t2i", "decorator")
+                not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter")
             ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
@@ -845,6 +939,25 @@ class SDTrainProcess:
                 extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 1))
             elif atype == "decorator":
                 extra_ctx_tokens = int(self.cfg.adapter.get("num_tokens", 4))
+            elif atype == "llm_adapter":
+                # LLM replaces the text path: encode captions with the LLM and
+                # hand its states to the context_embedder inside the step
+                if not hasattr(self, "_llm_encode"):
+                    enc, lv = self.llm_encoder, self._ctrl_variables["llm_te"]
+                    self._llm_encode = jax.jit(
+                        lambda ids, m: enc.apply({"params": lv}, ids, m)
+                    )
+                ids = np.stack([self.llm_tokenizer.encode(c) for c in captions])
+                mask = (ids != self.llm_tokenizer.eos_id).astype(np.int32)
+                mask[:, 0] = 1  # keep at least one visible token
+                states = self._llm_encode(jnp.asarray(ids), jnp.asarray(mask))
+                if isinstance(states, dict):
+                    states = states["last_hidden_state"]
+                cond["llm_states"] = states
+                cond["llm_mask"] = jnp.asarray(mask)
+                # pe must cover the REPLACED text length, not the original
+                if cond.get("txt") is not None:
+                    extra_ctx_tokens = int(ids.shape[1]) - int(cond["txt"].shape[1])
             elif "pixels" in raw:
                 if not hasattr(self, "_vision_tokens_encode"):
                     vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]

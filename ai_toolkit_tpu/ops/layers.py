@@ -35,8 +35,14 @@ def _lora_delta(self: nn.Module, x: jax.Array, y: jax.Array, dtype: Dtype) -> ja
     a = self.get_variable("lora", "a").astype(dtype)
     b = self.get_variable("lora", "b").astype(dtype)
     scale = self.get_variable("lora", "scale")
-    h = x @ a
-    delta = h @ b
+    if a.ndim == 3:
+        # per-sample generated factors (InstantLoRA, adapters/ilora.py):
+        # a [B, in, r], b [B, r, out] — batched einsum keeps it one fused op
+        h = jnp.einsum("b...i,bir->b...r", x, a)
+        delta = jnp.einsum("b...r,bro->b...o", h, b)
+    else:
+        h = x @ a
+        delta = h @ b
     scale = jnp.asarray(scale, dtype)
     if scale.ndim > 0:  # per-batch-item multiplier [B] -> broadcast over trailing dims
         scale = scale.reshape(scale.shape + (1,) * (delta.ndim - scale.ndim))
