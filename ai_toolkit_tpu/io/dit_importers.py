@@ -697,3 +697,157 @@ def load_flux2_checkpoint(path: str, model) -> dict:
                 variables["dit"] = _merge_imported(variables["dit"], tree, "flux2 dit")
                 break
     return variables
+
+
+# ---------------------------------------------------------------- boogu
+
+
+def _boogu_basic_rules(src: str, dst: str, modulated: bool, stack: bool) -> list[Rule]:
+    r"""Rules for one BooguImageTransformerBlock family.
+
+    ``src`` is a regex prefix whose group 0 is the layer index (e.g.
+    ``r"noise_refiner\.(\d+)\."``); ``dst`` the '/'-joined destination prefix
+    (use ``{0}`` for per-layer names, omit it for scanned stacks)."""
+    kl = "linear" + ("_stack" if stack else "")
+    kd = "direct" + ("_stack" if stack else "")
+    rules: list[Rule] = []
+    for s, d in (
+        ("attn.to_q", "attn_q"), ("attn.to_k", "attn_k"), ("attn.to_v", "attn_v"),
+        ("attn.to_out.0", "attn_out"),
+        ("feed_forward.linear_1", "feed_forward/linear_1"),
+        ("feed_forward.linear_2", "feed_forward/linear_2"),
+        ("feed_forward.linear_3", "feed_forward/linear_3"),
+    ):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight", f"{dst}{d}/kernel", kl))
+    for s, d in (
+        ("attn.norm_q", "attn_q_norm"), ("attn.norm_k", "attn_k_norm"),
+        ("norm2", "norm2"), ("ffn_norm1", "ffn_norm1"), ("ffn_norm2", "ffn_norm2"),
+    ):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight", f"{dst}{d}/scale", kd))
+    if modulated:
+        rules += [
+            (src + r"norm1\.linear\.weight", f"{dst}norm1/linear/kernel", kl),
+            (src + r"norm1\.linear\.bias", f"{dst}norm1/linear/bias", kd),
+            (src + r"norm1\.norm\.weight", f"{dst}norm1/norm/scale", kd),
+        ]
+    else:
+        rules.append((src + r"norm1\.weight", f"{dst}norm1/scale", kd))
+    return rules
+
+
+def _boogu_double_rules(stack: bool) -> list[Rule]:
+    src = r"double_stream_layers\.(\d+)\."
+    dst = "double_blocks/block/" if stack else "double_{0}/"
+    kl = "linear" + ("_stack" if stack else "")
+    kd = "direct" + ("_stack" if stack else "")
+    rules: list[Rule] = []
+    for s, d in (
+        ("img_instruct_attn.processor.img_to_q", "img_to_q"),
+        ("img_instruct_attn.processor.img_to_k", "img_to_k"),
+        ("img_instruct_attn.processor.img_to_v", "img_to_v"),
+        ("img_instruct_attn.processor.instruct_to_q", "instruct_to_q"),
+        ("img_instruct_attn.processor.instruct_to_k", "instruct_to_k"),
+        ("img_instruct_attn.processor.instruct_to_v", "instruct_to_v"),
+        ("img_instruct_attn.processor.instruct_out", "instruct_out"),
+        ("img_instruct_attn.processor.img_out", "img_out"),
+        ("img_instruct_attn.to_out.0", "joint_to_out"),
+        ("img_self_attn.to_q", "self_to_q"), ("img_self_attn.to_k", "self_to_k"),
+        ("img_self_attn.to_v", "self_to_v"), ("img_self_attn.to_out.0", "self_to_out"),
+        ("img_feed_forward.linear_1", "img_feed_forward/linear_1"),
+        ("img_feed_forward.linear_2", "img_feed_forward/linear_2"),
+        ("img_feed_forward.linear_3", "img_feed_forward/linear_3"),
+        ("instruct_feed_forward.linear_1", "instruct_feed_forward/linear_1"),
+        ("instruct_feed_forward.linear_2", "instruct_feed_forward/linear_2"),
+        ("instruct_feed_forward.linear_3", "instruct_feed_forward/linear_3"),
+    ):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight", f"{dst}{d}/kernel", kl))
+    for s, d in (
+        ("img_instruct_attn.norm_q", "joint_q_norm"),
+        ("img_instruct_attn.norm_k", "joint_k_norm"),
+        ("img_self_attn.norm_q", "self_q_norm"),
+        ("img_self_attn.norm_k", "self_k_norm"),
+        ("img_ffn_norm1", "img_ffn_norm1"), ("img_attn_norm", "img_attn_norm"),
+        ("img_self_attn_norm", "img_self_attn_norm"),
+        ("img_ffn_norm2", "img_ffn_norm2"),
+        ("instruct_ffn_norm1", "instruct_ffn_norm1"),
+        ("instruct_attn_norm", "instruct_attn_norm"),
+        ("instruct_ffn_norm2", "instruct_ffn_norm2"),
+    ):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight", f"{dst}{d}/scale", kd))
+    for mod in ("img_norm1", "img_norm2", "img_norm3", "instruct_norm1", "instruct_norm2"):
+        rules += [
+            (src + mod + r"\.linear\.weight", f"{dst}{mod}/linear/kernel", kl),
+            (src + mod + r"\.linear\.bias", f"{dst}{mod}/linear/bias", kd),
+            (src + mod + r"\.norm\.weight", f"{dst}{mod}/norm/scale", kd),
+        ]
+    return rules
+
+
+def boogu_dit_rules(scan_blocks: bool = True, num_refiner: int = 2) -> list[Rule]:
+    """BooguImageTransformer2DModel state dict -> BooguDiT tree
+    (reference boogu_image/src/transformer.py module names)."""
+    rules: list[Rule] = [
+        (r"x_embedder\.weight", "x_embedder/kernel", "linear"),
+        (r"x_embedder\.bias", "x_embedder/bias", "direct"),
+        (r"ref_image_patch_embedder\.weight", "ref_image_patch_embedder/kernel", "linear"),
+        (r"ref_image_patch_embedder\.bias", "ref_image_patch_embedder/bias", "direct"),
+        (r"time_caption_embed\.timestep_embedder\.linear_1\.weight", "t_embed_1/kernel", "linear"),
+        (r"time_caption_embed\.timestep_embedder\.linear_1\.bias", "t_embed_1/bias", "direct"),
+        (r"time_caption_embed\.timestep_embedder\.linear_2\.weight", "t_embed_2/kernel", "linear"),
+        (r"time_caption_embed\.timestep_embedder\.linear_2\.bias", "t_embed_2/bias", "direct"),
+        (r"time_caption_embed\.caption_embedder\.0\.weight", "cap_norm/scale", "direct"),
+        (r"time_caption_embed\.caption_embedder\.1\.weight", "cap_embed/kernel", "linear"),
+        (r"time_caption_embed\.caption_embedder\.1\.bias", "cap_embed/bias", "direct"),
+        (r"norm_out\.linear_1\.weight", "norm_out_linear_1/kernel", "linear"),
+        (r"norm_out\.linear_1\.bias", "norm_out_linear_1/bias", "direct"),
+        (r"norm_out\.linear_2\.weight", "norm_out_linear_2/kernel", "linear"),
+        (r"norm_out\.linear_2\.bias", "norm_out_linear_2/bias", "direct"),
+        (r"image_index_embedding", "image_index_embedding", "direct"),
+    ]
+    for fam, mod in (("noise_refiner", True), ("ref_image_refiner", True),
+                     ("context_refiner", False)):
+        rules += _boogu_basic_rules(
+            rf"{fam}\.(\d+)\.", fam + "_{0}/", modulated=mod, stack=False)
+    rules += _boogu_basic_rules(
+        r"single_stream_layers\.(\d+)\.",
+        "single_blocks/block/" if scan_blocks else "single_{0}/",
+        modulated=True, stack=scan_blocks)
+    rules += _boogu_double_rules(scan_blocks)
+    return rules
+
+
+def load_boogu_checkpoint(path: str, model) -> dict:
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        tree, unmatched = torch_to_tree(
+            flat, boogu_dit_rules(model.dit_config.scan_blocks,
+                                  model.dit_config.num_refiner_layers))
+        if unmatched:
+            print(f"boogu import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "boogu dit")
+    from ai_toolkit_tpu.io.sd_import import llm_rules, vae_rules
+
+    vdir = os.path.join(path, "vae")
+    if os.path.isdir(vdir):
+        flat = load_safetensors_dir(vdir)
+        tree, _ = torch_to_tree(
+            flat, vae_rules(len(model.vae_config.channel_multipliers),
+                            model.vae_config.layers_per_block))
+        if tree:
+            variables["vae"] = _merge_imported(variables["vae"], tree, "boogu vae")
+    mdir = os.path.join(path, "mllm")
+    if os.path.isdir(mdir):
+        flat = load_safetensors_dir(mdir)
+        # Qwen3-VL: text tower lives under model.language_model.*
+        flat = {k.replace("model.language_model.", "model."): v for k, v in flat.items()}
+        tree, _ = torch_to_tree(flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "boogu mllm")
+    return variables

@@ -10,7 +10,6 @@ the real checkpoint config can set exact dims without code changes.
 
 | arch          | plugin dir        | known dims (src)                          |
 |---------------|-------------------|-------------------------------------------|
-| boogu_image(+edit) | boogu_image  | single-stream 3360 x 40 layers, 16ch VAE, mllm TE (src/transformer.py:512-515) |
 | f-lite        | f_light           | cross/joint 1152 x 28, 16 heads, 4ch VAE, T5 TE (src/model.py:311-315) |
 | ideogram4     | ideogram4         | 34 layers, 18 heads, in 128 (32ch packed), Qwen3-VL TE (src/transformer.py:46-52) |
 | prx_pixel     | prx_pixel_t2i     | hidden 1792, context 2304, 16ch (src/transformer_prx.py:711-714) |
@@ -49,13 +48,6 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 # hidden, heads, head_dim, depth_double, depth_single, ctx_dim, vae, te, llm_d
 _SPECS: dict[str, dict] = {
-    # exact released dims (src/transformer.py:508-531): hidden 3360, 28 heads
-    # x120 (GQA kv 7), 40 layers (8 double-stream) — the lumina2-style GQA
-    # block is NOT structurally represented here (stand-in, no importer)
-    "boogu_image": dict(hidden=3360, heads=28, head_dim=120, dd=8, ds=32, ctx=4096,
-                        vae="flux", te="llm", llm_d=4096),
-    "boogu_image_edit": dict(hidden=3360, heads=28, head_dim=120, dd=8, ds=32, ctx=4096,
-                             vae="flux", te="llm", llm_d=4096, edit=True),
     "ideogram4": dict(hidden=2304, heads=18, head_dim=128, dd=0, ds=34, ctx=2048,
                       vae="flux2", te="llm", llm_d=2048),
     "prx_pixel": dict(hidden=1792, heads=14, head_dim=128, dd=0, ds=24, ctx=2304,
