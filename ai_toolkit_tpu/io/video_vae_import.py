@@ -64,19 +64,34 @@ def wan_vae_rules() -> list[Rule]:
         ]
         rules += _mid_rules(side)
     rules += _block_rules("encoder.down_blocks", "encoder/down_blocks_{0}")
+    # wan2.2 residual down blocks: down_blocks.I.resnets.J + .downsampler
+    for i in range(8):
+        rules += _block_rules(
+            f"encoder.down_blocks.{i}.resnets", f"encoder/down_blocks_{i}/resnets_{{0}}"
+        )
+        d = rf"encoder\.down_blocks\.{i}\.downsampler"
+        t = f"encoder/down_blocks_{i}/downsampler"
+        rules += [
+            (d + r"\.resample\.1\.weight", t + "/resample_conv/kernel", "conv2d"),
+            (d + r"\.resample\.1\.bias", t + "/resample_conv/bias", "direct"),
+            (d + r"\.time_conv\.weight", t + "/time_conv/kernel", "conv3d"),
+            (d + r"\.time_conv\.bias", t + "/time_conv/bias", "direct"),
+        ]
     # decoder: up_blocks.I.resnets.J and up_blocks.I.upsamplers.0
+    # (wan2.2 residual up blocks store a single .upsampler — accept both)
     for i in range(8):  # enough for any dim_mult depth
         rules += _block_rules(
             f"decoder.up_blocks.{i}.resnets", f"decoder/up_blocks_{i}/resnets_{{0}}"
         )
-        u = rf"decoder\.up_blocks\.{i}\.upsamplers\.0"
-        t = f"decoder/up_blocks_{i}/upsamplers_0"
-        rules += [
-            (u + r"\.resample\.1\.weight", t + "/resample_conv/kernel", "conv2d"),
-            (u + r"\.resample\.1\.bias", t + "/resample_conv/bias", "direct"),
-            (u + r"\.time_conv\.weight", t + "/time_conv/kernel", "conv3d"),
-            (u + r"\.time_conv\.bias", t + "/time_conv/bias", "direct"),
-        ]
+        for src, dst in ((r"\.upsamplers\.0", "/upsamplers_0"), (r"\.upsampler", "/upsampler")):
+            u = rf"decoder\.up_blocks\.{i}" + src
+            t = f"decoder/up_blocks_{i}" + dst
+            rules += [
+                (u + r"\.resample\.1\.weight", t + "/resample_conv/kernel", "conv2d"),
+                (u + r"\.resample\.1\.bias", t + "/resample_conv/bias", "direct"),
+                (u + r"\.time_conv\.weight", t + "/time_conv/kernel", "conv3d"),
+                (u + r"\.time_conv\.bias", t + "/time_conv/bias", "direct"),
+            ]
     rules += [
         (r"quant_conv\.weight", "quant_conv/kernel", "conv3d"),
         (r"quant_conv\.bias", "quant_conv/bias", "direct"),
@@ -97,6 +112,9 @@ def wan_vae_config_from_json(vae_dir: str):
     with open(cfg_path) as f:
         c = json.load(f)
     base = WanVAEConfig.wan21()
+    patch = int(c.get("patch_size") or 1)
+    # wan2.2 configs report the *patchified* in_channels (12 = 3*2*2)
+    in_ch = c.get("in_channels", 3 * patch * patch) // (patch * patch)
     return WanVAEConfig(
         base_dim=c.get("base_dim", base.base_dim),
         z_dim=c.get("z_dim", base.z_dim),
@@ -106,6 +124,11 @@ def wan_vae_config_from_json(vae_dir: str):
         temperal_downsample=tuple(c.get("temperal_downsample", base.temperal_downsample)),
         latents_mean=tuple(c.get("latents_mean", base.latents_mean)),
         latents_std=tuple(c.get("latents_std", base.latents_std)),
+        in_channels=in_ch,
+        patch_size=patch,
+        is_residual=bool(c.get("is_residual", False)),
+        decoder_base_dim=c.get("decoder_base_dim"),
+        clip_output=bool(c.get("clip_output", True)),
     )
 
 

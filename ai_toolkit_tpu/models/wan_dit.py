@@ -57,6 +57,12 @@ class WanConfig:
         return cls(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40)
 
     @classmethod
+    def wan22_5b(cls) -> "WanConfig":
+        """Wan2.2 TI2V-5B transformer (48-ch latents from the 16x 2.2 VAE)."""
+        return cls(in_channels=48, dim=3072, ffn_dim=14336, num_heads=24,
+                   num_layers=30)
+
+    @classmethod
     def tiny(cls) -> "WanConfig":
         return cls(
             in_channels=4, dim=64, ffn_dim=128, num_heads=4, num_layers=2, text_dim=64,

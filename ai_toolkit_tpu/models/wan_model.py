@@ -46,10 +46,13 @@ class WanModel(BaseTpuModel):
     def __init__(self, config: ModelConfig):
         super().__init__(config)
         size = config.model_kwargs.get("size", "1.3b")
+        if config.arch == "wan22_5b" and size not in ("tiny", "5b"):
+            size = "5b"
         i2v = config.arch.endswith("i2v")
-        # wan2.2 MoE-style high/low-noise experts switched at a timestep
-        # boundary (reference multistage, SDTrainer.py:2199-2210)
-        self.multistage = config.arch.startswith("wan22") or bool(
+        # wan2.2 14B pairs are MoE-style high/low-noise experts switched at a
+        # timestep boundary (reference multistage, SDTrainer.py:2199-2210);
+        # the 2.2 TI2V-5B is a single transformer (wan22_5b_model.py:83).
+        self.multistage = config.arch.startswith("wan22_14b") or bool(
             config.model_kwargs.get("multistage")
         )
         self.stage_boundary = float(config.model_kwargs.get("stage_boundary", 0.875))
@@ -57,10 +60,17 @@ class WanModel(BaseTpuModel):
             self.vision_config = CLIPVisionConfig.tiny() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.tiny().__dict__, "i2v": i2v,
                                            "img_cond_dim": 64})
-            self.vae_config = WanVAEConfig.tiny()
+            # wan22_5b exercises the residual/patchified 2.2 VAE end-to-end
+            self.vae_config = (WanVAEConfig.tiny22() if config.arch == "wan22_5b"
+                               else WanVAEConfig.tiny())
             # wan's TE is umt5 (per-layer relative bias)
             self.t5_config = T5Config(**{**T5Config.tiny().__dict__, "per_layer_bias": True})
             self.max_txt_len = 16
+        elif size == "5b":
+            self.vision_config = None
+            self.dit_config = WanConfig(**{**WanConfig.wan22_5b().__dict__})
+            self.vae_config = WanVAEConfig.wan22_5b()
+            self.t5_config = T5Config(**{**T5Config.xxl().__dict__, "per_layer_bias": True})
         elif size in ("14b", "14B"):
             self.vision_config = CLIPVisionConfig.vit_h() if i2v else None
             self.dit_config = WanConfig(**{**WanConfig.wan21_14b().__dict__, "i2v": i2v})
@@ -71,6 +81,9 @@ class WanModel(BaseTpuModel):
             self.dit_config = WanConfig(**{**WanConfig.wan21_1_3b().__dict__, "i2v": i2v})
             self.vae_config = WanVAEConfig.wan21()
             self.t5_config = T5Config(**{**T5Config.xxl().__dict__, "per_layer_bias": True})
+        # 2.2 5B: 16x VAE compression x 2x2 DiT patch (wan22_5b_model.py:122)
+        if size == "5b":
+            self.bucket_divisibility = 32
         self.dit = WanDiT(self.dit_config)
         self.vae = WanVAE(self.vae_config)
         self.t5 = T5Encoder(self.t5_config)

@@ -25,6 +25,20 @@ what XLA wants (one big static-shape conv program, no Python chunk loop):
   output frame splitting its 2C channels into two interleaved frames.
 
 Frame counts: encode T=4k+1 -> k+1 latent frames; decode inverts it.
+
+Wan 2.2 (TI2V-5B) variant — diffusers ``AutoencoderKLWan`` with
+``patch_size=2`` / ``is_residual=True`` / ``decoder_base_dim`` (the reference's
+``wan22_5b`` arch loads it through the same class,
+``extensions_built_in/diffusion_models/wan22/wan22_5b_model.py``):
+
+- input video is spatially patchified 2x2 before ``conv_in`` (channel order
+  ``(c r q)`` with q = H sub-index fastest) and unpatchified after the decoder;
+- every down block gains a parameter-free ``AvgDown3D`` shortcut (grouped
+  channel-mean over the space-time factor block, zero front-pad in time) and
+  every upsampling up block a ``DupUp3D`` shortcut (repeat-interleave channels
+  -> redistribute into space-time, first output frame dropped ``ft-1`` times);
+- up-block resample convs keep full width (no ``dim//2`` halving) and the
+  decoder trunk runs at ``decoder_base_dim``.
 """
 
 from __future__ import annotations
@@ -61,10 +75,27 @@ class WanVAEConfig:
     latents_std: tuple[float, ...] = _WAN21_LATENTS_STD
     in_channels: int = 3
     dtype: jnp.dtype = jnp.bfloat16
+    # wan 2.2 (TI2V-5B) options
+    patch_size: int = 1
+    is_residual: bool = False
+    decoder_base_dim: int | None = None
+    clip_output: bool = False
 
     @classmethod
     def wan21(cls) -> "WanVAEConfig":
-        return cls()
+        # diffusers clip_output default is True (2.2 configs set it False)
+        return cls(clip_output=True)
+
+    @classmethod
+    def wan22_5b(cls) -> "WanVAEConfig":
+        """Wan2.2-TI2V-5B VAE dims (checkpoint config.json supplies the 48-ch
+        latent statistics at import time)."""
+        return cls(
+            base_dim=160, z_dim=48, dim_mult=(1, 2, 4, 4), num_res_blocks=2,
+            temperal_downsample=(False, True, True),
+            latents_mean=(0.0,) * 48, latents_std=(1.0,) * 48,
+            patch_size=2, is_residual=True, decoder_base_dim=256,
+        )
 
     @classmethod
     def tiny(cls) -> "WanVAEConfig":
@@ -74,6 +105,17 @@ class WanVAEConfig:
             latents_mean=(0.0,) * 4, latents_std=(1.0,) * 4, dtype=jnp.float32,
         )
 
+    @classmethod
+    def tiny22(cls) -> "WanVAEConfig":
+        # last block keeps in==out (AvgDown3D needs in*factor % out == 0,
+        # mirroring the real config's trailing repeated mult)
+        return cls(
+            base_dim=8, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+            temperal_downsample=(True, True),
+            latents_mean=(0.0,) * 4, latents_std=(1.0,) * 4, dtype=jnp.float32,
+            patch_size=2, is_residual=True, decoder_base_dim=12,
+        )
+
     # interface shared with the other VAE configs
     @property
     def latent_channels(self) -> int:
@@ -81,7 +123,7 @@ class WanVAEConfig:
 
     @property
     def spatial_downscale(self) -> int:
-        return 2 ** (len(self.dim_mult) - 1)
+        return 2 ** (len(self.dim_mult) - 1) * self.patch_size
 
     @property
     def temporal_downscale(self) -> int:
@@ -132,6 +174,57 @@ class WanRMSNorm(nn.Module):
         norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
         y = x32 / jnp.maximum(norm, 1e-12) * (self.dim ** 0.5) * gamma
         return y.astype(x.dtype)
+
+
+def vae_patchify(x: jax.Array, p: int) -> jax.Array:
+    """[B,T,H,W,C] -> [B,T,H/p,W/p,C*p*p]; packed channel = (c*p + r)*p + q
+    with q the H sub-index (torch rearrange ``(c r q)``)."""
+    if p == 1:
+        return x
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // p, p, w // p, p, c)          # [.., h,q, w,r, C]
+    x = x.transpose(0, 1, 2, 4, 6, 5, 3)                  # [.., h, w, C, r, q]
+    return x.reshape(b, t, h // p, w // p, c * p * p)
+
+
+def vae_unpatchify(x: jax.Array, p: int) -> jax.Array:
+    if p == 1:
+        return x
+    b, t, h, w, cpp = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, t, h, w, c, p, p)                    # [.., C, r, q]
+    x = x.transpose(0, 1, 2, 6, 3, 5, 4)                  # [.., h, q, w, r, C]
+    return x.reshape(b, t, h * p, w * p, c)
+
+
+def _avg_down3d(x: jax.Array, out_c: int, ft: int, fs: int) -> jax.Array:
+    """Parameter-free AvgDown3D: zero front-pad T to a multiple of ft, pack the
+    (ft, fs, fs) factor block into channels (channel = ((c*ft+it)*fs+ih)*fs+iw),
+    then grouped mean down to out_c channels."""
+    b, t, h, w, c = x.shape
+    pad_t = (-t) % ft
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+        t += pad_t
+    x = x.reshape(b, t // ft, ft, h // fs, fs, w // fs, fs, c)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)               # [.., C, it, ih, iw]
+    x = x.reshape(b, t // ft, h // fs, w // fs, c * ft * fs * fs)
+    group = (c * ft * fs * fs) // out_c
+    x = x.reshape(*x.shape[:4], out_c, group)
+    return jnp.mean(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+
+def _dup_up3d(x: jax.Array, out_c: int, ft: int, fs: int) -> jax.Array:
+    """Parameter-free DupUp3D: repeat-interleave channels, redistribute the
+    (ft, fs, fs) factor block into space-time, drop the leading ft-1 frames
+    (full-sequence equivalent of the chunked flow's first_chunk trim)."""
+    b, t, h, w, c = x.shape
+    repeats = out_c * ft * fs * fs // c
+    x = jnp.repeat(x, repeats, axis=-1)                   # [.., out_c*ft*fs*fs]
+    x = x.reshape(b, t, h, w, out_c, ft, fs, fs)          # [.., C, it, ih, iw]
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)               # [b,t,it,h,ih,w,iw,C]
+    x = x.reshape(b, t * ft, h * fs, w * fs, out_c)
+    return x[:, ft - 1:] if ft > 1 else x
 
 
 class WanResidualBlock(nn.Module):
@@ -202,6 +295,9 @@ class WanResample(nn.Module):
     dim: int
     mode: str  # upsample2d | upsample3d | downsample2d | downsample3d
     dtype: Dtype = jnp.float32
+    # wan2.2 residual blocks keep full width on the upsample conv
+    # (diffusers ``upsample_out_dim``); default None = dim // 2 (wan2.1)
+    up_out: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -220,7 +316,8 @@ class WanResample(nn.Module):
         if self.mode in ("upsample2d", "upsample3d"):
             # nearest-exact == nearest for integer 2x
             x = jax.image.resize(x, (b, t, 2 * h, 2 * w, c), "nearest")
-            x = _conv2d_per_frame(x, self.dim // 2, 1, [(1, 1), (1, 1)],
+            feats = self.dim // 2 if self.up_out is None else self.up_out
+            x = _conv2d_per_frame(x, feats, 1, [(1, 1), (1, 1)],
                                   self.dtype, "resample_conv")
         elif self.mode in ("downsample2d", "downsample3d"):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))  # ZeroPad2d (0,1,0,1)
@@ -231,6 +328,61 @@ class WanResample(nn.Module):
                 y = WanCausalConv3d(self.dim, (3, 1, 1), stride=(2, 1, 1), pad=(0, 0, 0),
                                     dtype=self.dtype, name="time_conv")(x)
                 x = jnp.concatenate([x[:, :1].astype(y.dtype), y], axis=1)
+        return x
+
+
+class WanResidualDownBlock(nn.Module):
+    """wan2.2 down block: resnets (+ optional resample) with a parameter-free
+    AvgDown3D shortcut over the whole block (diffusers WanResidualDownBlock)."""
+
+    in_dim: int
+    out_dim: int
+    num_res_blocks: int
+    temporal_down: bool
+    down_flag: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ft = 2 if self.temporal_down else 1
+        fs = 2 if self.down_flag else 1
+        shortcut = _avg_down3d(x, self.out_dim, ft, fs)
+        d = self.in_dim
+        for j in range(self.num_res_blocks):
+            x = WanResidualBlock(d, self.out_dim, self.dtype, name=f"resnets_{j}")(x)
+            d = self.out_dim
+        if self.down_flag:
+            mode = "downsample3d" if self.temporal_down else "downsample2d"
+            x = WanResample(self.out_dim, mode, self.dtype, name="downsampler")(x)
+        return x + shortcut
+
+
+class WanResidualUpBlock(nn.Module):
+    """wan2.2 up block: resnets (+ optional resample at full width) with a
+    parameter-free DupUp3D shortcut (diffusers WanResidualUpBlock)."""
+
+    in_dim: int
+    out_dim: int
+    num_res_blocks: int
+    temporal_up: bool
+    up_flag: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = None
+        if self.up_flag:
+            ft = 2 if self.temporal_up else 1
+            shortcut = _dup_up3d(x, self.out_dim, ft, 2)
+        d = self.in_dim
+        for j in range(self.num_res_blocks + 1):
+            x = WanResidualBlock(d, self.out_dim, self.dtype, name=f"resnets_{j}")(x)
+            d = self.out_dim
+        if self.up_flag:
+            mode = "upsample3d" if self.temporal_up else "upsample2d"
+            x = WanResample(self.out_dim, mode, self.dtype,
+                            up_out=self.out_dim, name="upsampler")(x)
+            x = x + shortcut
         return x
 
 
@@ -245,6 +397,15 @@ class WanEncoder3d(nn.Module):
         x = WanCausalConv3d(dims[0], dtype=cfg.dtype, name="conv_in")(x)
         bi = 0
         for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:])):
+            last = i == len(cfg.dim_mult) - 1
+            if cfg.is_residual:
+                x = WanResidualDownBlock(
+                    in_dim, out_dim, cfg.num_res_blocks,
+                    temporal_down=(not last) and cfg.temperal_downsample[i],
+                    down_flag=not last, dtype=cfg.dtype, name=f"down_blocks_{bi}",
+                )(x)
+                bi += 1
+                continue
             for _ in range(cfg.num_res_blocks):
                 x = WanResidualBlock(in_dim, out_dim, cfg.dtype, name=f"down_blocks_{bi}")(x)
                 bi += 1
@@ -252,7 +413,7 @@ class WanEncoder3d(nn.Module):
                     x = WanAttentionBlock(out_dim, cfg.dtype, name=f"down_blocks_{bi}")(x)
                     bi += 1
                 in_dim = out_dim
-            if i != len(cfg.dim_mult) - 1:
+            if not last:
                 mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
                 x = WanResample(out_dim, mode, cfg.dtype, name=f"down_blocks_{bi}")(x)
                 bi += 1
@@ -287,21 +448,31 @@ class WanDecoder3d(nn.Module):
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
-        dims = [cfg.base_dim * u
+        base = cfg.decoder_base_dim or cfg.base_dim
+        dims = [base * u
                 for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
         ups = cfg.temperal_upsample
         x = WanCausalConv3d(dims[0], dtype=cfg.dtype, name="conv_in")(z)
         x = WanMidBlock(dims[0], cfg.dtype, name="mid_block")(x)
         for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:])):
+            last = i == len(cfg.dim_mult) - 1
+            if cfg.is_residual:
+                x = WanResidualUpBlock(
+                    in_dim, out_dim, cfg.num_res_blocks,
+                    temporal_up=(not last) and ups[i], up_flag=not last,
+                    dtype=cfg.dtype, name=f"up_blocks_{i}",
+                )(x)
+                continue
             if i > 0:
                 in_dim = in_dim // 2  # previous upsampler halved the channels
             mode = None
-            if i != len(cfg.dim_mult) - 1:
+            if not last:
                 mode = "upsample3d" if ups[i] else "upsample2d"
             x = WanUpBlock(in_dim, out_dim, cfg.num_res_blocks, mode, cfg.dtype,
                            name=f"up_blocks_{i}")(x)
         x = WanRMSNorm(x.shape[-1], name="norm_out")(x)
-        return WanCausalConv3d(cfg.in_channels, dtype=cfg.dtype, name="conv_out")(nn.silu(x))
+        out_c = cfg.in_channels * cfg.patch_size ** 2
+        return WanCausalConv3d(out_c, dtype=cfg.dtype, name="conv_out")(nn.silu(x))
 
 
 class WanVAE(nn.Module):
@@ -325,7 +496,8 @@ class WanVAE(nn.Module):
         return mean, std
 
     def encode(self, x: jax.Array, rng: jax.Array | None = None) -> jax.Array:
-        """x: [B, T, H, W, 3] in [-1, 1], T = 4k+1 -> [B, k+1, H/8, W/8, z]."""
+        """x: [B, T, H, W, 3] in [-1, 1], T = 4k+1 -> [B, k+1, H/sd, W/sd, z]."""
+        x = vae_patchify(x, self.cfg.patch_size)
         moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         if rng is not None:
@@ -336,12 +508,16 @@ class WanVAE(nn.Module):
 
     def raw_moments(self, x: jax.Array) -> jax.Array:
         """Unnormalized encoder moments [B, t, h, w, 2z] (golden tests)."""
-        return self.quant_conv(self.encoder(x))
+        return self.quant_conv(self.encoder(vae_patchify(x, self.cfg.patch_size)))
 
     def decode(self, z: jax.Array) -> jax.Array:
         lm, ls = self._stats()
         z = (z.astype(jnp.float32) * ls + lm).astype(z.dtype)
-        return self.decoder(self.post_quant_conv(z))
+        y = self.decoder(self.post_quant_conv(z))
+        y = vae_unpatchify(y, self.cfg.patch_size)
+        if self.cfg.clip_output:
+            y = jnp.clip(y, -1.0, 1.0)
+        return y
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.decode(self.encode(x))

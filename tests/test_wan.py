@@ -188,3 +188,42 @@ def test_wan_i2v_generation_with_ctrl_img(tmp_path):
     frames2, _ = generate_video(model, variables, gen2)
     assert frames.shape == frames2.shape
     assert np.abs(frames.astype(np.int32) - frames2.astype(np.int32)).max() > 0
+
+
+def test_wan22_5b_single_stage_residual_vae():
+    """wan22_5b is a single transformer (no multistage) riding the 2.2
+    residual/patchified VAE (wan22_5b_model.py:83, 16x + 2x2 patch)."""
+    model = get_model_class("wan22_5b")(
+        ModelConfig(arch="wan22_5b", model_kwargs={"size": "tiny"})
+    )
+    assert not model.multistage
+    assert model.vae_config.is_residual and model.vae_config.patch_size == 2
+    variables = model.init_variables(jax.random.key(0))
+    assert "dit_low" not in variables
+    td = model.vae_config.temporal_downscale
+    sd = model.vae_config.spatial_downscale
+    vid = jax.random.uniform(jax.random.key(0), (1, td + 1, 2 * sd, 2 * sd, 3)) * 2 - 1
+    lat = model.encode_images(variables, vid)
+    t_, h, w, c = model.latent_shape(2 * sd, 2 * sd, num_frames=td + 1)
+    assert lat.shape == (1, t_, h, w, c)
+    dec = model.decode_latents(variables, lat)
+    assert dec.shape == vid.shape
+    cond = model.encode_prompt(variables, ["x"])
+    cond = {**cond, "pe": model.rope_table(t_, h, w)}
+    noisy = jax.random.normal(jax.random.key(1), (1, t_, h, w, c))
+    out = model.predict(variables, noisy, jnp.array([0.5]), cond)
+    assert out.shape == noisy.shape
+
+
+def test_wan22_5b_real_size_configs():
+    """5b config dims: 48-ch latents, 16x spatial VAE, divisibility 32."""
+    model_cls = get_model_class("wan22_5b")
+    m = model_cls.__new__(model_cls)
+    from ai_toolkit_tpu.models.wan_dit import WanConfig
+    from ai_toolkit_tpu.models.wan_vae import WanVAEConfig
+
+    dit = WanConfig.wan22_5b()
+    vae = WanVAEConfig.wan22_5b()
+    assert dit.in_channels == vae.z_dim == 48
+    assert vae.spatial_downscale == 16 and vae.temporal_downscale == 4
+    assert dit.dim == 3072 and dit.num_layers == 30
