@@ -48,14 +48,32 @@ def generate_flux(
     if lora:
         variables = merge_variables(variables, {"lora": lora})
 
+    # x-prediction archs (PRX pixel): the model outputs x0; CFG is applied on
+    # x0 and the velocity the euler step consumes is (x_t - x0) / max(t, .05)
+    # (reference prx src/pipeline.py:136-143). Initial noise is scaled by the
+    # arch's trained noise std.
+    x0_pred = bool(getattr(model, "x0_prediction", False))
+    neg_cond = None
+    if x0_pred and gen.guidance_scale and gen.guidance_scale != 1.0:
+        neg = model.encode_prompt(variables, [gen.negative_prompt or ""])
+        neg_cond = {**neg, "pe": pe}
+
     rng = jax.random.key(gen.seed)
     x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
+    x = x * float(getattr(model, "noise_scale", 1.0))
     seq_len = model.image_seq_len(gen.height, gen.width)
     sigmas = schedule.inference_sigmas(gen.sample_steps, image_seq_len=seq_len)
 
     @jax.jit
     def denoise(x, sigma, sigma_next):
-        v = model.predict(variables, x, jnp.full((1,), sigma), cond)
+        pred = model.predict(variables, x, jnp.full((1,), sigma), cond)
+        if neg_cond is not None:
+            pred_n = model.predict(variables, x, jnp.full((1,), sigma), neg_cond)
+            pred = pred_n + gen.guidance_scale * (pred - pred_n)
+        if x0_pred:
+            v = (x - pred.astype(jnp.float32)) / jnp.maximum(sigma, 0.05)
+        else:
+            v = pred
         return schedule.euler_step(x, v, sigma, sigma_next)
 
     for i in range(gen.sample_steps):

@@ -851,3 +851,78 @@ def load_boogu_checkpoint(path: str, model) -> dict:
         if tree:
             variables["te"] = _merge_imported(variables["te"], tree, "boogu mllm")
     return variables
+
+
+# ---------------------------------------------------------------- prx
+
+
+def prx_rules(scan_blocks: bool = True) -> list[Rule]:
+    r"""PRXTransformer2DModel (vendored diffusers layout,
+    ``extensions_built_in/diffusion_models/prx_pixel_t2i/src/transformer_prx.py``)
+    -> PRXDiT tree. Covers both the single-linear ``img_in`` and the two-layer
+    bottleneck ``img_in.0/.1`` variants."""
+    b = "blocks/block/" if scan_blocks else "block_{0}/"
+    L = "linear_stack" if scan_blocks else "linear"
+    D = "direct_stack" if scan_blocks else "direct"
+    p = r"blocks\.(\d+)\."
+    rules: list[Rule] = [
+        (r"img_in\.weight", "img_in/kernel", "linear"),
+        (r"img_in\.bias", "img_in/bias", "direct"),
+        (r"img_in\.0\.weight", "img_in_0/kernel", "linear"),
+        (r"img_in\.0\.bias", "img_in_0/bias", "direct"),
+        (r"img_in\.1\.weight", "img_in_1/kernel", "linear"),
+        (r"img_in\.1\.bias", "img_in_1/bias", "direct"),
+        (r"txt_in\.weight", "txt_in/kernel", "linear"),
+        (r"txt_in\.bias", "txt_in/bias", "direct"),
+        (r"time_in\.in_layer\.weight", "time_in/in_layer/kernel", "linear"),
+        (r"time_in\.in_layer\.bias", "time_in/in_layer/bias", "direct"),
+        (r"time_in\.out_layer\.weight", "time_in/out_layer/kernel", "linear"),
+        (r"time_in\.out_layer\.bias", "time_in/out_layer/bias", "direct"),
+        (r"resolution_embedder\.mlp\.in_layer\.weight", "res_embed/in_layer/kernel", "linear"),
+        (r"resolution_embedder\.mlp\.in_layer\.bias", "res_embed/in_layer/bias", "direct"),
+        (r"resolution_embedder\.mlp\.out_layer\.weight", "res_embed/out_layer/kernel", "linear"),
+        (r"resolution_embedder\.mlp\.out_layer\.bias", "res_embed/out_layer/bias", "direct"),
+        (p + r"modulation\.lin\.weight", b + "mod/kernel", L),
+        (p + r"modulation\.lin\.bias", b + "mod/bias", D),
+        (p + r"attention\.img_qkv_proj\.weight", b + "img_qkv/kernel", L),
+        (p + r"attention\.txt_kv_proj\.weight", b + "txt_kv/kernel", L),
+        (p + r"attention\.norm_q\.weight", b + "q_norm", D),
+        (p + r"attention\.norm_k\.weight", b + "k_norm", D),
+        (p + r"attention\.norm_added_k\.weight", b + "added_k_norm", D),
+        (p + r"attention\.to_out\.0\.weight", b + "attn_out/kernel", L),
+        (p + r"gate_proj\.weight", b + "gate/kernel", L),
+        (p + r"up_proj\.weight", b + "up/kernel", L),
+        (p + r"down_proj\.weight", b + "down/kernel", L),
+        (r"final_layer\.linear\.weight", "final_proj/kernel", "linear"),
+        (r"final_layer\.linear\.bias", "final_proj/bias", "direct"),
+        (r"final_layer\.adaLN_modulation\.1\.weight", "final_mod/kernel", "linear"),
+        (r"final_layer\.adaLN_modulation\.1\.bias", "final_mod/bias", "direct"),
+    ]
+    return rules
+
+
+def load_prx_checkpoint(path: str, model) -> dict:
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        tree, unmatched = torch_to_tree(flat, prx_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"prx import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "prx dit")
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+
+    tedir = os.path.join(path, "text_encoder")
+    if os.path.isdir(tedir):
+        flat = load_safetensors_dir(tedir)
+        # Qwen3-VL composite saves nest the text tower under model.language_model.*
+        flat = {k.replace("model.language_model.", "model."): v for k, v in flat.items()}
+        tree, _ = torch_to_tree(flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "prx text_encoder")
+    return variables

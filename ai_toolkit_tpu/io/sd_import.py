@@ -334,6 +334,9 @@ def llm_rules(gemma: bool = False) -> list[Rule]:
         (p + r"self_attn\.v_proj\.weight", "layer_{0}/v/kernel", "linear"),
         (p + r"self_attn\.v_proj\.bias", "layer_{0}/v/bias", "direct"),
         (p + r"self_attn\.o_proj\.weight", "layer_{0}/o/kernel", "linear"),
+        # Qwen3 per-head q/k RMSNorms (shape [head_dim]); absent elsewhere
+        (p + r"self_attn\.q_norm\.weight", "layer_{0}/q_norm/scale", norm),
+        (p + r"self_attn\.k_norm\.weight", "layer_{0}/k_norm/scale", norm),
         (p + r"input_layernorm\.weight", "layer_{0}/input_norm/scale", norm),
         (p + r"mlp\.gate_proj\.weight", "layer_{0}/gate/kernel", "linear"),
         (p + r"mlp\.up_proj\.weight", "layer_{0}/up/kernel", "linear"),

@@ -270,6 +270,14 @@ class SDTrainProcess:
 
         # 8. train step (jitted with shardings)
         step_cfg = TrainStepConfig.from_train_config(tc)
+        if getattr(model, "x0_prediction", False) or getattr(model, "noise_scale", 1.0) != 1.0:
+            from dataclasses import replace as _dc_replace
+
+            step_cfg = _dc_replace(
+                step_cfg,
+                x0_target=bool(getattr(model, "x0_prediction", False)),
+                model_noise_scale=float(getattr(model, "noise_scale", 1.0)),
+            )
         if getattr(model, "multistage", False) and tc.switch_boundary_every > 1:
             from dataclasses import replace as _dc_replace
 

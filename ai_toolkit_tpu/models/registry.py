@@ -45,4 +45,5 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.flux2_model  # noqa: F401
     import ai_toolkit_tpu.models.f_lite  # noqa: F401
     import ai_toolkit_tpu.models.boogu_dit  # noqa: F401
+    import ai_toolkit_tpu.models.prx_dit  # noqa: F401
     import ai_toolkit_tpu.models.extra_archs  # noqa: F401

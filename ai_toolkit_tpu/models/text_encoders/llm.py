@@ -57,6 +57,8 @@ class LLMConfig:
     # (query_pre_attn_scalar**-0.5; None = 1/sqrt(head_dim))
     attn_softcap: float = 0.0
     query_scale: float | None = None
+    # Qwen3(-VL): per-head RMSNorm on q/k before rope (HF q_norm/k_norm)
+    qk_head_norm: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -78,6 +80,17 @@ class LLMConfig:
             vocab_size=152_064, d_model=3584, n_layers=28, n_heads=28, n_kv_heads=4,
             head_dim=128, d_ff=18944, rope_theta=1_000_000.0, qkv_bias=True,
             rms_eps=1e-6,
+        )
+
+    @classmethod
+    def qwen3_2b(cls) -> "LLMConfig":
+        """Qwen3-1.7B-class text tower (the PRX pixel TE family): hidden 2048,
+        GQA 16/8, per-head qk norms, no qkv bias. Real dims come from the
+        checkpoint's text_encoder/config.json at import time."""
+        return cls(
+            vocab_size=151_936, d_model=2048, n_layers=28, n_heads=16, n_kv_heads=8,
+            head_dim=128, d_ff=6144, rope_theta=1_000_000.0, rms_eps=1e-6,
+            qk_head_norm=True,
         )
 
     @classmethod
@@ -116,8 +129,14 @@ class LLMLayer(nn.Module):
         q = Linear(nh * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="q")(h)
         k = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="k")(h)
         v = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="v")(h)
-        q = _llm_rope(q.reshape(b, s, nh, hd), cfg.rope_theta)
-        k = _llm_rope(k.reshape(b, s, nkv, hd), cfg.rope_theta)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        if cfg.qk_head_norm:
+            # Qwen3: RMSNorm over head_dim on each q/k head, before rope
+            q = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="q_norm")(q)
+            k = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="k_norm")(k)
+        q = _llm_rope(q, cfg.rope_theta)
+        k = _llm_rope(k, cfg.rope_theta)
         v = v.reshape(b, s, nkv, hd)
         if nkv != nh:  # GQA: repeat kv heads
             rep = nh // nkv

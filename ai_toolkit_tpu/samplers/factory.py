@@ -27,7 +27,8 @@ def get_schedule(name: str, arch: str | None = None, **overrides: Any):
         overrides["weighting_table"] = tuple(wt)
     if name in ("flowmatch", "flowmatch_euler", "mean_flow"):
         defaults: dict[str, Any] = {}
-        if arch in ("sd3",):
+        if arch in ("sd3", "prx_pixel", "prx"):
+            # prx: released scheduler_config.json (prx_pixel_t2i.py:66-70)
             defaults = {"shift": 3.0, "use_dynamic_shifting": False}
         elif arch in ("lumina2",):
             defaults = {"shift": 6.0, "use_dynamic_shifting": False}

@@ -63,6 +63,14 @@ class TrainStepConfig:
     # scalars adapt online so |gamma / ((snr+o1)*scale+o2)| balances the
     # per-timestep loss against a rolling mean target. DDPM schedules only.
     learnable_snr: bool = False
+    # x-prediction archs (PRX pixel): the model outputs the clean x0, so the
+    # regression target is the clean latents, not the schedule's velocity/eps
+    # (reference prx_pixel_t2i.get_loss_target)
+    x0_target: bool = False
+    # arch-defined noise std multiplier (PRX noise_scale=2.0,
+    # prx_pixel_t2i.get_latent_noise_from_latents); composes with the user's
+    # noise_multiplier knob
+    model_noise_scale: float = 1.0
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -195,6 +203,8 @@ def make_train_step(
             t = schedule.sample_timesteps(rng_t, b)
 
         noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+        if cfg.model_noise_scale != 1.0:
+            noise = noise * cfg.model_noise_scale
         if cfg.noise_multiplier != 1.0:
             noise = noise * cfg.noise_multiplier
         if cfg.noise_offset:
@@ -216,7 +226,7 @@ def make_train_step(
             noise = noise + (blur * strength).astype(noise.dtype)
 
         noisy = schedule.add_noise(latents, noise, t)
-        target = schedule.target(latents, noise, t)
+        target = latents if cfg.x0_target else schedule.target(latents, noise, t)
         if cfg.noisy_multiplier != 1.0:
             noisy = noisy * cfg.noisy_multiplier
 
@@ -445,8 +455,10 @@ def _eval_loss(predict_fn, schedule, cfg, state, batch, rng, seq_len):
     else:
         t = schedule.sample_timesteps(rng_t, b)
     noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+    if cfg.model_noise_scale != 1.0:
+        noise = noise * cfg.model_noise_scale
     noisy = schedule.add_noise(latents, noise, t)
-    target = schedule.target(latents, noise, t)
+    target = latents if cfg.x0_target else schedule.target(latents, noise, t)
     variables = merge_variables(state.model_variables, state.trainable)
     cond = batch.get("cond", {})
     audio_target = None

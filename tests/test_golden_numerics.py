@@ -169,6 +169,33 @@ def test_qwen2_encoder_matches_transformers():
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
 
 
+def test_qwen3_encoder_matches_transformers():
+    """Qwen3 flavor: per-head q/k RMSNorm before rope, no qkv bias.
+    (PRX-pixel's text tower; ref extensions_built_in/diffusion_models/prx.)"""
+    from transformers import Qwen3Config, Qwen3Model
+
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+
+    hf = Qwen3Model(Qwen3Config(
+        vocab_size=1000, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        rope_theta=1_000_000.0, rms_norm_eps=1e-6, attention_bias=False,
+    )).eval()
+    flat = {k: v.numpy() for k, v in hf.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, llm_rules())
+    assert not unmatched, unmatched[:8]
+
+    ours = LLMEncoder(LLMConfig.tiny(
+        rms_eps=1e-6, rope_theta=1_000_000.0, qk_head_norm=True,
+    ))
+    ids = np.random.default_rng(3).integers(1, 999, (2, 11)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).last_hidden_state
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
 def test_gemma2_encoder_matches_transformers():
     """Gemma2 flavor: (1+w) RMSNorms, post-norms, embed scaling, tanh-gelu,
     attention-logit softcapping, query_pre_attn_scalar."""
