@@ -53,16 +53,30 @@ def generate_flux(
     # (reference prx src/pipeline.py:136-143). Initial noise is scaled by the
     # arch's trained noise std.
     x0_pred = bool(getattr(model, "x0_prediction", False))
+    # real-CFG flow archs: either a negative-prompt pass (PRX) or an
+    # image-only zero-text pass (ideogram4's asymmetric CFG)
     neg_cond = None
-    if x0_pred and gen.guidance_scale and gen.guidance_scale != 1.0:
-        neg = model.encode_prompt(variables, [gen.negative_prompt or ""])
-        neg_cond = {**neg, "pe": pe}
+    if gen.guidance_scale and gen.guidance_scale != 1.0:
+        if getattr(model, "cfg_uncond", None) == "zero_text":
+            neg_cond = {
+                **cond,
+                "txt": jnp.zeros_like(cond["txt"]),
+                "txt_mask": jnp.zeros_like(cond["txt_mask"]),
+            }
+        elif x0_pred:
+            neg = model.encode_prompt(variables, [gen.negative_prompt or ""])
+            neg_cond = {**neg, "pe": pe}
 
     rng = jax.random.key(gen.seed)
     x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
     x = x * float(getattr(model, "noise_scale", 1.0))
     seq_len = model.image_seq_len(gen.height, gen.width)
-    sigmas = schedule.inference_sigmas(gen.sample_steps, image_seq_len=seq_len)
+    if hasattr(model, "inference_sigmas"):
+        # arch-specific schedule (ideogram4 resolution-aware logit-normal)
+        sigmas = jnp.asarray(model.inference_sigmas(gen.sample_steps, gen.height, gen.width))
+        x = x * sigmas[0]
+    else:
+        sigmas = schedule.inference_sigmas(gen.sample_steps, image_seq_len=seq_len)
 
     @jax.jit
     def denoise(x, sigma, sigma_next):

@@ -926,3 +926,82 @@ def load_prx_checkpoint(path: str, model) -> dict:
         if tree:
             variables["te"] = _merge_imported(variables["te"], tree, "prx text_encoder")
     return variables
+
+
+# ---------------------------------------------------------------- ideogram4
+
+
+def ideogram_rules(scan_blocks: bool = True) -> list[Rule]:
+    r"""Ideogram4Transformer2DModel (vendored layout,
+    ``extensions_built_in/diffusion_models/ideogram4/src/transformer.py``)
+    -> Ideogram4DiT tree."""
+    b = "layers/block/" if scan_blocks else "layer_{0}/"
+    L = "linear_stack" if scan_blocks else "linear"
+    D = "direct_stack" if scan_blocks else "direct"
+    p = r"layers\.(\d+)\."
+    return [
+        (r"input_proj\.weight", "input_proj/kernel", "linear"),
+        (r"input_proj\.bias", "input_proj/bias", "direct"),
+        (r"llm_cond_norm\.weight", "llm_cond_norm", "direct"),
+        (r"llm_cond_proj\.weight", "llm_cond_proj/kernel", "linear"),
+        (r"llm_cond_proj\.bias", "llm_cond_proj/bias", "direct"),
+        (r"t_embedding\.mlp_in\.weight", "t_mlp_in/kernel", "linear"),
+        (r"t_embedding\.mlp_in\.bias", "t_mlp_in/bias", "direct"),
+        (r"t_embedding\.mlp_out\.weight", "t_mlp_out/kernel", "linear"),
+        (r"t_embedding\.mlp_out\.bias", "t_mlp_out/bias", "direct"),
+        (r"adaln_proj\.weight", "adaln_proj/kernel", "linear"),
+        (r"adaln_proj\.bias", "adaln_proj/bias", "direct"),
+        (r"embed_image_indicator\.weight", "image_indicator", "direct"),
+        (p + r"attention\.qkv\.weight", b + "qkv/kernel", L),
+        (p + r"attention\.norm_q\.weight", b + "q_norm", D),
+        (p + r"attention\.norm_k\.weight", b + "k_norm", D),
+        (p + r"attention\.o\.weight", b + "o/kernel", L),
+        (p + r"attention_norm1\.weight", b + "attn_norm1", D),
+        (p + r"attention_norm2\.weight", b + "attn_norm2", D),
+        (p + r"ffn_norm1\.weight", b + "ffn_norm1", D),
+        (p + r"ffn_norm2\.weight", b + "ffn_norm2", D),
+        (p + r"adaln_modulation\.weight", b + "adaln/kernel", L),
+        (p + r"adaln_modulation\.bias", b + "adaln/bias", D),
+        (p + r"feed_forward\.w1\.weight", b + "w1/kernel", L),
+        (p + r"feed_forward\.w2\.weight", b + "w2/kernel", L),
+        (p + r"feed_forward\.w3\.weight", b + "w3/kernel", L),
+        (r"final_layer\.linear\.weight", "final_linear/kernel", "linear"),
+        (r"final_layer\.linear\.bias", "final_linear/bias", "direct"),
+        (r"final_layer\.adaln_modulation\.weight", "final_adaln/kernel", "linear"),
+        (r"final_layer\.adaln_modulation\.bias", "final_adaln/bias", "direct"),
+    ]
+
+
+def load_ideogram_checkpoint(path: str, model) -> dict:
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        tree, unmatched = torch_to_tree(flat, ideogram_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"ideogram4 import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "ideogram4 dit")
+    from ai_toolkit_tpu.io.sd_import import llm_rules, vae_rules
+
+    vdir = os.path.join(path, "vae")
+    if os.path.isdir(vdir):
+        flat = load_safetensors_dir(vdir)
+        tree, _ = torch_to_tree(
+            flat, vae_rules(len(model.vae_config.channel_multipliers),
+                            model.vae_config.layers_per_block))
+        if tree:
+            variables["vae"] = _merge_imported(variables["vae"], tree, "ideogram4 vae")
+    tedir = os.path.join(path, "text_encoder")
+    if os.path.isdir(tedir):
+        flat = load_safetensors_dir(tedir)
+        # stock Qwen3-VL: text tower under model.language_model.*
+        flat = {k.replace("model.language_model.", "model."): v for k, v in flat.items()}
+        tree, _ = torch_to_tree(flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "ideogram4 text_encoder")
+    return variables

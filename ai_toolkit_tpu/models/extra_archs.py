@@ -11,7 +11,6 @@ the real checkpoint config can set exact dims without code changes.
 | arch          | plugin dir        | known dims (src)                          |
 |---------------|-------------------|-------------------------------------------|
 | f-lite        | f_light           | cross/joint 1152 x 28, 16 heads, 4ch VAE, T5 TE (src/model.py:311-315) |
-| ideogram4     | ideogram4         | 34 layers, 18 heads, in 128 (32ch packed), Qwen3-VL TE (src/transformer.py:46-52) |
 | mageflow(+edit) | mageflow        | flux-style double+single, Qwen3-VL TE, 128ch/16x MageVAE (mageflow.py:11-14) |
 | anima         | anima             | Qwen3-VL-conditioned DiT (anima.py:220)   |
 | nucleus_image | nucleus_image     | Qwen3-VL TE (nucleus_image_model.py:132)  |
@@ -47,8 +46,6 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 # hidden, heads, head_dim, depth_double, depth_single, ctx_dim, vae, te, llm_d
 _SPECS: dict[str, dict] = {
-    "ideogram4": dict(hidden=2304, heads=18, head_dim=128, dd=0, ds=34, ctx=2048,
-                      vae="flux2", te="llm", llm_d=2048),
     "anima": dict(hidden=2048, heads=16, head_dim=128, dd=0, ds=24, ctx=2048,
                   vae="flux", te="llm", llm_d=2048),
     "nucleus_image": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=28, ctx=2048,

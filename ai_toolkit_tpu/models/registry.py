@@ -46,4 +46,5 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.f_lite  # noqa: F401
     import ai_toolkit_tpu.models.boogu_dit  # noqa: F401
     import ai_toolkit_tpu.models.prx_dit  # noqa: F401
+    import ai_toolkit_tpu.models.ideogram_dit  # noqa: F401
     import ai_toolkit_tpu.models.extra_archs  # noqa: F401

@@ -32,6 +32,9 @@ def get_schedule(name: str, arch: str | None = None, **overrides: Any):
             defaults = {"shift": 3.0, "use_dynamic_shifting": False}
         elif arch in ("lumina2",):
             defaults = {"shift": 6.0, "use_dynamic_shifting": False}
+        elif arch in ("ideogram4",):
+            # released scheduler_config (ideogram4.py:41-53): plain flow times
+            defaults = {"shift": 1.0, "use_dynamic_shifting": False}
         elif arch in ("flux", "flex1", "flex2", "flux_kontext", "chroma"):
             defaults = {"use_dynamic_shifting": True}
         defaults.update(overrides)
