@@ -1005,3 +1005,137 @@ def load_ideogram_checkpoint(path: str, model) -> dict:
         if tree:
             variables["te"] = _merge_imported(variables["te"], tree, "ideogram4 text_encoder")
     return variables
+
+
+# ---------------------------------------------------------------- mage vae
+
+
+def _mage_dico_rules(src: str, dst: str, modulated: bool) -> list[Rule]:
+    """One DiCo block family. src has the layer index as group 0."""
+    rules: list[Rule] = [
+        (src + r"conv1\.weight", dst + "conv1/kernel", "conv2d"),
+        (src + r"conv1\.bias", dst + "conv1/bias", "direct"),
+        (src + r"conv2\.weight", dst + "conv2/kernel", "conv2d"),
+        (src + r"conv2\.bias", dst + "conv2/bias", "direct"),
+        (src + r"conv3\.weight", dst + "conv3/kernel", "conv2d"),
+        (src + r"conv3\.bias", dst + "conv3/bias", "direct"),
+        (src + r"ca\.1\.weight", dst + "ca/conv/kernel", "conv2d"),
+        (src + r"ca\.1\.bias", dst + "ca/conv/bias", "direct"),
+        (src + r"conv4\.weight", dst + "conv4/kernel", "conv2d"),
+        (src + r"conv4\.bias", dst + "conv4/bias", "direct"),
+        (src + r"conv5\.weight", dst + "conv5/kernel", "conv2d"),
+        (src + r"conv5\.bias", dst + "conv5/bias", "direct"),
+    ]
+    if modulated:
+        rules += [
+            (src + r"adaLN_modulation\.1\.weight", dst + "adaln/kernel", "linear"),
+            (src + r"adaLN_modulation\.1\.bias", dst + "adaln/bias", "direct"),
+        ]
+    else:
+        rules += [
+            (src + r"norm1\.weight", dst + "norm1/scale", "direct"),
+            (src + r"norm1\.bias", dst + "norm1/bias", "direct"),
+            (src + r"norm2\.weight", dst + "norm2/scale", "direct"),
+            (src + r"norm2\.bias", dst + "norm2/bias", "direct"),
+        ]
+    return rules
+
+
+def mage_vae_rules() -> list[Rule]:
+    r"""MageVAE checkpoint (``mageflow/src/vae.py``: encoder under
+    ``student.dconv_encoder.*``, decoder under ``pipeline.*``) -> MageVAE tree.
+
+    Skipped on purpose: ``pipeline.s_embedder.proj1`` (a patch stem applied to
+    the denoiser's image input, which is always ZERO at decode),
+    ``pipeline.y_embedder.encoder/bottleneck`` (the training-only teacher),
+    and every ``t_embedder``-adjacent buffer the reference also drops.
+    """
+    e = r"student\.dconv_encoder\."
+    d = r"pipeline\."
+    rules: list[Rule] = [
+        (e + r"patch_cond_embed\.weight", "encoder/patch_cond_embed/kernel", "conv2d"),
+        (e + r"patch_cond_embed\.bias", "encoder/patch_cond_embed/bias", "direct"),
+        (e + r"proj_down\.weight", "encoder/proj_down/kernel", "conv2d"),
+        (e + r"proj_down\.bias", "encoder/proj_down/bias", "direct"),
+        (e + r"z_proj\.weight", "encoder/z_proj/kernel", "conv2d"),
+        (e + r"z_proj\.bias", "encoder/z_proj/bias", "direct"),
+        (e + r"fuse_proj\.weight", "encoder/fuse_proj/kernel", "conv2d"),
+        (e + r"fuse_proj\.bias", "encoder/fuse_proj/bias", "direct"),
+        (e + r"t_embedder\.mlp\.0\.weight", "encoder/t_embed/in_layer/kernel", "linear"),
+        (e + r"t_embedder\.mlp\.0\.bias", "encoder/t_embed/in_layer/bias", "direct"),
+        (e + r"t_embedder\.mlp\.2\.weight", "encoder/t_embed/out_layer/kernel", "linear"),
+        (e + r"t_embedder\.mlp\.2\.bias", "encoder/t_embed/out_layer/bias", "direct"),
+        (e + r"norm_out\.weight", "encoder/norm_out/scale", "direct"),
+        (e + r"norm_out\.bias", "encoder/norm_out/bias", "direct"),
+        (e + r"proj_out\.weight", "encoder/proj_out/kernel", "conv2d"),
+        (e + r"proj_out\.bias", "encoder/proj_out/bias", "direct"),
+    ]
+    rules += _mage_dico_rules(e + r"head_blocks\.(\d+)\.", "encoder/head_block_{0}/",
+                              modulated=False)
+    rules += _mage_dico_rules(e + r"blocks\.(\d+)\.", "encoder/block_{0}/",
+                              modulated=True)
+    # denoiser
+    rules += [
+        (d + r"t_embedder\.mlp\.0\.weight", "denoiser/t_embed/in_layer/kernel", "linear"),
+        (d + r"t_embedder\.mlp\.0\.bias", "denoiser/t_embed/in_layer/bias", "direct"),
+        (d + r"t_embedder\.mlp\.2\.weight", "denoiser/t_embed/out_layer/kernel", "linear"),
+        (d + r"t_embedder\.mlp\.2\.bias", "denoiser/t_embed/out_layer/bias", "direct"),
+        (d + r"y_embedder_x\.weight", "denoiser/y_embedder_x/kernel", "conv2d"),
+        (d + r"y_embedder_x\.bias", "denoiser/y_embedder_x/bias", "direct"),
+        (d + r"s_embedder\.proj2\.weight", "denoiser/s_proj2/kernel", "conv2d"),
+        (d + r"s_embedder\.proj2\.bias", "denoiser/s_proj2/bias", "direct"),
+        (d + r"x_embedder\.embedder\.0\.weight", "denoiser/x_embedder/kernel", "linear"),
+        (d + r"x_embedder\.embedder\.0\.bias", "denoiser/x_embedder/bias", "direct"),
+        (d + r"dec_net\.input_proj\.weight", "denoiser/input_proj/kernel", "linear"),
+        (d + r"dec_net\.input_proj\.bias", "denoiser/input_proj/bias", "direct"),
+        (d + r"dec_net\.cond_embed\.weight", "denoiser/cond_embed/kernel", "linear"),
+        (d + r"dec_net\.cond_embed\.bias", "denoiser/cond_embed/bias", "direct"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.in_ln\.weight", "denoiser/res_{0}/in_ln/scale", "direct"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.in_ln\.bias", "denoiser/res_{0}/in_ln/bias", "direct"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.mlp\.0\.weight", "denoiser/res_{0}/mlp_in/kernel", "linear"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.mlp\.0\.bias", "denoiser/res_{0}/mlp_in/bias", "direct"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.mlp\.2\.weight", "denoiser/res_{0}/mlp_out/kernel", "linear"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.mlp\.2\.bias", "denoiser/res_{0}/mlp_out/bias", "direct"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.adaLN_modulation\.1\.weight", "denoiser/res_{0}/adaln/kernel", "linear"),
+        (d + r"dec_net\.res_blocks\.(\d+)\.adaLN_modulation\.1\.bias", "denoiser/res_{0}/adaln/bias", "direct"),
+        (d + r"final_layer\.norm\.weight", "denoiser/final_norm/scale", "direct"),
+        (d + r"final_layer\.linear\.weight", "denoiser/final_linear/kernel", "linear"),
+        (d + r"final_layer\.linear\.bias", "denoiser/final_linear/bias", "direct"),
+    ]
+    rules += _mage_dico_rules(d + r"blocks\.(\d+)\.", "denoiser/block_{0}/",
+                              modulated=True)
+    # CoD decoder
+    c = d + r"y_embedder\.decoder\."
+    rules += [
+        (c + r"conv_in\.weight", "cod/conv_in/kernel", "conv2d"),
+        (c + r"conv_in\.bias", "cod/conv_in/bias", "direct"),
+        (c + r"norm_out\.weight", "cod/norm_out/scale", "direct"),
+        (c + r"norm_out\.bias", "cod/norm_out/bias", "direct"),
+        (c + r"conv_out\.weight", "cod/conv_out/kernel", "conv2d"),
+        (c + r"conv_out\.bias", "cod/conv_out/bias", "direct"),
+    ]
+    for i in (0, 2, 4):  # resnet blocks
+        rules += [
+            (c + rf"block\.{i}\.norm1\.weight", f"cod/res_{i}/norm1/scale", "direct"),
+            (c + rf"block\.{i}\.norm1\.bias", f"cod/res_{i}/norm1/bias", "direct"),
+            (c + rf"block\.{i}\.conv1\.weight", f"cod/res_{i}/conv1/kernel", "conv2d"),
+            (c + rf"block\.{i}\.conv1\.bias", f"cod/res_{i}/conv1/bias", "direct"),
+            (c + rf"block\.{i}\.norm2\.weight", f"cod/res_{i}/norm2/scale", "direct"),
+            (c + rf"block\.{i}\.norm2\.bias", f"cod/res_{i}/norm2/bias", "direct"),
+            (c + rf"block\.{i}\.conv2\.weight", f"cod/res_{i}/conv2/kernel", "conv2d"),
+            (c + rf"block\.{i}\.conv2\.bias", f"cod/res_{i}/conv2/bias", "direct"),
+        ]
+    for i in (1, 3):  # patched attention blocks
+        rules += [
+            (c + rf"block\.{i}\.norm\.weight", f"cod/attn_{i}/norm/scale", "direct"),
+            (c + rf"block\.{i}\.norm\.bias", f"cod/attn_{i}/norm/bias", "direct"),
+            (c + rf"block\.{i}\.q\.weight", f"cod/attn_{i}/q/kernel", "conv2d"),
+            (c + rf"block\.{i}\.q\.bias", f"cod/attn_{i}/q/bias", "direct"),
+            (c + rf"block\.{i}\.k\.weight", f"cod/attn_{i}/k/kernel", "conv2d"),
+            (c + rf"block\.{i}\.k\.bias", f"cod/attn_{i}/k/bias", "direct"),
+            (c + rf"block\.{i}\.v\.weight", f"cod/attn_{i}/v/kernel", "conv2d"),
+            (c + rf"block\.{i}\.v\.bias", f"cod/attn_{i}/v/bias", "direct"),
+            (c + rf"block\.{i}\.proj_out\.weight", f"cod/attn_{i}/proj_out/kernel", "conv2d"),
+            (c + rf"block\.{i}\.proj_out\.bias", f"cod/attn_{i}/proj_out/bias", "direct"),
+        ]
+    return rules

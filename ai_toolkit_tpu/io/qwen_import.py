@@ -158,4 +158,29 @@ def load_qwen_checkpoint(path: str, model) -> dict:
             jax.random.key(0), jax.numpy.zeros((1, 1, 2 * sd_, 2 * sd_, 3))
         )["params"]
         variables["vae"] = _merge_imported(ref, tree, "qwen vae")
+    elif getattr(model, "_vae_mage", False) and os.path.isdir(vae_dir):
+        # mageflow: exact MageVAE (student.dconv_encoder.* / pipeline.* keys)
+        from ai_toolkit_tpu.io.dit_importers import mage_vae_rules
+        from ai_toolkit_tpu.io.flux_import import _merge_imported
+        from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+        flat = load_safetensors_dir(vae_dir)
+        tree, unmatched = torch_to_tree(flat, mage_vae_rules())
+        skip = ("s_embedder.proj1", "y_embedder.encoder", "y_embedder.bottleneck")
+        unmatched = [k for k in unmatched if not any(s in k for s in skip)]
+        if unmatched:
+            print(f"mage vae import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["vae"] = _merge_imported(variables["vae"], tree, "mage vae")
+    # mageflow TE: Qwen3-VL text tower (final hidden states)
+    tedir = os.path.join(path, "text_encoder")
+    if getattr(model, "is_mageflow", False) and os.path.isdir(tedir):
+        from ai_toolkit_tpu.io.flux_import import _merge_imported
+        from ai_toolkit_tpu.io.sd_import import llm_rules
+        from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+        flat = load_safetensors_dir(tedir)
+        flat = {k.replace("model.language_model.", "model."): v for k, v in flat.items()}
+        tree, _ = torch_to_tree(flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "mageflow te")
     return variables

@@ -593,6 +593,13 @@ class BooguModel(BaseTpuModel):
             from ai_toolkit_tpu.io.dit_importers import load_boogu_checkpoint
 
             return load_boogu_checkpoint(path, self)
+        if path:
+            # loud failure beats silently training against random weights
+            raise FileNotFoundError(
+                f"arch '{self.config.arch}': no transformer/ checkpoint found "
+                f"under '{path}' — refusing to random-init a named model. Use "
+                f'name_or_path: "" for architecture experiments from scratch.'
+            )
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:

@@ -404,6 +404,13 @@ class Ideogram4Model(BaseTpuModel):
             from ai_toolkit_tpu.io.dit_importers import load_ideogram_checkpoint
 
             return load_ideogram_checkpoint(path, self)
+        if path:
+            # loud failure beats silently training against random weights
+            raise FileNotFoundError(
+                f"arch '{self.config.arch}': no transformer/ checkpoint found "
+                f"under '{path}' — refusing to random-init a named model. Use "
+                f'name_or_path: "" for architecture experiments from scratch.'
+            )
         return self.init_variables(rng)
 
     # ---- conditioning ----

@@ -60,21 +60,27 @@ class QwenImageModel(BaseTpuModel):
         self.is_mageflow = (config.arch or "").startswith("mageflow")
         size = config.model_kwargs.get("size", "full")
         self._vae_3d = False
+        self._vae_mage = False
         if size == "tiny":
             base = FluxConfig.tiny()
+            self.vae_config = VAEConfig.tiny()
             self.dit_config = FluxConfig(**{
                 **base.__dict__, "depth_double": 2, "depth_single": 0, "guidance_embed": False,
+                # mageflow: one token per latent pixel (patch 1), no 2x2 pack
+                **({"in_channels": self.vae_config.latent_channels}
+                   if self.is_mageflow else {}),
             })
-            self.vae_config = VAEConfig.tiny()
             self.llm_config = LLMConfig.tiny()
             self.max_txt_len = 16
         elif self.is_mageflow:
             # MageFlow NR-MMDiT (reference extensions_built_in/diffusion_models/
             # mageflow/src/transformer.py:485-727): qwen-image block structure
             # (joint to_q/add_q_proj attention, 6-way img/txt mod, gelu-approx
-            # MLPs), dims from the checkpoint's transformer/config.json; the
-            # vendored MageVAE is 128-ch/16x (latent stand-in here — DiCo/NeRF
-            # decoder import is an open gap), Qwen3-family text encoder.
+            # MLPs), dims from the checkpoint's transformer/config.json.
+            # ONE TOKEN PER LATENT PIXEL (patch_size 1, mageflow.py:122-125) —
+            # no 2x2 packing. VAE is the exact MageVAE (models/mage_vae.py,
+            # DiCo encoder + CoD/NeRF decoder, 128-ch/16x); TE is Qwen3-VL
+            # (hidden 2560, final hidden states — src/text_encoder.py).
             d = self._mageflow_config_json()
             hd = d.get("hidden_size", 3072)
             heads = d.get("num_heads", 24)
@@ -82,18 +88,33 @@ class QwenImageModel(BaseTpuModel):
                 in_channels=d.get("in_channels", 128), hidden_size=hd,
                 num_heads=heads, head_dim=hd // heads,
                 depth_double=d.get("depth", 32), depth_single=0,
-                context_dim=d.get("context_in_dim", 2048), vec_dim=256,
+                context_dim=d.get("context_in_dim", 2560), vec_dim=256,
                 guidance_embed=False,
                 axes_dim=tuple(d.get("axes_dim", (16, 56, 56))),
             )
+            from ai_toolkit_tpu.models.mage_vae import MageVAEConfig
+
             self.vae_config = (
-                VAEConfig.tiny() if config.model_kwargs.get("vae_size") == "tiny"
-                else VAEConfig(latent_channels=128, channel_multipliers=(1, 2, 4, 4, 8))
+                MageVAEConfig.tiny() if config.model_kwargs.get("vae_size") == "tiny"
+                else MageVAEConfig()
             )
-            self.llm_config = (
-                LLMConfig.tiny() if config.model_kwargs.get("te_size") == "tiny"
-                else LLMConfig.qwen25_7b()
-            )
+            if config.model_kwargs.get("te_size") == "tiny":
+                self.llm_config = LLMConfig.tiny(qk_head_norm=True)
+            else:
+                te = self._te_config_json()
+                base = LLMConfig.qwen3_2b()
+                self.llm_config = LLMConfig(
+                    vocab_size=te.get("vocab_size", base.vocab_size),
+                    d_model=te.get("hidden_size", 2560),
+                    n_layers=te.get("num_hidden_layers", 36),
+                    n_heads=te.get("num_attention_heads", 32),
+                    n_kv_heads=te.get("num_key_value_heads", 8),
+                    head_dim=te.get("head_dim", 128),
+                    d_ff=te.get("intermediate_size", 9728),
+                    rope_theta=float(te.get("rope_theta", base.rope_theta)),
+                    rms_eps=float(te.get("rms_norm_eps", base.rms_eps)),
+                    qk_head_norm=True,
+                )
         else:
             self.dit_config = FluxConfig(
                 in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
@@ -112,6 +133,11 @@ class QwenImageModel(BaseTpuModel):
             from ai_toolkit_tpu.models.wan_vae import WanVAE
 
             self.vae = WanVAE(self.vae_config)
+        elif self.is_mageflow and size != "tiny":
+            from ai_toolkit_tpu.models.mage_vae import MageVAE
+
+            self.vae = MageVAE(self.vae_config)
+            self._vae_mage = True
         else:
             self.vae = AutoencoderKL(self.vae_config)
         self.te = LLMEncoder(self.llm_config)
@@ -129,6 +155,17 @@ class QwenImageModel(BaseTpuModel):
             with open(p) as f:
                 return {**json.load(f), **self.config.model_kwargs.get("transformer_config", {})}
         return dict(self.config.model_kwargs.get("transformer_config", {}))
+
+    def _te_config_json(self) -> dict:
+        import json
+        import os
+
+        p = os.path.join(self.config.name_or_path or "", "text_encoder", "config.json")
+        if os.path.isfile(p):
+            with open(p) as f:
+                d = json.load(f)
+            return d.get("text_config", d)
+        return dict(self.config.model_kwargs.get("text_encoder_config", {}))
 
     def init_variables(self, rng: jax.Array) -> dict:
         r_dit, r_vae, r_te = jax.random.split(rng, 3)
@@ -173,15 +210,18 @@ class QwenImageModel(BaseTpuModel):
                 "txt_mask": jnp.asarray(mask, bool)}
 
     def rope_table(self, latent_h: int, latent_w: int, txt_len: int) -> jnp.ndarray:
-        n_ctrl_rows = latent_h // 2 if self.is_edit else 0
-        ids = image_position_ids(latent_h // 2, latent_w // 2, text_len=txt_len)
+        # mageflow: one token per latent pixel, so the rope grid is the FULL
+        # latent grid; qwen-image packs 2x2 so the grid is halved
+        gh = latent_h if self.is_mageflow else latent_h // 2
+        gw = latent_w if self.is_mageflow else latent_w // 2
+        ids = image_position_ids(gh, gw, text_len=txt_len)
         table = multi_axis_rope(
             jnp.asarray(ids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
         )
         if self.is_edit:
             # control tokens reuse the image grid shifted on the frame axis
             # (edit image is "frame 1" in the qwen edit convention)
-            cids = np.asarray(image_position_ids(latent_h // 2, latent_w // 2, text_len=0))
+            cids = np.asarray(image_position_ids(gh, gw, text_len=0))
             cids = cids.copy()
             cids[:, 0] = 1  # frame index axis
             ctable = multi_axis_rope(
@@ -194,10 +234,16 @@ class QwenImageModel(BaseTpuModel):
         """cond: txt, y, pe, optional txt_mask, optional control_latents
         [B, h, w, C] sequence-concatenated for edit archs."""
         b, h, w, c = noisy_latents.shape
-        img = pack_latents(noisy_latents)
+        if self.is_mageflow:
+            # one token per latent pixel (patch_size 1, mageflow.py:122-125)
+            img = noisy_latents.reshape(b, h * w, c)
+        else:
+            img = pack_latents(noisy_latents)
         n_img = img.shape[1]
         if self.is_edit and cond.get("control_latents") is not None:
-            img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=1)
+            ctrl = cond["control_latents"]
+            ctrl = (ctrl.reshape(b, -1, c) if self.is_mageflow else pack_latents(ctrl))
+            img = jnp.concatenate([img, ctrl], axis=1)
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
@@ -206,6 +252,8 @@ class QwenImageModel(BaseTpuModel):
         out = self.dit.apply(
             colls, img, cond["txt"], t, cond["y"], cond["pe"], None, txt_mask
         )
+        if self.is_mageflow:
+            return out[:, :n_img].reshape(b, h, w, c)
         return unpack_latents(out[:, :n_img], h, w)
 
     def encode_images(self, variables, images, rng=None):
@@ -216,6 +264,12 @@ class QwenImageModel(BaseTpuModel):
                 {"params": variables["vae"]}, images[:, None], rng, method=WanVAE.encode
             )
             return lat[:, 0]
+        if self._vae_mage:
+            from ai_toolkit_tpu.models.mage_vae import MageVAE
+
+            return self.vae.apply(
+                {"params": variables["vae"]}, images, rng, method=MageVAE.encode
+            )
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
 
     def decode_latents(self, variables, latents):
@@ -226,6 +280,12 @@ class QwenImageModel(BaseTpuModel):
                 {"params": variables["vae"]}, latents[:, None], method=WanVAE.decode
             )
             return out[:, 0]
+        if self._vae_mage:
+            from ai_toolkit_tpu.models.mage_vae import MageVAE
+
+            return self.vae.apply(
+                {"params": variables["vae"]}, latents, method=MageVAE.decode
+            )
         return self.vae.apply({"params": variables["vae"]}, latents, method=AutoencoderKL.decode)
 
     def latent_shape(self, height: int, width: int):
@@ -234,6 +294,8 @@ class QwenImageModel(BaseTpuModel):
 
     def image_seq_len(self, height: int, width: int) -> int:
         h, w, _ = self.latent_shape(height, width)
+        if self.is_mageflow:
+            return h * w
         return (h // 2) * (w // 2)
 
     def lora_targets(self):

@@ -136,6 +136,7 @@ class Conv(nn.Module):
     strides: Sequence[int] = (1, 1)
     padding: Any = "SAME"
     use_bias: bool = True
+    groups: int = 1  # feature_group_count (groups == in_features -> depthwise)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.bfloat16
 
@@ -145,12 +146,13 @@ class Conv(nn.Module):
         x = x.astype(self.dtype)
         kh, kw = self.kernel_size
         kernel = self.param(
-            "kernel", default_kernel_init, (kh, kw, in_features, self.features), self.param_dtype
+            "kernel", default_kernel_init,
+            (kh, kw, in_features // self.groups, self.features), self.param_dtype,
         ).astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=tuple(self.strides), padding=self.padding,
-            dimension_numbers=dn,
+            dimension_numbers=dn, feature_group_count=self.groups,
         )
         if self.has_variable("lora", "a"):
             a = self.get_variable("lora", "a").astype(self.dtype)  # [kh, kw, in, r]

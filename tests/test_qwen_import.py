@@ -169,11 +169,20 @@ def test_mageflow_registers_on_qwen_path(tmp_path):
 
 
 def test_extra_archs_refuse_silent_random_checkpoints(tmp_path):
+    import pytest as _pytest
+
+    # table-driven archs with no importer refuse outright
+    model = get_model_class("zimage")(
+        ModelConfig(arch="zimage", name_or_path=str(tmp_path),
+                    model_kwargs={"size": "tiny"})
+    )
+    with _pytest.raises(NotImplementedError, match="no checkpoint importer"):
+        model.load_variables(jax.random.key(0))
+
+    # exact archs refuse a named path that contains no transformer/ to load
     model = get_model_class("boogu_image")(
         ModelConfig(arch="boogu_image", name_or_path=str(tmp_path),
                     model_kwargs={"size": "tiny"})
     )
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="no checkpoint importer"):
+    with _pytest.raises(FileNotFoundError, match="refusing to random-init"):
         model.load_variables(jax.random.key(0))
