@@ -44,6 +44,8 @@ def convert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(v + 1.0)
     if kind == "flatten_c":  # broadcast-shaped norm gains (C,1,1[,1]) -> (C,)
         return np.ascontiguousarray(v.reshape(v.shape[0]))
+    if kind == "flatten_all":  # e.g. lpips lin heads (1, C, 1, 1) -> (C,)
+        return np.ascontiguousarray(v.reshape(-1))
     return np.ascontiguousarray(v)  # direct / scale / bias / embedding
 
 

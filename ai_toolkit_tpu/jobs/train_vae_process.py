@@ -61,6 +61,7 @@ class VAETrainProcess:
         kl_weight = float(ex.get("kl_weight", 1e-6))
         mae_weight = float(ex.get("mae_weight", 0.0))
         critic_weight = float(ex.get("critic_weight", 0.0))
+        lpips_weight = float(ex.get("lpips_weight", 0.0))
         train_encoder = bool(ex.get("train_encoder", False))
 
         model = get_model_class(cfg.model.arch)(cfg.model)
@@ -80,6 +81,16 @@ class VAETrainProcess:
         # trainable subtree: decoder only (default) or whole vae
         trainable = vae_params if train_encoder else {"decoder": vae_params["decoder"]}
         opt_state = tx.init(trainable)
+
+        # LPIPS perceptual term (reference TrainVAEProcess.py:942-946); weights
+        # come from a local file — no network egress (models/lpips.py)
+        lpips_mod = lpips_params = None
+        if lpips_weight > 0:
+            from ai_toolkit_tpu.models.lpips import load_lpips
+
+            lpips_mod, lpips_params = load_lpips(
+                ex.get("lpips_weights"), jax.random.key(7)
+            )
 
         critic = PatchCritic()
         critic_params = None
@@ -112,7 +123,11 @@ class VAETrainProcess:
                 score = critic.apply({"params": critic_params}, recon)
                 adv = -jnp.mean(score)
                 loss = loss + critic_weight * adv
-            return loss, {"mse": mse, "kl": kl, "adv": adv, "recon": recon}
+            lp = jnp.zeros(())
+            if lpips_params is not None:
+                lp = jnp.mean(lpips_mod.apply({"params": lpips_params}, recon, images))
+                loss = loss + lpips_weight * lp
+            return loss, {"mse": mse, "kl": kl, "adv": adv, "lpips": lp, "recon": recon}
 
         @jax.jit
         def g_step(trainable, opt_state, images, rng, critic_params):

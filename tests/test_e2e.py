@@ -224,6 +224,7 @@ def test_vae_trainer_e2e(tmp_path):
                 "type": "train_vae",
                 "training_folder": str(tmp_path / "output"),
                 "kl_weight": 1e-6, "mae_weight": 0.1, "critic_weight": 0.05,
+                "lpips_weight": 0.2, "lpips_weights": "random",
                 "datasets": [{"folder_path": folder, "resolution": 32}],
                 "train": {"batch_size": 2, "steps": 3, "optimizer": "adamw", "lr": 1e-4,
                           "dtype": "float32"},
