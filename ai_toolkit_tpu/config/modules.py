@@ -341,6 +341,13 @@ class TrainConfig:
     learnable_snr_gos: bool = False
     loss_type: str = "mse"  # mse | mae | pseudo_huber | wavelet | stepped | mean_flow
     loss_target: str | None = None
+    # x0-space losses (reference SDTrainer.py:836-870): step the velocity pred
+    # to a t=0 latent and regress it against the clean latents
+    t0_loss_target: bool = False
+    t0_velocity_equiv_weight: bool = False
+    # auxiliary FFT-magnitude loss on the stepped t=0 prediction
+    do_fft_loss: bool = False
+    do_fft_velocity_equiv_weight: bool = False
     pseudo_huber_c: float = 0.001
     ema_config: EMAConfig = field(default_factory=EMAConfig)
     skip_first_sample: bool = False
@@ -516,6 +523,15 @@ class DatasetConfig:
     loss_multiplier: float = 1.0
     flip_x: bool = False
     flip_y: bool = False
+    # albumentations-style augmentation specs (reference DatasetConfig
+    # .augmentations, config_modules.py:1013): [{method: ..., params: {...}}];
+    # applied host-side by data/augmentations.py, incompatible with latent
+    # caching (the reference raises too)
+    augmentations: list | None = None
+    shuffle_augmentations: bool = False
+    replay_transforms: bool = True  # replay spatial ops onto controls/masks
+    clip_image_augmentations: list | None = None
+    clip_image_shuffle_augmentations: bool = False
     random_crop: bool = False
     random_scale: bool = False
     alpha_mask: bool = False

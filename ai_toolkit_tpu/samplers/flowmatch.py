@@ -118,6 +118,40 @@ class FlowMatchSchedule:
         t = t.reshape(t.shape + (1,) * (x_t.ndim - t.ndim)).astype(x_t.dtype)
         return x_t - t * pred
 
+    def training_sigmas(self) -> jnp.ndarray:
+        """The N-entry descending train-time sigma table — the reference
+        scheduler's ``self.sigmas`` before ``set_timesteps`` (diffusers
+        FlowMatchEulerDiscreteScheduler.__init__: linspace shifted by the
+        static shift unless dynamic shifting is on)."""
+        sig = jnp.linspace(1.0, 1.0 / self.num_train_timesteps, self.num_train_timesteps)
+        if not self.use_dynamic_shifting and self.shift != 1.0:
+            sig = self.shift * sig / (1.0 + (self.shift - 1.0) * sig)
+        return sig
+
+    def stepped_x0(
+        self, pred: jax.Array, noisy: jax.Array, noise: jax.Array, t: jax.Array,
+        step_ahead: int = 50,
+    ) -> jax.Array:
+        """Reference ``stepped_loss`` recovery (toolkit/util/losses.py:50-93),
+        vectorized: Euler-step the velocity pred ``step_ahead`` indices down
+        the training sigma table, then invert the forward process at the
+        target sigma to recover x0. TPU-first: one searchsorted + gathers
+        instead of the reference's per-sample Python loop."""
+        sig = self.training_sigmas()  # [N], descending
+        n = sig.shape[0]
+        asc = sig[::-1]
+        # nearest table index to each sample's sigma (scheduler _init_step_index)
+        pos = jnp.clip(jnp.searchsorted(asc, t), 1, n - 1)
+        left, right = asc[pos - 1], asc[pos]
+        pos = jnp.where(jnp.abs(t - left) <= jnp.abs(right - t), pos - 1, pos)
+        idx = (n - 1) - pos  # back to descending-table index
+        tgt = jnp.minimum(idx + step_ahead, n - 1)
+        expand = t.shape + (1,) * (noisy.ndim - t.ndim)
+        s0 = sig[idx].reshape(expand)
+        s1 = sig[tgt].reshape(expand)
+        stepped = noisy.astype(jnp.float32) + (s1 - s0) * pred.astype(jnp.float32)
+        return (stepped - s1 * noise.astype(jnp.float32)) / (1.0 - s1)
+
     def loss_weights(
         self, t: jax.Array, timestep_type: str = "linear", v2: bool = False
     ) -> jax.Array:

@@ -71,13 +71,26 @@ class TrainStepConfig:
     # prx_pixel_t2i.get_latent_noise_from_latents); composes with the user's
     # noise_multiplier knob
     model_noise_scale: float = 1.0
+    # x0-space losses (reference SDTrainer.py:836-870): replace the regression
+    # with (stepped-to-t0 pred, clean latents); optional 1/t^2 velocity-equiv
+    # weight rescales it to flow-matching loss magnitude
+    t0_loss_target: bool = False
+    t0_velocity_equiv_weight: bool = False
+    do_fft_loss: bool = False
+    do_fft_velocity_equiv_weight: bool = False
+    # reference TrainConfig.loss_target (SDTrainer.py:803-833): 'source' /
+    # 'unaugmented' regress the one-shot denoised latent against the clean
+    # (or pre-augmentation) latents with sigma^-2 weighting
+    loss_target_mode: str = "noise"
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
         return cls(
             timestep_type="linear" if tc.linear_timesteps or tc.linear_timesteps2 else tc.timestep_type,
             timestep_bias=tc.timestep_bias,
-            loss_type=tc.loss_type if tc.loss_type in ("mse", "mae", "pseudo_huber", "wavelet") else "mse",
+            loss_type=tc.loss_type
+            if tc.loss_type in ("mse", "mae", "pseudo_huber", "wavelet", "stepped")
+            else "mse",
             huber_c=tc.pseudo_huber_c,
             min_snr_gamma=tc.min_snr_gamma,
             use_timestep_weights=bool(
@@ -108,6 +121,13 @@ class TrainStepConfig:
                 getattr(tc, "correct_pred_norm_multiplier", 1.0)
             ),
             learnable_snr=bool(getattr(tc, "learnable_snr_gos", False)),
+            t0_loss_target=bool(getattr(tc, "t0_loss_target", False)),
+            t0_velocity_equiv_weight=bool(getattr(tc, "t0_velocity_equiv_weight", False)),
+            do_fft_loss=bool(getattr(tc, "do_fft_loss", False)),
+            do_fft_velocity_equiv_weight=bool(
+                getattr(tc, "do_fft_velocity_equiv_weight", False)
+            ),
+            loss_target_mode=getattr(tc, "loss_target", None) or "noise",
         )
 
 
@@ -178,6 +198,18 @@ def make_train_step(
     """
 
     is_flow = hasattr(schedule, "euler_step")
+    if cfg.loss_type == "stepped" and not is_flow:
+        raise ValueError("loss_type='stepped' requires a flow-matching schedule")
+    if (cfg.t0_loss_target or cfg.do_fft_loss) and not (is_flow or cfg.x0_target):
+        raise ValueError(
+            "t0_loss_target/do_fft_loss need a flow-matching schedule (or an x0-pred arch)"
+        )
+    if cfg.loss_target_mode not in ("noise", "source", "unaugmented"):
+        raise ValueError(f"unknown loss_target: {cfg.loss_target_mode!r}")
+    if cfg.loss_target_mode != "noise" and not (is_flow or cfg.x0_target):
+        raise ValueError(
+            f"loss_target='{cfg.loss_target_mode}' needs a flow-matching schedule"
+        )
 
     def microbatch_loss(trainable, model_variables, batch, rng, seq_len, t_range=None):
         latents = batch["latents"]
@@ -297,10 +329,66 @@ def make_train_step(
             factor = (tn / jnp.maximum(pn, 1e-6)) ** cfg.correct_pred_norm_multiplier
             pred = pred * jax.lax.stop_gradient(factor).astype(pred.dtype)
 
+        # x0-space loss shaping (reference SDTrainer.py:836-870 + stepped_loss)
+        loss_pred, loss_target, loss_kind = pred, target, cfg.loss_type
+        fft_loss = None
+        if cfg.loss_target_mode in ("source", "unaugmented"):
+            # one-shot denoise + sigma^-2 weighting (reference SDTrainer.py:
+            # 803-833, after the diffusers t2i-adapter recipe); 'unaugmented'
+            # swaps the regression target for the pre-augmentation latents
+            sig_min = 1.0 / getattr(schedule, "num_train_timesteps", 1000)
+            tv = jnp.clip(t, sig_min, None)
+            tvx = tv.reshape(t.shape + (1,) * (pred.ndim - t.ndim))
+            denoised = (
+                pred.astype(jnp.float32)
+                if cfg.x0_target
+                else noisy.astype(jnp.float32) - tvx * pred.astype(jnp.float32)
+            )
+            tgt_lat = latents
+            if cfg.loss_target_mode == "unaugmented" and "unaugmented_latents" in batch:
+                tgt_lat = batch["unaugmented_latents"]
+            loss_pred = denoised
+            loss_target = jax.lax.stop_gradient(tgt_lat.astype(jnp.float32))
+            loss_kind = "mse"
+            w = tv.astype(jnp.float32) ** -2.0  # [B]
+            tw = w if tw is None else tw * w
+        elif cfg.loss_type == "stepped":
+            # Euler-step 50 table indices ahead, invert the forward process,
+            # and regress the recovered x0 against the clean latents
+            loss_pred = schedule.stepped_x0(pred, noisy, noise, t)
+            loss_target = jax.lax.stop_gradient(latents.astype(jnp.float32))
+            loss_kind = "mse"
+        elif cfg.t0_loss_target or cfg.do_fft_loss:
+            tv = jnp.clip(t, 0.001, None).reshape(t.shape + (1,) * (pred.ndim - t.ndim))
+            t0 = (
+                pred.astype(jnp.float32)
+                if cfg.x0_target
+                else noisy.astype(jnp.float32) - tv * pred.astype(jnp.float32)
+            )
+            if cfg.t0_loss_target:
+                loss_pred = t0
+                loss_target = jax.lax.stop_gradient(latents.astype(jnp.float32))
+                if cfg.t0_velocity_equiv_weight:
+                    # rescale toward flow-matching loss magnitude: 1/t^2
+                    vw = 1.0 / jnp.clip(t, 0.1, None) ** 2  # [B]
+                    tw = vw if tw is None else tw * vw
+            if cfg.do_fft_loss and latents.ndim >= 4:
+                # spectral-magnitude mse on the t=0 prediction (ortho rfft2
+                # over the spatial dims; channels-last layout -> axes -3,-2)
+                tmag = jnp.abs(
+                    jnp.fft.rfft2(latents.astype(jnp.float32), axes=(-3, -2), norm="ortho")
+                )
+                pmag = jnp.abs(jnp.fft.rfft2(t0, axes=(-3, -2), norm="ortho"))
+                fft_elem = (pmag - jax.lax.stop_gradient(tmag)) ** 2
+                if cfg.do_fft_velocity_equiv_weight:
+                    fvw = 1.0 / jnp.clip(tv, 0.1, None) ** 2
+                    fft_elem = fft_elem * fvw
+                fft_loss = jnp.mean(fft_elem)
+
         loss, aux = compute_loss(
-            pred,
-            target,
-            loss_type=cfg.loss_type,
+            loss_pred,
+            loss_target,
+            loss_type=loss_kind,
             huber_c=cfg.huber_c,
             timestep_weights=tw,
             loss_multiplier=batch.get("loss_multiplier"),
@@ -308,6 +396,9 @@ def make_train_step(
             prior_pred=prior_pred if cfg.inverted_mask_prior else None,
             inverted_mask_prior_multiplier=cfg.inverted_mask_prior_multiplier,
         )
+        if fft_loss is not None:
+            loss = loss + fft_loss
+            aux = {**aux, "fft_loss": fft_loss}
         if cfg.diff_output_preservation and prior_pred is not None:
             loss = loss + diff_output_preservation_loss(pred, prior_pred, cfg.dop_multiplier)
         if audio_pred is not None:

@@ -179,3 +179,79 @@ def test_automagic_packed_mask_and_swapping():
     for _ in range(3):  # step 1 flips polarity down; repeats then bump up
         _, s2 = tx2.update(g, s2, params)
     assert float(np.asarray(s2.lr_mask["w"]).max()) > 1e-5
+
+
+def test_stepped_x0_exact_recovery():
+    """Reference stepped_loss (toolkit/util/losses.py:50-93): a perfect
+    velocity prediction recovers the clean latents exactly when t sits on a
+    training-sigma table entry."""
+    sch = FlowMatchSchedule(use_dynamic_shifting=True)
+    sig = np.asarray(sch.training_sigmas())
+    idx = np.array([100, 500, 900])
+    t = jnp.asarray(sig[idx])
+    key = jax.random.key(0)
+    x0 = jax.random.normal(key, (3, 4, 4, 2))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    noisy = sch.add_noise(x0, noise, t)
+    pred = sch.target(x0, noise, t)  # exact velocity
+    rec = sch.stepped_x0(pred, noisy, noise, t)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=2e-4)
+    # garbage prediction does NOT recover x0
+    bad = sch.stepped_x0(-pred, noisy, noise, t)
+    assert float(jnp.mean((bad - x0) ** 2)) > 0.1
+
+
+def test_stepped_loss_train_step():
+    state, step = _state_and_step(
+        TrainStepConfig(timestep_type="linear", loss_type="stepped")
+    )
+    batch = {"latents": jax.random.normal(jax.random.key(2), (2, 4, 4, 2))}
+    state, m = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"])) and float(m["grad_norm"]) > 0
+
+
+def test_stepped_requires_flow_schedule():
+    from ai_toolkit_tpu.samplers import get_schedule
+
+    with pytest.raises(ValueError, match="stepped"):
+        make_train_step(
+            lambda *a: None, get_schedule("ddpm", "sd1"),
+            TrainStepConfig(loss_type="stepped"),
+        )
+
+
+def test_t0_loss_target_perfect_velocity_is_zero():
+    """t0_loss_target regresses the stepped-to-zero latent against the clean
+    latents (reference SDTrainer.py:846-858): an oracle velocity pred gives
+    ~zero loss."""
+    latents = jax.random.normal(jax.random.key(3), (2, 4, 4, 2))
+
+    def oracle(variables, noisy, t, cond):
+        tv = t.reshape(t.shape + (1,) * (noisy.ndim - t.ndim))
+        return (noisy - latents) / tv  # == noise - x0 at sigma t
+
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": {}}, {"lora": {"w": jnp.zeros((2,))}}, tx)
+    cfg = TrainStepConfig(timestep_type="linear", t0_loss_target=True)
+    step = jax.jit(make_train_step(oracle, FlowMatchSchedule(), cfg))
+    _, m = step(state, {"latents": latents}, jax.random.key(0))
+    assert float(m["loss"]) < 1e-6
+
+    # velocity-equiv weighting scales low-t samples up but stays finite
+    cfg2 = TrainStepConfig(
+        timestep_type="linear", t0_loss_target=True, t0_velocity_equiv_weight=True
+    )
+    step2 = jax.jit(make_train_step(oracle, FlowMatchSchedule(), cfg2))
+    _, m2 = step2(state, {"latents": latents}, jax.random.key(0))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_fft_loss_metric_and_gradients():
+    state, step = _state_and_step(
+        TrainStepConfig(
+            timestep_type="linear", do_fft_loss=True, do_fft_velocity_equiv_weight=True
+        )
+    )
+    batch = {"latents": jax.random.normal(jax.random.key(4), (2, 4, 4, 2))}
+    state, m = step(state, batch, jax.random.key(0))
+    assert float(m["fft_loss"]) > 0 and float(m["grad_norm"]) > 0
