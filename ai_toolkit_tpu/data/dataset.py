@@ -37,10 +37,36 @@ class FileItem:
     control_paths: list[str] = field(default_factory=list)
     dataset_config: DatasetConfig | None = None
     flip: bool = False
+    flip_y: bool = False
     unconditional_path: str | None = None  # paired negative image (sliders)
     kind: str = "image"  # image | video | audio
     num_frames: int = 1
     num_samples: int = 0  # audio sample count
+    # augmentation state for the CURRENT load cycle (reference
+    # AugmentationFileItemDTOMixin: unaugmented_tensor + replayed spatial
+    # transforms for controls/masks)
+    aug_replay: list = field(default_factory=list)
+    unaugmented: np.ndarray | None = None
+    _aug_pipe: object = None
+
+    def _augment(self, arr: np.ndarray) -> np.ndarray:
+        cfg = self.dataset_config
+        self.aug_replay = []
+        self.unaugmented = None
+        if cfg is None or not getattr(cfg, "augmentations", None):
+            return arr
+        from ai_toolkit_tpu.data.augmentations import AugmentPipeline
+
+        if self._aug_pipe is None:
+            self._aug_pipe = AugmentPipeline(
+                cfg.augmentations, cfg.shuffle_augmentations,
+                seed=hash(self.path) & 0xFFFFFF,
+            )
+        self.unaugmented = arr
+        out, replay = self._aug_pipe(arr)
+        if cfg.replay_transforms:
+            self.aug_replay = replay
+        return out
 
     def load_image(self) -> np.ndarray:
         """Decode, cover-resize and center-crop to bucket; [-1, 1] float32 HWC."""
@@ -53,7 +79,9 @@ class FileItem:
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
         if self.flip:
             arr = arr[:, ::-1]
-        return arr
+        if self.flip_y:
+            arr = arr[::-1]
+        return self._augment(arr)
 
     def load_video(self) -> np.ndarray:
         """Decode video -> [T, H, W, 3] in [-1, 1], T = self.num_frames
@@ -95,6 +123,8 @@ class FileItem:
         arr = np.stack(out).astype(np.float32) / 127.5 - 1.0
         if self.flip:
             arr = arr[:, :, ::-1]
+        if self.flip_y:
+            arr = arr[:, ::-1]
         return arr
 
     def load_audio(self, sample_rate: int = 44100, num_samples: int | None = None) -> np.ndarray:
@@ -156,6 +186,8 @@ class FileItem:
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
         if self.flip:
             arr = arr[:, ::-1]
+        if self.flip_y:
+            arr = arr[::-1]
         return arr
 
     def load_control(self) -> np.ndarray | None:
@@ -171,6 +203,12 @@ class FileItem:
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
         if self.flip:
             arr = arr[:, ::-1]
+        if self.flip_y:
+            arr = arr[::-1]
+        if self.aug_replay:
+            from ai_toolkit_tpu.data.augmentations import replay_spatial
+
+            arr = replay_spatial(arr, self.aug_replay)
         return arr
 
     def load_mask(self) -> np.ndarray | None:
@@ -185,6 +223,13 @@ class FileItem:
         arr = np.asarray(m, np.float32) / 255.0
         if self.flip:
             arr = arr[:, ::-1]
+        if self.flip_y:
+            arr = arr[::-1]
+        if self.aug_replay:
+            from ai_toolkit_tpu.data.augmentations import replay_spatial
+
+            arr = replay_spatial(arr[..., None], self.aug_replay, is_mask=True)
+            return arr
         return arr[..., None]
 
 
@@ -194,6 +239,12 @@ class FolderDataset:
     def __init__(self, cfg: DatasetConfig, bucket_divisibility: int = 16,
                  trigger_word: str | None = None, seed: int = 42):
         self.cfg = cfg
+        if getattr(cfg, "augmentations", None) and (cfg.cache_latents or cfg.cache_latents_to_disk):
+            # reference DatasetConfig raises the same way (config_modules.py:1018)
+            raise ValueError(
+                "augmentations are re-rolled every epoch and cannot be cached — "
+                "set cache_latents: false and cache_latents_to_disk: false"
+            )
         self.divisibility = max(bucket_divisibility, cfg.bucket_tolerance if not cfg.buckets else bucket_divisibility)
         self.trigger_word = trigger_word or cfg.trigger_word
         self.rng = random.Random(seed)
@@ -289,11 +340,12 @@ class FolderDataset:
                     else:
                         bucket = (res, res)
                     flip = kind != "audio" and self.cfg.flip_x and self.rng.random() < 0.5
+                    flip_y = kind != "audio" and self.cfg.flip_y and self.rng.random() < 0.5
                     self.items.append(
                         FileItem(
                             path=p, caption=caption, width=w, height=h, bucket=bucket,
                             resolution=res, is_reg=self.cfg.is_reg, mask_path=mask_path,
-                            dataset_config=self.cfg, flip=flip, kind=kind,
+                            dataset_config=self.cfg, flip=flip, flip_y=flip_y, kind=kind,
                             control_paths=control_paths,
                             unconditional_path=unconditional_path,
                             num_frames=self.cfg.num_frames if kind == "video" else 1,

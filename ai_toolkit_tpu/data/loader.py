@@ -68,6 +68,7 @@ class DataLoader:
 
     def _load_batch(self, ds: FolderDataset, batch: list[FileItem]) -> dict:
         out: dict = {"bucket": batch[0].bucket}
+        imgs = None
         if self.latent_cache_dir is not None:
             lat = np.stack(
                 [load_cached_latent(it, self.latent_cache_dir) for it in batch]
@@ -77,7 +78,11 @@ class DataLoader:
             lat = np.asarray(self.encode_fn(imgs))
         out["latents"] = lat.astype(np.float32)
         if self.want_pixels and batch[0].kind == "image":
-            out["pixels"] = np.stack([load_pixels(it) for it in batch])
+            # reuse the already-loaded (and possibly augmented) images so the
+            # latents and pixels views of one batch agree
+            out["pixels"] = (
+                imgs if imgs is not None else np.stack([load_pixels(it) for it in batch])
+            )
             if ds.cfg.clip_image_path:
                 # paired vision-encoder images (same stem, any extension;
                 # reference dataloader clip_image_path)
@@ -85,6 +90,27 @@ class DataLoader:
                     [_load_paired_image(it, ds.cfg.clip_image_path, out["pixels"][i])
                      for i, it in enumerate(batch)]
                 )
+        if getattr(ds.cfg, "clip_image_augmentations", None) and "clip_pixels" in out:
+            # separate photometric pipeline for vision-encoder inputs
+            # (reference clip_image_augmentations)
+            from ai_toolkit_tpu.data.augmentations import AugmentPipeline
+
+            if not hasattr(self, "_clip_aug"):
+                self._clip_aug = AugmentPipeline(
+                    ds.cfg.clip_image_augmentations,
+                    ds.cfg.clip_image_shuffle_augmentations,
+                )
+            out["clip_pixels"] = np.stack(
+                [self._clip_aug(p)[0] for p in out["clip_pixels"]]
+            )
+        unaug = [it.unaugmented for it in batch]
+        if any(u is not None for u in unaug):
+            # pre-augmentation images (reference unaugmented_tensor; zeros for
+            # items without augs, matching the reference collator)
+            base = next(u for u in unaug if u is not None)
+            out["unaugmented_pixels"] = np.stack(
+                [u if u is not None else np.zeros_like(base) for u in unaug]
+            )
         if ds.cfg.do_i2v and batch[0].kind == "video":
             out["first_frame"] = np.stack([it.load_video()[0] for it in batch])
         if ds.cfg.do_audio and batch[0].kind == "video":

@@ -42,7 +42,18 @@ class Job:
         self.config = job_config
         self.processes = []
         for proc_cfg in job_config.processes:
-            kind = PROCESS_TYPES.get(proc_cfg.type, "train")
+            kind = PROCESS_TYPES.get(proc_cfg.type)
+            if kind is None:
+                # user plugins first (extensions/ modules exposing
+                # AI_TOOLKIT_EXTENSIONS, reference toolkit/extension.py:28-57);
+                # unmatched types keep the historical fall-through to train
+                from ai_toolkit_tpu.jobs.extensions import discover_extension_processes
+
+                ext = discover_extension_processes().get(proc_cfg.type)
+                if ext is not None:
+                    self.processes.append(ext(job_config.name, proc_cfg))
+                    continue
+                kind = "train"
             if kind == "train":
                 from ai_toolkit_tpu.jobs.train_process import SDTrainProcess
 

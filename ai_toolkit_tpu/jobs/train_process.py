@@ -109,14 +109,47 @@ class SDTrainProcess:
                 self._inference_lora = (main0, tree)
                 print(f"inference lora loaded (fused only for sampling): {ipath}")
 
-        # 1b. optional int8 weight-only quantization of the frozen diffusion core
+        # 1b. optional weight-only quantization of the frozen diffusion core
+        # (backend by model.qtype: qfloat8 / qint8 / uint4 / ...)
         if cfg.model.quantize:
             from ai_toolkit_tpu.adapters.quantize import quantize_params, quantized_bytes
 
             main = self._main_component(variables)
-            rest, quant = quantize_params(variables[main])
+            rest, quant = quantize_params(variables[main], qtype=cfg.model.qtype)
             variables = {**variables, main: rest, "quant": quant}
-            print(f"quantized base: {quantized_bytes(quant)/1e9:.2f} GB int8")
+            print(f"quantized base: {quantized_bytes(quant)/1e9:.2f} GB ({cfg.model.qtype})")
+        if cfg.model.quantize_te and not (
+            getattr(self, "ti_trigger", None) or getattr(self, "train_te", False)
+        ):
+            # frozen text encoders store quantized under qtype_te and are
+            # dequantized transiently inside encode_prompt (reference
+            # quantize_te); skipped when the TE trains
+            from ai_toolkit_tpu.adapters.quantize import (
+                dequantize_tree,
+                quantize_params as _qp,
+            )
+
+            main = self._main_component(variables)
+            te_quant = {}
+            for comp in list(variables):
+                if comp in (main, "vae", "quant") or not isinstance(variables[comp], dict):
+                    continue
+                rest, q = _qp(variables[comp], qtype=cfg.model.qtype_te)
+                if q:
+                    variables = {**variables, comp: rest}
+                    te_quant[comp] = q
+            if te_quant:
+                orig_encode = model.encode_prompt
+
+                def encode_with_dequant(vs, prompts, _orig=orig_encode, _tq=te_quant):
+                    vs = {
+                        **vs,
+                        **{c: dequantize_tree(vs[c], q) for c, q in _tq.items()},
+                    }
+                    return _orig(vs, prompts)
+
+                model.encode_prompt = encode_with_dequant
+                print(f"quantized TEs: {sorted(te_quant)} ({cfg.model.qtype_te})")
 
         # 2. mesh + sharding of frozen base
         mesh = make_mesh(cfg.mesh)
@@ -885,6 +918,8 @@ class SDTrainProcess:
                 imgs = imgs * img_mult
             return np.asarray(encode_jit(jnp.asarray(imgs)))
 
+        self._encode_pixels = encode_fn
+
         cache_dir = None
         if all(d.cache_latents or d.cache_latents_to_disk for d in cfg.datasets):
             cache_dir = os.path.join(self.save_root, "latent_cache")
@@ -931,6 +966,13 @@ class SDTrainProcess:
             "latents": jnp.asarray(latents_np),
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
         }
+        if self.cfg.train.loss_target == "unaugmented" and "unaugmented_pixels" in raw:
+            # encode the pre-augmentation images as the regression target
+            # (reference SDTrainer.py:815-821)
+            ul = self._encode_pixels(raw["unaugmented_pixels"])
+            if self.cfg.train.latent_multiplier != 1.0:
+                ul = ul * self.cfg.train.latent_multiplier
+            batch["unaugmented_latents"] = jnp.asarray(ul)
         lat = raw["latents"]
         extra_ctx_tokens = 0
         if self.custom_adapter is not None:

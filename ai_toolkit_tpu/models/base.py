@@ -26,6 +26,12 @@ class BaseTpuModel:
     bucket_divisibility: int = 16  # pixel divisibility for bucketed resolutions
 
     def __init__(self, config: ModelConfig):
+        if config.name_or_path and "civitai.com" in str(config.name_or_path):
+            # civitai urls resolve to a cached local file (reference
+            # stable_diffusion_model.py:308-311)
+            from ai_toolkit_tpu.io.civitai import maybe_resolve_civitai
+
+            config.name_or_path = maybe_resolve_civitai(config.name_or_path)
         self.config = config
 
     # ---- construction ----

@@ -138,3 +138,36 @@ def test_all_example_configs_parse():
                 pc = ProcessConfig.from_dict(proc)
                 assert pc.model.arch, p
                 assert pc.train.steps > 0, p
+
+
+def test_extension_plugin_discovery(tmp_path, monkeypatch):
+    """User plugins: a module in AIT_EXTENSIONS_DIR exposing
+    AI_TOOLKIT_EXTENSIONS is dispatched by its uid (reference
+    toolkit/extension.py:28-57)."""
+    ext_dir = tmp_path / "exts"
+    ext_dir.mkdir()
+    (ext_dir / "my_plugin.py").write_text(
+        "from ai_toolkit_tpu.jobs.extensions import Extension\n"
+        "class P:\n"
+        "    def __init__(self, job_name, cfg):\n"
+        "        self.cfg = cfg\n"
+        "    def run(self):\n"
+        "        return ('ran', self.cfg.type)\n"
+        "class MyExt(Extension):\n"
+        "    uid = 'my_custom_process'\n"
+        "    @classmethod\n"
+        "    def get_process(cls):\n"
+        "        return P\n"
+        "AI_TOOLKIT_EXTENSIONS = [MyExt]\n"
+    )
+    monkeypatch.setenv("AIT_EXTENSIONS_DIR", str(ext_dir))
+    from ai_toolkit_tpu.jobs import extensions as ext_mod
+    from ai_toolkit_tpu.jobs.dispatch import run_job
+
+    ext_mod._cache = None  # force re-discovery under the new env var
+    out = run_job({
+        "job": "extension",
+        "config": {"name": "x", "process": [{"type": "my_custom_process"}]},
+    })
+    assert out == [("ran", "my_custom_process")]
+    ext_mod._cache = None

@@ -79,3 +79,48 @@ def test_flux_exclude_defaults():
     # modulation / embedding layers excluded, attention/mlp kernels quantized
     assert "img_mod" in rest["double_0"] and "kernel" in rest["double_0"]["img_mod"]["mod"]
     assert "qvalue" in quant["double_0"]["img_qkv"]
+
+
+def test_qtype_backends_roundtrip():
+    """qfloat8 / int4 storage backends (reference quanto/torchao qtypes):
+    channelwise scales bound the roundtrip error; unknown qtypes raise."""
+    import pytest
+
+    from ai_toolkit_tpu.adapters.quantize import (
+        dequantize_kernel_int8,
+        get_quantize_kernel,
+        quantize_kernel_fp8,
+        quantize_kernel_int4,
+    )
+
+    w = jax.random.normal(jax.random.key(0), (128, 64), jnp.float32)
+    qv, qs = quantize_kernel_fp8(w)
+    assert str(qv.dtype) == "float8_e4m3fn"
+    err = jnp.max(jnp.abs(dequantize_kernel_int8(qv, qs, jnp.float32) - w))
+    # e4m3 mantissa = 3 bits -> ULP/2 = value/16 worst case near absmax
+    assert float(err) < float(jnp.max(jnp.abs(w))) / 16.0 + 1e-3
+
+    qv4, qs4 = quantize_kernel_int4(w)
+    assert str(qv4.dtype) == "int4"
+    err4 = jnp.max(jnp.abs(dequantize_kernel_int8(qv4, qs4, jnp.float32) - w))
+    assert float(err4) < 0.5  # 4-bit: |err| <= scale/2 ~ absmax/14
+
+    assert get_quantize_kernel("qfloat8") is quantize_kernel_fp8
+    with pytest.raises(ValueError, match="unknown qtype"):
+        get_quantize_kernel("q3_k_m")
+
+
+def test_quantize_params_qtype_and_dequantize_tree():
+    from ai_toolkit_tpu.adapters.quantize import dequantize_tree, quantize_params
+
+    params = {
+        "blk": {"attn": {"kernel": jax.random.normal(jax.random.key(1), (512, 256))},
+                "norm": {"scale": jnp.ones((256,))}},
+    }
+    rest, quant = quantize_params(params, min_size=1, qtype="qfloat8")
+    assert str(quant["blk"]["attn"]["qvalue"].dtype) == "float8_e4m3fn"
+    assert "kernel" not in rest["blk"]["attn"]
+    full = dequantize_tree(rest, quant, jnp.float32)
+    assert full["blk"]["norm"]["scale"].shape == (256,)
+    err = jnp.max(jnp.abs(full["blk"]["attn"]["kernel"] - params["blk"]["attn"]["kernel"]))
+    assert float(err) < 0.05
