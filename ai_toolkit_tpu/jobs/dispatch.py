@@ -24,6 +24,9 @@ PROCESS_TYPES = {
     "ui_trainer": "train",
     "textual_inversion_trainer": "train",
     "generate": "generate",
+    "pure_lora_generator": "generate",
+    "reference_generator": "refgen",
+    "batch_img2img": "img2img",
     "extract_lora": "extract",
     "mod_rescale": "mod",
     "merge_lora": "merge",
@@ -62,6 +65,18 @@ class Job:
                 from ai_toolkit_tpu.jobs.generate_process import GenerateProcess
 
                 self.processes.append(GenerateProcess(job_config.name, proc_cfg))
+            elif kind == "refgen":
+                from ai_toolkit_tpu.jobs.reference_generator_process import (
+                    ReferenceGeneratorProcess,
+                )
+
+                self.processes.append(ReferenceGeneratorProcess(job_config.name, proc_cfg))
+            elif kind == "img2img":
+                from ai_toolkit_tpu.jobs.reference_generator_process import (
+                    BatchImg2ImgProcess,
+                )
+
+                self.processes.append(BatchImg2ImgProcess(job_config.name, proc_cfg))
             elif kind == "extract":
                 from ai_toolkit_tpu.jobs.extract_process import ExtractLoraProcess
 

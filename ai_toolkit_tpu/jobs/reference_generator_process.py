@@ -98,3 +98,68 @@ class ReferenceGeneratorProcess:
                 print(f"reference_generator: {out_path}")
         print(f"reference_generator: {len(outputs)} images -> {out_dir}")
         return outputs
+
+
+class BatchImg2ImgProcess:
+    """uid 'batch_img2img' (reference advanced_generator Img2ImgGenerator):
+    re-render every dataset image via img2img at a denoise strength, prompted
+    by its caption. extras.generate: {denoise_strength, neg, seed, walk_seed,
+    sample_steps, guidance_scale, ext}."""
+
+    def __init__(self, job_name: str, cfg: ProcessConfig):
+        self.job_name = job_name
+        self.cfg = cfg
+
+    def run(self):
+        cfg = self.cfg
+        extras = cfg.extras
+        out_dir = extras.get("output_folder") or os.path.join(
+            cfg.training_folder, self.job_name, "img2img"
+        )
+        gen_cfg = dict(extras.get("generate") or {})
+        strength = float(gen_cfg.get("denoise_strength", 0.5))
+
+        from ai_toolkit_tpu.data.dataset import FolderDataset
+        from ai_toolkit_tpu.generation import generate_img2img, save_image_atomic
+        from ai_toolkit_tpu.models.registry import get_model_class
+
+        model = get_model_class(cfg.model.arch)(cfg.model)
+        variables = model.load_variables(jax.random.key(0))
+        lora = None
+        if extras.get("lora_path"):
+            from ai_toolkit_tpu.io.lora_file import load_lora_file
+
+            lora, _ = load_lora_file(extras["lora_path"])
+
+        seed = int(gen_cfg.get("seed", -1))
+        walk_seed = bool(gen_cfg.get("walk_seed", False))
+        ext = gen_cfg.get("ext", "png")
+        outputs = []
+        for i, dcfg in enumerate(cfg.datasets):
+            ds = FolderDataset(dcfg, model.bucket_divisibility, cfg.trigger_word, seed=42 + i)
+            for item in ds.items:
+                if item.kind != "image":
+                    continue
+                stem = os.path.splitext(os.path.basename(item.path))[0]
+                cur = random.randint(0, 1_000_000) if seed == -1 else (
+                    seed + len(outputs) if walk_seed else seed
+                )
+                bw, bh = item.bucket
+                gen = GenerateImageConfig(
+                    prompt=item.caption,
+                    negative_prompt=gen_cfg.get("neg", ""),
+                    width=bw, height=bh, seed=cur,
+                    guidance_scale=float(gen_cfg.get("guidance_scale", 7.0)),
+                    sample_steps=int(gen_cfg.get("sample_steps", 20)),
+                    sampler=gen_cfg.get("sampler"),
+                )
+                img = generate_img2img(
+                    model, variables, gen, item.load_image(), strength=strength, lora=lora
+                )
+                out_path = os.path.join(out_dir, f"{stem}.{ext}")
+                save_image_atomic(img, out_path)
+                with open(os.path.join(out_dir, f"{stem}.txt"), "w") as f:
+                    f.write(item.caption)
+                outputs.append(out_path)
+        print(f"batch_img2img: {len(outputs)} images -> {out_dir}")
+        return outputs

@@ -87,15 +87,42 @@ class TrainSliderProcess:
             updates, opt_state = tx.update(grads, opt_state, lora)
             return optax.apply_updates(lora, updates), opt_state, loss
 
+        # partial denoising (reference diffuse_some_steps,
+        # TrainSliderProcess.py:400-426): start each step from a latent the
+        # slider network itself denoised a random number of steps, not pure
+        # noise — the targets then steer realistic intermediate states.
+        # Flow-matching only; eps-pred archs keep the pure-noise start.
+        max_dn = int(slider.get("max_denoising_steps", 40))
+        from ai_toolkit_tpu.train.slider import scale_lora as _scale_lora
+        from ai_toolkit_tpu.train.state import merge_variables as _merge_vars
+
+        sig_tab = jnp.asarray(schedule.inference_sigmas(max_dn)) if is_flow else None
+
+        @jax.jit
+        def partial_denoise(lora, rng, steps_to, cond, mult):
+            x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
+            lv = _merge_vars(variables, {"lora": _scale_lora(lora, mult)})
+
+            def body(i, x):
+                s0 = sig_tab[i]
+                v = model.predict(lv, x, jnp.full((1,), s0), cond)
+                return x + (sig_tab[i + 1] - s0) * v.astype(x.dtype)
+
+            x = jax.lax.fori_loop(0, steps_to, body, x)
+            return jax.lax.stop_gradient(x), jnp.full((1,), sig_tab[steps_to])
+
+        host_rng = np.random.default_rng(0)
         rng = jax.random.key(0)
         final_loss = None
         for step in range(tc.steps):
             cond_n, cond_p, cond_g, weight = conds[step % len(conds)]
             rng, r1, r2 = jax.random.split(rng, 3)
-            noisy = jax.random.normal(r1, (1, h, w, c), jnp.float32)
             if is_flow:
-                t = schedule.sample_timesteps(r2, 1, timestep_type="sigmoid")
+                steps_to = int(host_rng.integers(1, max_dn - 1))
+                mult0 = weight if step % 2 == 0 else -weight
+                noisy, t = partial_denoise(lora, r1, steps_to, cond_n, mult0)
             else:
+                noisy = jax.random.normal(r1, (1, h, w, c), jnp.float32)
                 t = schedule.sample_timesteps(r2, 1)
             # alternate polarity: +weight enhances, -weight suppresses
             mult = weight if step % 2 == 0 else -weight

@@ -9,7 +9,7 @@ LOGDIR=${LOGDIR:-/tmp/testchunks}
 mkdir -p "$LOGDIR"
 
 CHUNKS=(
-  "tests/test_config.py tests/test_import.py tests/test_io.py tests/test_data.py tests/test_caption_tools.py tests/test_train_knobs.py"
+  "tests/test_config.py tests/test_import.py tests/test_io.py tests/test_data.py tests/test_caption_tools.py tests/test_train_knobs.py tests/test_augmentations.py tests/test_civitai.py"
   "tests/test_ops_lora.py tests/test_quantize.py tests/test_samplers.py tests/test_samplers_extra.py tests/test_lycoris.py"
   "tests/test_train_core.py --deselect tests/test_train_core.py::test_train_text_encoder_lora --deselect tests/test_train_core.py::test_train_text_encoder_resume --deselect tests/test_train_core.py::test_concept_replacer_process --deselect tests/test_train_core.py::test_oom_skip_resilience"
   "tests/test_train_core.py::test_train_text_encoder_lora tests/test_train_core.py::test_train_text_encoder_resume tests/test_train_core.py::test_concept_replacer_process tests/test_train_core.py::test_oom_skip_resilience"
@@ -22,6 +22,10 @@ CHUNKS=(
   "tests/test_ltx2_av.py"
   "tests/test_new_archs.py tests/test_qwen_import.py"
   "tests/test_f_lite_golden.py tests/test_full_export.py"
+  "tests/test_boogu_golden.py tests/test_prx_golden.py"
+  "tests/test_ideogram_golden.py tests/test_mage_vae_golden.py"
+  "tests/test_ltx_audio_vae.py tests/test_ltx_vocoder.py tests/test_lpips.py"
+  "tests/test_ilora_llm_adapter.py"
   "tests/test_custom_adapter.py"
   "tests/test_ip_adapter.py"
   "tests/test_parallel.py tests/test_ring_attention.py tests/test_moe_gmm.py tests/test_flash_attention.py"
@@ -30,6 +34,7 @@ CHUNKS=(
   "tests/test_e2e.py::test_textual_inversion_e2e tests/test_e2e.py::test_validation_loss_logged tests/test_e2e.py::test_vae_trainer_e2e"
   "tests/test_e2e.py::test_cli_run_py tests/test_e2e.py::test_slider_trainer_e2e tests/test_e2e.py::test_merge_job_and_img2img"
   "tests/test_e2e.py::test_image_pair_polarity_slider_e2e tests/test_e2e.py::test_esrgan_trainer_e2e tests/test_e2e.py::test_ip_adapter_training_e2e"
+  "tests/test_e2e.py::test_reference_and_img2img_generator_processes"
 )
 
 fail=0

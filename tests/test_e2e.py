@@ -412,3 +412,46 @@ def test_ip_adapter_training_e2e(tmp_path):
         keys = list(f.keys())
     assert "image_proj.proj.weight" in keys
     assert any(k.startswith("ip_adapter.") for k in keys)
+
+
+def test_reference_and_img2img_generator_processes(tmp_path):
+    """advanced_generator analogs: reference_generator (dataset -> depth
+    control -> regenerate) and batch_img2img (dataset -> img2img), both
+    through job dispatch."""
+    from PIL import Image
+
+    from ai_toolkit_tpu.jobs.dispatch import run_job
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            imgs / f"im_{i}.png"
+        )
+        (imgs / f"im_{i}.txt").write_text(f"a photo {i}")
+
+    base = {
+        "training_folder": str(tmp_path / "out"),
+        "model": {"arch": "sd1", "name_or_path": "", "model_kwargs": {"size": "tiny"}},
+        "datasets": [{"folder_path": str(imgs), "caption_ext": "txt", "resolution": [64]}],
+        "generate": {"sample_steps": 2, "guidance_scale": 1.0, "seed": 3, "ext": "png"},
+    }
+    out1 = run_job({"job": "extension", "config": {"name": "refgen", "process": [{
+        "type": "reference_generator",
+        **{k: v for k, v in base.items() if k != "generate"},
+        "output_folder": str(tmp_path / "refgen_out"),
+        "control": "depth",
+        "generate": base["generate"],
+    }]}})
+    assert len(out1[0]) == 2 and all(os.path.isfile(p) for p in out1[0])
+
+    out2 = run_job({"job": "extension", "config": {"name": "i2i", "process": [{
+        "type": "batch_img2img",
+        **{k: v for k, v in base.items() if k != "generate"},
+        "output_folder": str(tmp_path / "i2i_out"),
+        "generate": {**base["generate"], "denoise_strength": 0.4},
+    }]}})
+    assert len(out2[0]) == 2
+    for p in out2[0]:
+        assert os.path.isfile(p) and os.path.isfile(os.path.splitext(p)[0] + ".txt")
