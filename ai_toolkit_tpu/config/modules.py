@@ -536,6 +536,10 @@ class DatasetConfig:
     random_scale: bool = False
     alpha_mask: bool = False
     mask_path: str | None = None
+    # inpainting condition images (flex2): RGBA alpha = keep area, or
+    # grayscale where white marks the inpaint region (reference
+    # DatasetConfig.inpaint_path, config_modules.py:983)
+    inpaint_path: str | None = None
     unconditional_path: str | None = None  # paired negative images (sliders)
     mask_min_value: float = 0.0
     # paired vision-encoder images (IP-adapter/redux: same stem, any ext;

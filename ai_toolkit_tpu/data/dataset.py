@@ -211,6 +211,45 @@ class FileItem:
             arr = replay_spatial(arr, self.aug_replay)
         return arr
 
+    def load_inpaint_mask(self) -> np.ndarray | None:
+        """Keep-area mask [H, W, 1] in [0,1] (1 = keep) from the paired
+        inpaint image (reference inpaint_path: RGBA alpha = keep; grayscale
+        white = inpaint region)."""
+        cfg = self.dataset_config
+        ip = getattr(cfg, "inpaint_path", None) if cfg else None
+        if not ip:
+            return None
+        import glob
+
+        from PIL import Image
+
+        stem = os.path.splitext(os.path.basename(self.path))[0]
+        cand = None
+        for c in sorted(glob.glob(os.path.join(ip, stem + ".*"))):
+            if os.path.splitext(c)[1].lower() in IMAGE_EXTS:
+                cand = c
+                break
+        if cand is None:
+            return None
+        img = Image.open(cand)
+        bw, bh = self.bucket
+        rw, rh, x0, y0 = resize_and_crop_size(img.width, img.height, bw, bh)
+        img = img.resize((rw, rh), Image.BICUBIC).crop((x0, y0, x0 + bw, y0 + bh))
+        if img.mode == "RGBA":
+            keep = np.asarray(img.split()[-1], np.float32) / 255.0
+        else:
+            keep = 1.0 - np.asarray(img.convert("L"), np.float32) / 255.0
+        if self.flip:
+            keep = keep[:, ::-1]
+        if self.flip_y:
+            keep = keep[::-1]
+        arr = keep[..., None]
+        if self.aug_replay:
+            from ai_toolkit_tpu.data.augmentations import replay_spatial
+
+            arr = replay_spatial(arr, self.aug_replay, is_mask=True)
+        return np.ascontiguousarray(arr)
+
     def load_mask(self) -> np.ndarray | None:
         if not self.mask_path or not os.path.isfile(self.mask_path):
             return None

@@ -133,6 +133,11 @@ class DataLoader:
             bw, bh = batch[0].bucket
             blank = np.zeros((bh, bw, 3), np.float32)
             out["control_pixels"] = np.stack([c if c is not None else blank for c in controls])
+        inp = [it.load_inpaint_mask() for it in batch]
+        if any(m is not None for m in inp):
+            bw, bh = batch[0].bucket
+            keep_all = np.ones((bh, bw, 1), np.float32)  # no file -> keep everything
+            out["inpaint_keep"] = np.stack([m if m is not None else keep_all for m in inp])
         masks = [it.load_mask() for it in batch]
         if any(m is not None for m in masks):
             bw, bh = batch[0].bucket

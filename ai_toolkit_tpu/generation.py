@@ -34,10 +34,13 @@ def generate_flux(
     pe = model.rope_table(h, w, cond["txt"].shape[1])
     cond = {**cond, "pe": pe, "guidance": jnp.full((1,), gen.guidance_scale)}
     if getattr(getattr(model, "dit_config", None), "control_channels", 0):
-        # control/edit archs expect concat control latents; use the provided
-        # control image or zeros (reference samples control models the same way
-        # when no ctrl_img is given)
-        if getattr(gen, "ctrl_img", None):
+        # control/edit archs expect concat control latents; the model hook
+        # handles arch-specific layouts (flex2 [inpaint, mask, control])
+        if hasattr(model, "sampling_control_latents"):
+            cond["control_latents"] = model.sampling_control_latents(
+                variables, h, w, getattr(gen, "ctrl_img", None), gen.width, gen.height
+            )
+        elif getattr(gen, "ctrl_img", None):
             from PIL import Image
 
             im = Image.open(gen.ctrl_img).convert("RGB").resize((gen.width, gen.height))

@@ -1095,7 +1095,24 @@ class SDTrainProcess:
             cond["img_cond"] = jnp.asarray(
                 model.encode_image_cond(self._ctrl_variables, jnp.asarray(raw["first_frame"]))
             )
-        if "control_pixels" in raw:
+        if self.cfg.model.arch == "flex2":
+            # flex2 33-channel conditioning: [masked latents, inpaint mask,
+            # control latents] with per-batch dropouts (reference
+            # flex2.condition_noisy_latents); host-side assembly
+            if not hasattr(self, "_flex2_rng"):
+                self._flex2_rng = np.random.default_rng(1234)
+            ctrl_lat = None
+            if "control_pixels" in raw:
+                ctrl_lat = np.asarray(self._encode_control(raw["control_pixels"]))
+            keep = raw.get("inpaint_keep")
+            if keep is None and "pixel_mask" in raw:
+                keep = raw["pixel_mask"]  # reference falls back to the mask
+            cond["control_latents"] = jnp.asarray(
+                model.assemble_flex2_control(
+                    np.asarray(raw["latents"]), keep, ctrl_lat, self._flex2_rng
+                )
+            )
+        elif "control_pixels" in raw:
             if self.custom_adapter is not None and self.custom_adapter.adapter_type == "t2i":
                 # trainable t2i adapter consumes raw control pixels in-graph
                 cond["control_pixels"] = jnp.asarray(raw["control_pixels"])

@@ -73,7 +73,17 @@ class FluxModel(BaseTpuModel):
                 "approximator_hidden": 64 if size == "tiny" else 5120,
                 "approximator_depth": 2 if size == "tiny" else 5,
             })
-        if config.model_kwargs.get("control") or config.arch in ("flux_kontext", "flex2"):
+        if config.arch == "flex2":
+            # flex2 input layout (reference flex2/pipeline.py:282-290, packed):
+            # [noisy(64), inpaint latent(64) + keep-mask(4), control(64)] = 196
+            base_in = self.dit_config.in_channels
+            self.dit_config = FluxConfig(**{
+                **self.dit_config.__dict__,
+                "in_channels": base_in * 3 + 4,
+                "out_channels": base_in,
+                "control_channels": base_in * 2 + 4,
+            })
+        elif config.model_kwargs.get("control") or config.arch == "flux_kontext":
             # control/edit conditioning: packed control latents concat to img tokens
             base_in = self.dit_config.in_channels
             self.dit_config = FluxConfig(**{
@@ -196,3 +206,124 @@ class FluxModel(BaseTpuModel):
 
     def partition_rules(self):
         return flux_partition_rules(self.dit_config.scan_blocks)
+
+    # ---- flex2 conditioning (reference extensions_built_in/flex2) ----
+
+    def assemble_flex2_control(
+        self,
+        latents: np.ndarray,  # clean latents [B, h, w, C]
+        keep_mask_px: np.ndarray | None,  # pixel-res keep mask [B, H, W, 1]
+        ctrl_latents: np.ndarray | None,  # [B, h, w, C] or None
+        host_rng,
+    ) -> np.ndarray:
+        """Train-time flex2 control tensor [B, h, w, 2C+1]:
+        [masked clean latents, inpaint mask (1 = inpaint), control latents]
+        with per-batch dropouts/randomization (flex2.condition_noisy_latents).
+        Host-side numpy — runs in the loader thread, not the jit graph."""
+        mk = self.config.model_kwargs
+        b, h, w, c = latents.shape
+        lat = np.asarray(latents, np.float32)
+
+        keep = None
+        if keep_mask_px is not None:
+            import cv2
+
+            keep = np.stack([
+                cv2.resize(m[..., 0], (w, h), interpolation=cv2.INTER_LINEAR)
+                for m in np.asarray(keep_mask_px, np.float32)
+            ])[..., None]
+        if float(mk.get("inpaint_random_chance", 0.0)) > 0.0:
+            if host_rng.random() < float(mk["inpaint_random_chance"]):
+                keep = None
+        do_dropout = host_rng.random() < float(mk.get("inpaint_dropout", 0.0))
+        if keep is None and not do_dropout and mk.get("do_random_inpainting"):
+            keep = 1.0 - _random_blob_mask(b, h, w, host_rng)
+        if keep is not None and not do_dropout:
+            if mk.get("random_blur_mask") and host_rng.random() < 0.5:
+                import cv2
+
+                k = int(host_rng.integers(3, 8))
+                k += 1 - k % 2
+                keep = np.stack([
+                    cv2.blur(m[..., 0], (k, k)) for m in keep
+                ])[..., None]
+            if float(mk.get("invert_inpaint_mask_chance", 0.0)) > 0.0:
+                if host_rng.random() < float(mk["invert_inpaint_mask_chance"]):
+                    keep = 1.0 - keep
+            inpaint_lat = lat * keep
+            if mk.get("random_dialate_mask"):
+                import cv2
+
+                px = max(1, int(0.05 * host_rng.random() * min(h, w)))
+                kern = np.ones((px, px), np.uint8)
+                keep = np.stack([
+                    cv2.dilate(m[..., 0], kern) for m in keep
+                ])[..., None]
+            mask_chan = 1.0 - keep
+        else:
+            inpaint_lat = np.zeros_like(lat)
+            mask_chan = np.ones((b, h, w, 1), np.float32)
+
+        ctrl = np.zeros_like(lat)
+        if ctrl_latents is not None:
+            if not (host_rng.random() < float(mk.get("control_dropout", 0.0))):
+                ctrl = np.asarray(ctrl_latents, np.float32)
+        return np.concatenate([inpaint_lat, mask_chan, ctrl], axis=-1)
+
+    def sampling_control_latents(
+        self, variables: dict, h: int, w: int, ctrl_img: str | None, gen_width: int, gen_height: int
+    ):
+        """Inference-time control latents. Non-flex2 control archs get the
+        encoded control image (or zeros); flex2 gets the
+        [inpaint, mask=1, control] blank layout with the provided image in
+        the control slot — or the inpaint slot when the filename carries
+        '.inpaint.' with an RGBA keep-alpha (reference pipeline.py:180-290)."""
+        import jax.numpy as jnp
+
+        c = self.vae_config.latent_channels
+        if self.config.arch != "flex2":
+            if ctrl_img:
+                from PIL import Image
+
+                im = Image.open(ctrl_img).convert("RGB").resize((gen_width, gen_height))
+                px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
+                return self.encode_images(variables, px)
+            return jnp.zeros((1, h, w, c), jnp.float32)
+
+        inpaint = jnp.zeros((1, h, w, c), jnp.float32)
+        mask = jnp.ones((1, h, w, 1), jnp.float32)
+        ctrl = jnp.zeros((1, h, w, c), jnp.float32)
+        if ctrl_img:
+            from PIL import Image
+
+            im = Image.open(ctrl_img)
+            if ".inpaint." in ctrl_img and im.mode == "RGBA":
+                im = im.resize((gen_width, gen_height))
+                keep = np.asarray(im.split()[-1], np.float32)[None, ..., None] / 255.0
+                rgb = np.asarray(im.convert("RGB"), np.float32) / 127.5 - 1.0
+                lat = self.encode_images(variables, jnp.asarray(rgb)[None])
+                import cv2
+
+                keep_l = cv2.resize(keep[0, ..., 0], (w, h))[None, ..., None]
+                inpaint = lat * jnp.asarray(keep_l)
+                mask = jnp.asarray(1.0 - keep_l, jnp.float32)
+            else:
+                im = im.convert("RGB").resize((gen_width, gen_height))
+                px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
+                ctrl = self.encode_images(variables, px)
+        return jnp.concatenate([inpaint, mask.astype(jnp.float32), ctrl], axis=-1)
+
+
+def _random_blob_mask(b: int, h: int, w: int, rng) -> np.ndarray:
+    """[B, h, w, 1] random elliptical blobs, 1 = inpaint region (reference
+    toolkit/util/mask.generate_random_mask analog)."""
+    out = np.zeros((b, h, w, 1), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(b):
+        for _ in range(int(rng.integers(1, 4))):
+            cy, cx = rng.random() * h, rng.random() * w
+            ry = max(2.0, rng.random() * h / 2)
+            rx = max(2.0, rng.random() * w / 2)
+            blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+            out[i, ..., 0] = np.maximum(out[i, ..., 0], blob.astype(np.float32))
+    return out
