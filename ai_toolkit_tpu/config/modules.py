@@ -321,6 +321,12 @@ class TrainConfig:
     timestep_type: str = "sigmoid"  # sigmoid | linear | shift | flux_shift | weighted | lognorm_blend | one_step
     timestep_bias: float = 1.0
     content_or_style: str = "balanced"
+    # reg-batch override; the reference declares this but (bug) reads the
+    # content_or_style key for it — we honor an explicit value, defaulting
+    # to content_or_style (config_modules.py:378-379)
+    content_or_style_reg: str | None = None
+    do_differential_guidance: bool = False
+    differential_guidance_scale: float = 3.0
     optimizer: str = "adamw"
     optimizer_params: dict[str, Any] = field(default_factory=dict)
     lr: float = 1e-4

@@ -14,6 +14,9 @@ PROCESS_TYPES = {
     "train_esrgan": "esrgan",
     "esrgan_trainer": "esrgan",
     "slider": "slider",
+    "ultimate_slider": "ultimate_slider",
+    "ultimate_slider_trainer": "ultimate_slider",
+    "image_reference_slider_trainer": "ultimate_slider",
     "concept_replacer": "replacer",
     "concept_slider": "slider",
     "slider_trainer": "slider",
@@ -93,6 +96,10 @@ class Job:
                 from ai_toolkit_tpu.jobs.merge_process import MergeLoraProcess
 
                 self.processes.append(MergeLoraProcess(job_config.name, proc_cfg))
+            elif kind == "ultimate_slider":
+                from ai_toolkit_tpu.jobs.ultimate_slider_process import UltimateSliderProcess
+
+                self.processes.append(UltimateSliderProcess(job_config.name, proc_cfg))
             elif kind == "slider":
                 from ai_toolkit_tpu.jobs.slider_process import TrainSliderProcess
 

@@ -966,6 +966,10 @@ class SDTrainProcess:
             "latents": jnp.asarray(latents_np),
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
         }
+        cos_reg = self.cfg.train.content_or_style_reg
+        if cos_reg and cos_reg != self.cfg.train.content_or_style:
+            # reg batches sample from their own timestep skew
+            batch["is_reg_flag"] = jnp.asarray(1.0 if raw.get("is_reg") else 0.0)
         if self.cfg.train.loss_target == "unaugmented" and "unaugmented_pixels" in raw:
             # encode the pre-augmentation images as the regression target
             # (reference SDTrainer.py:815-821)

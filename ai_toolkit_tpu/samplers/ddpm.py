@@ -45,9 +45,44 @@ class DDPMSchedule:
     def alphas_cumprod(self) -> np.ndarray:
         return np.cumprod(1.0 - self.betas).astype(np.float32)
 
-    def sample_timesteps(self, rng: jax.Array, batch_size: int, min_t: int = 0, max_t: int | None = None) -> jax.Array:
-        max_t = max_t if max_t is not None else self.num_train_timesteps
-        return jax.random.randint(rng, (batch_size,), min_t, max_t)
+    def sample_timesteps(
+        self,
+        rng: jax.Array,
+        batch_size: int,
+        min_t: int = 0,
+        max_t: int | None = None,
+        content_or_style: str = "balanced",
+        timestep_type: str | None = None,
+    ) -> jax.Array:
+        """Timestep indices per the reference's distribution zoo
+        (BaseSDTrainProcess.py:1243-1313): discrete two/four/eight_step grids,
+        one_step/next_sample, cubic content/style skews (T2I-Adapter §3.4),
+        or the balanced uniform draw."""
+        n = self.num_train_timesteps
+        max_t = max_t if max_t is not None else n
+        if timestep_type in ("two_step", "four_step", "eight_step"):
+            k = {"two_step": 2, "four_step": 4, "eight_step": 8}[timestep_type]
+            choices = jnp.arange(k) * (n // k)
+            if timestep_type == "two_step":
+                choices = jnp.array([0, n // 2 - 1])  # reference uses [0, 499]
+            pick = jax.random.randint(rng, (batch_size,), 0, choices.shape[0])
+            return choices[pick]
+        if timestep_type == "one_step":
+            return jnp.zeros((batch_size,), jnp.int32)
+        if timestep_type == "next_sample":
+            return jax.random.randint(rng, (batch_size,), 0, n - 2)
+        if content_or_style in ("content", "style"):
+            # cubic skew: content favors early (low-noise) timesteps, style
+            # favors late ones, mapped into the [min_t, max_t] window
+            u = jax.random.uniform(rng, (batch_size,))
+            idx = (u**3 if content_or_style == "content" else 1.0 - u**3) * n
+            idx = min_t + idx * (max_t - 1 - min_t) / max(n - 1, 1)
+            return jnp.clip(idx.astype(jnp.int32), min_t, max_t - 1)
+        if content_or_style != "balanced":
+            raise ValueError(f"unknown content_or_style {content_or_style!r}")
+        lo = min_t + 1
+        hi = max(lo + 1, max_t - 1)
+        return jax.random.randint(rng, (batch_size,), lo, hi)
 
     def _gather(self, table, t: jax.Array, ndim: int) -> jax.Array:
         v = jnp.asarray(table)[t]

@@ -82,6 +82,14 @@ class TrainStepConfig:
     # 'unaugmented' regress the one-shot denoised latent against the clean
     # (or pre-augmentation) latents with sigma^-2 weighting
     loss_target_mode: str = "noise"
+    # DDPM timestep skew (BaseSDTrainProcess.py:1243-1313): cubic
+    # content/style distributions; the _reg variant applies to reg batches
+    content_or_style: str = "balanced"
+    content_or_style_reg: str = "balanced"
+    # push the target away from the current prediction along the residual
+    # (reference do_differential_guidance, SDTrainer.py:788-791)
+    do_differential_guidance: bool = False
+    differential_guidance_scale: float = 3.0
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -128,6 +136,13 @@ class TrainStepConfig:
                 getattr(tc, "do_fft_velocity_equiv_weight", False)
             ),
             loss_target_mode=getattr(tc, "loss_target", None) or "noise",
+            content_or_style=getattr(tc, "content_or_style", "balanced"),
+            content_or_style_reg=getattr(tc, "content_or_style_reg", None)
+            or getattr(tc, "content_or_style", "balanced"),
+            do_differential_guidance=bool(getattr(tc, "do_differential_guidance", False)),
+            differential_guidance_scale=float(
+                getattr(tc, "differential_guidance_scale", 3.0)
+            ),
         )
 
 
@@ -232,7 +247,17 @@ def make_train_step(
                 lo, hi = t_range
                 t = lo + t * (hi - lo)
         else:
-            t = schedule.sample_timesteps(rng_t, b)
+            tt = cfg.timestep_type if cfg.timestep_type in (
+                "two_step", "four_step", "eight_step", "one_step", "next_sample"
+            ) else None
+            t = schedule.sample_timesteps(
+                rng_t, b, content_or_style=cfg.content_or_style, timestep_type=tt
+            )
+            if cfg.content_or_style_reg != cfg.content_or_style:
+                t_reg = schedule.sample_timesteps(
+                    rng_t, b, content_or_style=cfg.content_or_style_reg, timestep_type=tt
+                )
+                t = jnp.where(batch.get("is_reg_flag", jnp.zeros(())) > 0, t_reg, t)
 
         noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
         if cfg.model_noise_scale != 1.0:
@@ -328,6 +353,13 @@ def make_train_step(
             pn = jnp.linalg.norm(pred.astype(jnp.float32), axis=ax, keepdims=True)
             factor = (tn / jnp.maximum(pn, 1e-6)) ** cfg.correct_pred_norm_multiplier
             pred = pred * jax.lax.stop_gradient(factor).astype(pred.dtype)
+
+        if cfg.do_differential_guidance:
+            # amplify the residual the model still has to learn
+            # (SDTrainer.py:788-791), stop-grad so only pred carries grads
+            target = jax.lax.stop_gradient(
+                pred + cfg.differential_guidance_scale * (target.astype(jnp.float32) - pred)
+            ).astype(target.dtype)
 
         # x0-space loss shaping (reference SDTrainer.py:836-870 + stepped_loss)
         loss_pred, loss_target, loss_kind = pred, target, cfg.loss_type

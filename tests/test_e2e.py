@@ -455,3 +455,44 @@ def test_reference_and_img2img_generator_processes(tmp_path):
     assert len(out2[0]) == 2
     for p in out2[0]:
         assert os.path.isfile(p) and os.path.isfile(os.path.splitext(p)[0] + ".txt")
+
+
+def test_ultimate_slider_e2e(tmp_path):
+    """Combined image-pair + prompt-CFG slider (reference
+    ultimate_slider_trainer) trains and exports through dispatch."""
+    from PIL import Image
+
+    from ai_toolkit_tpu.jobs.dispatch import run_job
+
+    pos = tmp_path / "pos"
+    neg = tmp_path / "neg"
+    pos.mkdir(); neg.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            pos / f"im_{i}.png"
+        )
+        (pos / f"im_{i}.txt").write_text("person")
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            neg / f"im_{i}.png"
+        )
+
+    out = run_job({"job": "extension", "config": {"name": "ult", "process": [{
+        "type": "ultimate_slider",
+        "training_folder": str(tmp_path / "out"),
+        "network": {"type": "lora", "linear": 2},
+        "train": {"steps": 2, "batch_size": 2, "lr": 1e-3, "dtype": "float32",
+                  "noise_scheduler": "ddpm", "optimizer": "adamw"},
+        "model": {"arch": "sd1", "name_or_path": "", "model_kwargs": {"size": "tiny"}},
+        "slider": {
+            "targets": [{"target_class": "person", "positive": "smiling person",
+                         "negative": "frowning person", "weight": 1.0}],
+            "img_loss_weight": 1.0, "cfg_loss_weight": 0.5,
+            "resolutions": [[64, 64]],
+        },
+        "datasets": [{"folder_path": str(pos), "unconditional_path": str(neg),
+                      "caption_ext": "txt", "resolution": [64],
+                      "cache_latents": False, "cache_latents_to_disk": False}],
+    }]}})
+    assert os.path.isfile(out[0]["output"])
+    assert np.isfinite(out[0]["loss"])

@@ -255,3 +255,72 @@ def test_fft_loss_metric_and_gradients():
     batch = {"latents": jax.random.normal(jax.random.key(4), (2, 4, 4, 2))}
     state, m = step(state, batch, jax.random.key(0))
     assert float(m["fft_loss"]) > 0 and float(m["grad_norm"]) > 0
+
+
+def test_ddpm_timestep_distributions():
+    """content/style cubic skews + stepped grids (BaseSDTrainProcess.py:
+    1243-1313)."""
+    from ai_toolkit_tpu.samplers import get_schedule
+
+    s = get_schedule("ddpm", "sd1")
+    k = jax.random.key(0)
+    t_c = np.asarray(s.sample_timesteps(k, 4096, content_or_style="content"))
+    t_s = np.asarray(s.sample_timesteps(k, 4096, content_or_style="style"))
+    # content favors early (low-noise) timesteps, style favors late ones
+    assert t_c.mean() < 300 < t_s.mean()
+    assert t_c.min() >= 0 and t_s.max() <= 999
+
+    two = np.asarray(s.sample_timesteps(k, 512, timestep_type="two_step"))
+    assert set(np.unique(two)) == {0, 499}
+    four = np.asarray(s.sample_timesteps(k, 512, timestep_type="four_step"))
+    assert set(np.unique(four)) == {0, 250, 500, 750}
+    eight = np.asarray(s.sample_timesteps(k, 2048, timestep_type="eight_step"))
+    assert set(np.unique(eight)) == {0, 125, 250, 375, 500, 625, 750, 875}
+    one = np.asarray(s.sample_timesteps(k, 8, timestep_type="one_step"))
+    assert (one == 0).all()
+    nxt = np.asarray(s.sample_timesteps(k, 4096, timestep_type="next_sample"))
+    assert nxt.max() <= 997
+
+    with pytest.raises(ValueError, match="content_or_style"):
+        s.sample_timesteps(k, 4, content_or_style="bogus")
+
+
+def test_content_or_style_reg_splits_timesteps():
+    """reg batches draw from their own skew (is_reg_flag selects)."""
+    state, _ = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    from ai_toolkit_tpu.samplers import get_schedule
+    from ai_toolkit_tpu.train.step import make_train_step
+
+    cfg = TrainStepConfig(
+        content_or_style="content", content_or_style_reg="style"
+    )
+    model = TinyDiT()
+    x = jnp.zeros((2, 4, 4, 2))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)), {})
+    lora = build_lora(variables["params"], LoRASpec(rank=4, alpha=4.0), jax.random.key(1))
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": variables["params"]}, {"lora": lora}, tx)
+    step = jax.jit(make_train_step(model.apply, get_schedule("ddpm", "sd1"), cfg))
+    batch = {
+        "latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2)),
+        "is_reg_flag": jnp.asarray(1.0),
+    }
+    _, m = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_differential_guidance_amplifies_target():
+    """do_differential_guidance (SDTrainer.py:788-791): target moves to
+    pred + s*(target - pred); with an oracle pred == target the loss stays 0,
+    with any other pred the loss scales by s^2."""
+    state, step0 = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    state_d, step_d = _state_and_step(
+        TrainStepConfig(timestep_type="linear", do_differential_guidance=True,
+                        differential_guidance_scale=3.0)
+    )
+    batch = {"latents": jax.random.normal(jax.random.key(7), (2, 4, 4, 2))}
+    _, m0 = step0(state, batch, jax.random.key(0))
+    _, md = step_d(state_d, batch, jax.random.key(0))
+    # same pred, target residual scaled by 3 -> mse scaled by ~9
+    ratio = float(md["loss"]) / max(float(m0["loss"]), 1e-9)
+    assert 8.0 < ratio < 10.0
