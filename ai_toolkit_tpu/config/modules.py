@@ -327,6 +327,38 @@ class TrainConfig:
     content_or_style_reg: str | None = None
     do_differential_guidance: bool = False
     differential_guidance_scale: float = 3.0
+    # pick the closest of K candidate noises per sample (reference
+    # get_optimal_noise, BaseSDTrainProcess.py:953-968)
+    optimal_noise_pairing_samples: int = 1
+    # per-image deterministic noise seeded by the file path (reference
+    # get_consistent_noise, BaseSDTrainProcess.py:971-988)
+    force_consistent_noise: bool = False
+    # noise-shaping family (BaseSDTrainProcess.py:1324-1385)
+    dynamic_noise_offset: bool = False
+    do_signal_correction_noise: bool = False
+    signal_correction_noise_scale: float = 1.0
+    do_batch_noise_correction: bool = False
+    batch_noise_correction_scale: float = 1.0
+    random_noise_shift: float = 0.0
+    random_noise_multiplier: float = 0.0
+    # output/target shaping (SDTrainer.py:520-526, 995-999)
+    pred_scaler: float = 1.0
+    target_noise_multiplier: float = 1.0
+    target_norm_std: bool = False
+    target_norm_std_value: float = 1.0
+    adaptive_scaling_factor: bool = False
+    min_denoising_steps: int = 0
+    max_denoising_steps: int | None = None
+    # repeat short captions to saturate ~77 tokens with some probability
+    # (BaseSDTrainProcess.py:1076-1082); non-reg batches only
+    prompt_saturation_chance: float = 0.0
+    # hold the adapter's blank-prompt output at the base model's
+    blank_prompt_preservation: bool = False
+    blank_prompt_preservation_multiplier: float = 1.0
+    # prompt used for the unconditional side of guidance losses / train-CFG
+    unconditional_prompt: str = ""
+    do_guidance_loss_cfg_zero: bool = False  # CFG-Zero* anchor projection
+    guidance_loss_schedule: str = "constant"  # constant | sigma
     optimizer: str = "adamw"
     optimizer_params: dict[str, Any] = field(default_factory=dict)
     lr: float = 1e-4

@@ -143,6 +143,21 @@ class DataLoader:
             bw, bh = batch[0].bucket
             full = np.ones((bh, bw, 1), np.float32)
             out["pixel_mask"] = np.stack([m if m is not None else full for m in masks])
+        import hashlib
+
+        out["noise_seed"] = np.array(
+            [
+                int(
+                    hashlib.md5(
+                        (it.path + ("_fx" if it.flip else "") + ("_fy" if it.flip_y else "")).encode()
+                    ).hexdigest(),
+                    16,
+                )
+                & 0x7FFFFFFF
+                for it in batch
+            ],
+            np.int32,
+        )
         cfg = ds.cfg
         mult = cfg.loss_multiplier * (cfg.network_weight if cfg.is_reg else 1.0)
         out["loss_multiplier"] = np.full((len(batch),), mult, np.float32)

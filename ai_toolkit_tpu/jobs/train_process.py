@@ -951,6 +951,16 @@ class SDTrainProcess:
             # unconditional-training dropout (reference prompt_dropout_prob)
             r = np.random.default_rng(None)
             captions = ["" if r.random() < p_drop else c for c in captions]
+        p_sat = self.cfg.train.prompt_saturation_chance
+        if p_sat > 0 and not raw.get("is_reg"):
+            # repeat short captions to ~77 tokens (BaseSDTrainProcess.py:1076)
+            r = np.random.default_rng(None)
+            captions = [
+                ", ".join([c] * (77 // max(len(c.split()), 1) + 1))
+                if c and len(c.split()) < 77 and r.random() < p_sat
+                else c
+                for c in captions
+            ]
         if getattr(self, "ti_trigger", None) or getattr(self, "train_te", False):
             # textual inversion / TE training: raw token ids into the step
             # (the text encoder runs in-graph so grads reach emb/lora_te)
@@ -970,6 +980,8 @@ class SDTrainProcess:
         if cos_reg and cos_reg != self.cfg.train.content_or_style:
             # reg batches sample from their own timestep skew
             batch["is_reg_flag"] = jnp.asarray(1.0 if raw.get("is_reg") else 0.0)
+        if self.cfg.train.force_consistent_noise and "noise_seed" in raw:
+            batch["noise_seed"] = jnp.asarray(raw["noise_seed"])
         if self.cfg.train.loss_target == "unaugmented" and "unaugmented_pixels" in raw:
             # encode the pre-augmentation images as the regression target
             # (reference SDTrainer.py:815-821)
@@ -1069,8 +1081,25 @@ class SDTrainProcess:
         if "pooled" in cond and hasattr(model, "added_cond"):
             d = model.vae_config.downscale
             cond["added_cond"] = model.added_cond(cond.pop("pooled"), lat.shape[1] * d, lat.shape[2] * d)
+        if self.cfg.train.blank_prompt_preservation and not getattr(self, "ti_trigger", None):
+            bk = [""] * len(raw["captions"])
+            bcond = {k: jnp.asarray(v) for k, v in text_cache.get(bk).items()}
+            if model.is_flow_matching and "pe" in cond:
+                bcond["pe"] = cond["pe"]
+                bcond["guidance"] = cond.get("guidance")
+            batch["blank_cond"] = bcond
+        if self.cfg.train.guidance_loss_target != 1.0 and not getattr(self, "ti_trigger", None):
+            # anchor embeds for the target-side CFG extrapolation
+            utext = [self.cfg.train.unconditional_prompt or ""] * len(raw["captions"])
+            ucond = {k: jnp.asarray(v) for k, v in text_cache.get(utext).items()}
+            if model.is_flow_matching and "pe" in cond:
+                ucond["pe"] = cond["pe"]
+                ucond["guidance"] = cond.get("guidance")
+            batch["uncond_cond"] = ucond
         if self.cfg.train.do_cfg and not getattr(self, "ti_trigger", None):
-            neg_text = self.cfg.train.negative_prompt or self.cfg.sample.neg or ""
+            neg_text = (self.cfg.train.negative_prompt
+                        or self.cfg.train.unconditional_prompt
+                        or self.cfg.sample.neg or "")
             negs = [neg_text] * len(raw["captions"])
             neg_cond = {k: jnp.asarray(v) for k, v in text_cache.get(negs).items()}
             if model.is_flow_matching and "pe" in cond:

@@ -180,6 +180,49 @@ def check(as_json: bool = False) -> int:
     return 0 if out["deps_ok"] else 1
 
 
+# ---- migrations: one-shot upgrade steps keyed by id, recorded in
+# .ait_migrations so `update` runs each exactly once (reference
+# manager/migrations.py contract) ----
+
+MIGRATIONS: list[tuple[str, "callable"]] = [
+    # ("0001-example", lambda root: ...),
+]
+
+
+def run_migrations(root: str | None = None) -> int:
+    root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    state_path = os.path.join(root, ".ait_migrations")
+    done = set()
+    if os.path.exists(state_path):
+        done = set(open(state_path).read().split())
+    ran = 0
+    for mid, fn in MIGRATIONS:
+        if mid in done:
+            continue
+        fn(root)
+        done.add(mid)
+        ran += 1
+        _ok(f"migration applied: {mid}")
+    with open(state_path, "w") as f:
+        f.write("\n".join(sorted(done)))
+    if not ran:
+        _ok("no pending migrations")
+    return 0
+
+
+def update() -> int:
+    """git pull --ff-only, then re-sync deps + run migrations (reference
+    `python -m manager update`)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["git", "pull", "--ff-only"], cwd=root)
+    if r.returncode != 0:
+        _fail("git pull failed (diverged checkout?) — resolve manually")
+        return 1
+    ok_ = check_deps()
+    run_migrations(root)
+    return 0 if ok_ else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ai_toolkit_tpu.manager")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -189,6 +232,8 @@ def main(argv=None) -> int:
     sub.add_parser("doctor")
     sub.add_parser("sync")
     sub.add_parser("install")
+    sub.add_parser("update")
+    sub.add_parser("migrate")
     lp = sub.add_parser("launch")
     lp.add_argument("--port", type=int, default=8675)
     args = ap.parse_args(argv)
@@ -202,6 +247,10 @@ def main(argv=None) -> int:
         return doctor()
     if args.cmd == "sync":
         return 0 if check_deps() else 1
+    if args.cmd == "update":
+        return update()
+    if args.cmd == "migrate":
+        return run_migrations()
     if args.cmd == "install":
         ok_ = check_deps()
         for d in ("output", "datasets", "config"):

@@ -90,6 +90,37 @@ class TrainStepConfig:
     # (reference do_differential_guidance, SDTrainer.py:788-791)
     do_differential_guidance: bool = False
     differential_guidance_scale: float = 3.0
+    # noise selection (reference get_noise, BaseSDTrainProcess.py:992-1028)
+    optimal_noise_pairing_samples: int = 1
+    force_consistent_noise: bool = False
+    # noise shaping (BaseSDTrainProcess.py:1324-1385) — all per-(sample,
+    # channel) elementwise ops
+    dynamic_noise_offset: bool = False
+    do_signal_correction_noise: bool = False
+    signal_correction_noise_scale: float = 1.0
+    do_batch_noise_correction: bool = False
+    batch_noise_correction_scale: float = 1.0
+    random_noise_shift: float = 0.0
+    random_noise_multiplier: float = 0.0
+    # output/target shaping (SDTrainer.py:520-526, 995-999)
+    pred_scaler: float = 1.0
+    target_noise_multiplier: float = 1.0
+    target_norm_std: bool = False
+    target_norm_std_value: float = 1.0
+    # per-sample/channel latent renorm (BaseSDTrainProcess.py:1074-1082)
+    adaptive_scaling_factor: bool = False
+    # DDPM timestep window
+    min_denoising_steps: int = 0
+    max_denoising_steps: int | None = None
+    # regress the adapter's blank-prompt prediction toward the base model's
+    # (reference blank_prompt_preservation, SDTrainer.py:2116-2151)
+    blank_prompt_preservation: bool = False
+    blank_prompt_preservation_multiplier: float = 1.0
+    # target-side CFG extrapolation (SDTrainer.py:695-760): anchor the flow
+    # target at the model's own unconditional prediction and extrapolate
+    guidance_loss_target: float = 1.0
+    do_guidance_loss_cfg_zero: bool = False  # CFG-Zero* alpha on the anchor
+    guidance_loss_schedule: str = "constant"  # constant | sigma
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -142,6 +173,45 @@ class TrainStepConfig:
             do_differential_guidance=bool(getattr(tc, "do_differential_guidance", False)),
             differential_guidance_scale=float(
                 getattr(tc, "differential_guidance_scale", 3.0)
+            ),
+            optimal_noise_pairing_samples=int(
+                getattr(tc, "optimal_noise_pairing_samples", 1) or 1
+            ),
+            force_consistent_noise=bool(getattr(tc, "force_consistent_noise", False)),
+            dynamic_noise_offset=bool(getattr(tc, "dynamic_noise_offset", False)),
+            do_signal_correction_noise=bool(
+                getattr(tc, "do_signal_correction_noise", False)
+            ),
+            signal_correction_noise_scale=float(
+                getattr(tc, "signal_correction_noise_scale", 1.0)
+            ),
+            do_batch_noise_correction=bool(
+                getattr(tc, "do_batch_noise_correction", False)
+            ),
+            batch_noise_correction_scale=float(
+                getattr(tc, "batch_noise_correction_scale", 1.0)
+            ),
+            random_noise_shift=float(getattr(tc, "random_noise_shift", 0.0)),
+            random_noise_multiplier=float(getattr(tc, "random_noise_multiplier", 0.0)),
+            pred_scaler=float(getattr(tc, "pred_scaler", 1.0)),
+            target_noise_multiplier=float(getattr(tc, "target_noise_multiplier", 1.0)),
+            target_norm_std=bool(getattr(tc, "target_norm_std", False)),
+            target_norm_std_value=float(getattr(tc, "target_norm_std_value", 1.0)),
+            adaptive_scaling_factor=bool(getattr(tc, "adaptive_scaling_factor", False)),
+            min_denoising_steps=int(getattr(tc, "min_denoising_steps", 0) or 0),
+            max_denoising_steps=getattr(tc, "max_denoising_steps", None),
+            blank_prompt_preservation=bool(
+                getattr(tc, "blank_prompt_preservation", False)
+            ),
+            blank_prompt_preservation_multiplier=float(
+                getattr(tc, "blank_prompt_preservation_multiplier", 1.0)
+            ),
+            guidance_loss_target=float(getattr(tc, "guidance_loss_target", 1.0)),
+            do_guidance_loss_cfg_zero=bool(
+                getattr(tc, "do_guidance_loss_cfg_zero", False)
+            ),
+            guidance_loss_schedule=str(
+                getattr(tc, "guidance_loss_schedule", "constant") or "constant"
             ),
         )
 
@@ -236,6 +306,12 @@ def make_train_step(
             mu = jnp.mean(latents, axis=ax, keepdims=True)
             sd = jnp.std(latents.astype(jnp.float32), axis=ax, keepdims=True)
             latents = ((latents - mu) / jnp.maximum(sd, 1e-6).astype(latents.dtype))
+        if cfg.adaptive_scaling_factor:
+            # per-(sample, channel) std renorm replaces the static
+            # latent_multiplier (BaseSDTrainProcess.py:1074-1082)
+            sp = tuple(range(1, latents.ndim - 1))
+            sd = jnp.std(latents.astype(jnp.float32), axis=sp, keepdims=True)
+            latents = (latents.astype(jnp.float32) / (sd + 1e-6)).astype(latents.dtype)
 
         if is_flow:
             t = schedule.sample_timesteps(
@@ -250,16 +326,41 @@ def make_train_step(
             tt = cfg.timestep_type if cfg.timestep_type in (
                 "two_step", "four_step", "eight_step", "one_step", "next_sample"
             ) else None
+            lo_t = cfg.min_denoising_steps
+            hi_t = cfg.max_denoising_steps
             t = schedule.sample_timesteps(
-                rng_t, b, content_or_style=cfg.content_or_style, timestep_type=tt
+                rng_t, b, min_t=lo_t, max_t=hi_t,
+                content_or_style=cfg.content_or_style, timestep_type=tt,
             )
             if cfg.content_or_style_reg != cfg.content_or_style:
                 t_reg = schedule.sample_timesteps(
-                    rng_t, b, content_or_style=cfg.content_or_style_reg, timestep_type=tt
+                    rng_t, b, min_t=lo_t, max_t=hi_t,
+                    content_or_style=cfg.content_or_style_reg, timestep_type=tt,
                 )
                 t = jnp.where(batch.get("is_reg_flag", jnp.zeros(())) > 0, t_reg, t)
 
-        noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+        if cfg.optimal_noise_pairing_samples > 1:
+            # pick the candidate noise closest to the latents per sample
+            # (BaseSDTrainProcess.get_optimal_noise) — one vectorized draw
+            # + argmin instead of the reference's per-sample python loop
+            kk = cfg.optimal_noise_pairing_samples
+            cands = jax.random.normal(rng_n, (kk,) + latents.shape, latents.dtype)
+            mse = jnp.mean(
+                (cands.astype(jnp.float32) - latents[None].astype(jnp.float32)) ** 2,
+                axis=tuple(range(2, latents.ndim + 1)),
+            )  # [K, B]
+            noise = cands[jnp.argmin(mse, axis=0), jnp.arange(b)]
+        elif cfg.force_consistent_noise and "noise_seed" in batch:
+            # per-image deterministic noise keyed by the file path hash
+            # (get_consistent_noise) — constant across steps by construction
+            base = jax.random.key(0)
+            noise = jax.vmap(
+                lambda s: jax.random.normal(
+                    jax.random.fold_in(base, s), latents.shape[1:], latents.dtype
+                )
+            )(batch["noise_seed"])
+        else:
+            noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
         if cfg.model_noise_scale != 1.0:
             noise = noise * cfg.model_noise_scale
         if cfg.noise_multiplier != 1.0:
@@ -282,8 +383,35 @@ def make_train_step(
             ) * 2.0
             noise = noise + (blur * strength).astype(noise.dtype)
 
+        # noise shaping (BaseSDTrainProcess.py:1324-1385); `cs` = one random
+        # scalar per (sample, channel), channels-last
+        cs_shape = latents.shape[:1] + (1,) * (latents.ndim - 2) + latents.shape[-1:]
+        if cfg.dynamic_noise_offset:
+            # offset the noise toward the latents' channelwise mean / 2
+            sp = tuple(range(1, latents.ndim - 1))
+            noise = noise + (jnp.mean(latents, axis=sp, keepdims=True) / 2).astype(noise.dtype)
+        if cfg.do_signal_correction_noise:
+            scn = jax.random.normal(jax.random.fold_in(rng_o, 21), cs_shape)
+            noise = noise + latents * (scn * cfg.signal_correction_noise_scale).astype(noise.dtype)
+        if cfg.do_batch_noise_correction and b > 1:
+            shift = jax.random.randint(jax.random.fold_in(rng_o, 22), (), 1, b)
+            rolled = jnp.roll(latents, shift, axis=0)
+            bns = jax.random.normal(jax.random.fold_in(rng_o, 23), cs_shape)
+            noise = noise + rolled * (bns * cfg.batch_noise_correction_scale).astype(noise.dtype)
+        if cfg.random_noise_shift > 0.0:
+            ns = jax.random.normal(jax.random.fold_in(rng_o, 24), cs_shape)
+            noise = noise + (ns * cfg.random_noise_shift).astype(noise.dtype)
+        if cfg.random_noise_multiplier > 0.0:
+            nm = jax.random.normal(jax.random.fold_in(rng_o, 25), cs_shape)
+            noise = noise * jnp.exp(nm * cfg.random_noise_multiplier).astype(noise.dtype)
+
         noisy = schedule.add_noise(latents, noise, t)
-        target = latents if cfg.x0_target else schedule.target(latents, noise, t)
+        target_noise = (
+            noise * cfg.target_noise_multiplier
+            if cfg.target_noise_multiplier != 1.0
+            else noise
+        )
+        target = latents if cfg.x0_target else schedule.target(latents, target_noise, t)
         if cfg.noisy_multiplier != 1.0:
             noisy = noisy * cfg.noisy_multiplier
 
@@ -302,6 +430,8 @@ def make_train_step(
             cond = {**cond, "noisy_audio": noisy_a}
 
         pred = predict_fn(variables, noisy, t, cond)
+        if cfg.pred_scaler != 1.0:
+            pred = pred * cfg.pred_scaler
         audio_pred = None
         if audio_target is not None:
             pred, audio_pred = pred
@@ -353,6 +483,27 @@ def make_train_step(
             pn = jnp.linalg.norm(pred.astype(jnp.float32), axis=ax, keepdims=True)
             factor = (tn / jnp.maximum(pn, 1e-6)) ** cfg.correct_pred_norm_multiplier
             pred = pred * jax.lax.stop_gradient(factor).astype(pred.dtype)
+
+        if cfg.guidance_loss_target != 1.0 and "uncond_cond" in batch:
+            # target-side CFG: anchor at the model's unconditional prediction
+            # and extrapolate the flow target away from it (SDTrainer.py:695-752)
+            u = jax.lax.stop_gradient(
+                predict_fn(variables, noisy, t, batch["uncond_cond"])
+            ).astype(jnp.float32)
+            tf = target.astype(jnp.float32)
+            if cfg.do_guidance_loss_cfg_zero:
+                # CFG-Zero*: project the anchor onto the target direction
+                axes = tuple(range(1, u.ndim))
+                dot = jnp.sum(tf * u, axis=axes, keepdims=True)
+                sq = jnp.sum(u * u, axis=axes, keepdims=True) + 1e-8
+                u = u * (dot / sq)
+            g = jnp.asarray(cfg.guidance_loss_target, jnp.float32)
+            if cfg.guidance_loss_schedule == "sigma" and is_flow:
+                # the extrapolation direction carries fresh noise nothing can
+                # predict at low sigma — decay toward a plain flow target
+                sig = t.reshape(t.shape + (1,) * (tf.ndim - t.ndim)).astype(jnp.float32)
+                g = 1.0 + (g - 1.0) * sig
+            target = (u + g * (tf - u)).astype(target.dtype)
 
         if cfg.do_differential_guidance:
             # amplify the residual the model still has to learn
@@ -431,8 +582,26 @@ def make_train_step(
         if fft_loss is not None:
             loss = loss + fft_loss
             aux = {**aux, "fft_loss": fft_loss}
+        if cfg.target_norm_std:
+            # keep the prediction's spatial std near a target value
+            # (SDTrainer.py:995-999)
+            sp = tuple(range(1, pred.ndim - 1))
+            pred_std = jnp.std(pred.astype(jnp.float32), axis=sp, keepdims=True)
+            loss = loss + jnp.mean(jnp.abs(cfg.target_norm_std_value - pred_std))
         if cfg.diff_output_preservation and prior_pred is not None:
             loss = loss + diff_output_preservation_loss(pred, prior_pred, cfg.dop_multiplier)
+        if cfg.blank_prompt_preservation and "blank_cond" in batch:
+            # the adapter must not drift on the empty prompt: regress its
+            # blank-cond prediction toward the base model's
+            bcond = batch["blank_cond"]
+            base_vars = {k: v for k, v in variables.items() if k != "lora"}
+            blank_prior = jax.lax.stop_gradient(predict_fn(base_vars, noisy, t, bcond))
+            blank_pred = predict_fn(variables, noisy, t, bcond)
+            bpp = jnp.mean(
+                (blank_pred.astype(jnp.float32) - blank_prior.astype(jnp.float32)) ** 2
+            )
+            loss = loss + cfg.blank_prompt_preservation_multiplier * bpp
+            aux = {**aux, "bpp_loss": bpp}
         if audio_pred is not None:
             audio_loss, _ = compute_loss(
                 audio_pred, audio_target, loss_type=cfg.loss_type, huber_c=cfg.huber_c,

@@ -324,3 +324,107 @@ def test_differential_guidance_amplifies_target():
     # same pred, target residual scaled by 3 -> mse scaled by ~9
     ratio = float(md["loss"]) / max(float(m0["loss"]), 1e-9)
     assert 8.0 < ratio < 10.0
+
+
+def test_optimal_and_consistent_noise():
+    """optimal_noise_pairing_samples picks the closest-of-K noise (loss drops
+    vs plain sampling); force_consistent_noise reproduces identical noise for
+    the same seed across steps."""
+    latents = jax.random.normal(jax.random.key(9), (2, 4, 4, 2))
+
+    def zero_pred(variables, noisy, t, cond):
+        return jnp.zeros_like(noisy)
+
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": {}}, {"lora": {"w": jnp.zeros((2,))}}, tx)
+    # target = noise - x0; zero pred => loss = E[(noise - x0)^2]; picking the
+    # noise closest to the latents shrinks that expectation
+    base_cfg = TrainStepConfig(timestep_type="linear")
+    opt_cfg = TrainStepConfig(timestep_type="linear", optimal_noise_pairing_samples=16)
+    s0 = jax.jit(make_train_step(zero_pred, FlowMatchSchedule(), base_cfg))
+    s1 = jax.jit(make_train_step(zero_pred, FlowMatchSchedule(), opt_cfg))
+    l0 = np.mean([float(s0(state, {"latents": latents}, jax.random.key(i))[1]["loss"]) for i in range(8)])
+    l1 = np.mean([float(s1(state, {"latents": latents}, jax.random.key(i))[1]["loss"]) for i in range(8)])
+    assert l1 < l0
+
+    cfg = TrainStepConfig(timestep_type="linear", force_consistent_noise=True)
+    sc = jax.jit(make_train_step(zero_pred, FlowMatchSchedule(), cfg))
+    batch = {"latents": latents, "noise_seed": jnp.asarray([3, 7], jnp.int32)}
+    # same seeds + same t-rng -> identical loss; different rng (new t) differs
+    m1 = sc(state, batch, jax.random.key(0))[1]
+    m2 = sc(state, batch, jax.random.key(0))[1]
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_noise_shaping_knobs_run_and_change_loss():
+    """The noise-shaping family (dynamic offset / signal + batch correction /
+    random shift + multiplier) and pred/target shaping knobs all compile and
+    alter the objective."""
+    latents = jax.random.normal(jax.random.key(11), (2, 4, 4, 2)) + 2.0
+    batch = {"latents": latents}
+    state, base_step = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    _, m0 = base_step(state, batch, jax.random.key(0))
+
+    for kw in (
+        dict(dynamic_noise_offset=True),
+        dict(do_signal_correction_noise=True, signal_correction_noise_scale=0.5),
+        dict(do_batch_noise_correction=True, batch_noise_correction_scale=0.5),
+        dict(random_noise_shift=0.5),
+        dict(random_noise_multiplier=0.5),
+        dict(pred_scaler=2.0),
+        dict(target_noise_multiplier=2.0),
+        dict(target_norm_std=True, target_norm_std_value=1.0),
+        dict(adaptive_scaling_factor=True),
+    ):
+        _, step = _state_and_step(TrainStepConfig(timestep_type="linear", **kw))
+        _, m = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(m["loss"])), kw
+        assert float(m["loss"]) != float(m0["loss"]), kw
+
+
+def test_min_max_denoising_steps_bound_ddpm():
+    from ai_toolkit_tpu.samplers import get_schedule
+
+    s = get_schedule("ddpm", "sd1")
+    t = np.asarray(s.sample_timesteps(jax.random.key(0), 2048, min_t=200, max_t=400))
+    assert t.min() >= 200 and t.max() < 400
+
+
+def test_blank_prompt_preservation():
+    state, _ = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    from ai_toolkit_tpu.train.step import make_train_step
+    from ai_toolkit_tpu.samplers import FlowMatchSchedule
+
+    model = TinyDiT()
+    x = jnp.zeros((2, 4, 4, 2))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)), {})
+    lora = build_lora(variables["params"], LoRASpec(rank=4, alpha=4.0), jax.random.key(1))
+    # non-zero lora b so the adapter actually shifts the blank-prompt output
+    lora = jax.tree.map(lambda v: jnp.ones_like(v) * 0.05, lora)
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": variables["params"]}, {"lora": lora}, tx)
+    cfg = TrainStepConfig(timestep_type="linear", blank_prompt_preservation=True,
+                          blank_prompt_preservation_multiplier=2.0)
+    step = jax.jit(make_train_step(model.apply, FlowMatchSchedule(), cfg))
+    batch = {"latents": jax.random.normal(jax.random.key(5), (2, 4, 4, 2)),
+             "blank_cond": {}}
+    _, m = step(state, batch, jax.random.key(0))
+    assert float(m["bpp_loss"]) > 0 and np.isfinite(float(m["loss"]))
+
+
+def test_guidance_loss_target_extrapolation():
+    """Target-side CFG (SDTrainer.py:695-752): with guidance_loss_target=g,
+    the flow target becomes u + g*(target-u); cfg-zero projects the anchor."""
+    latents = jax.random.normal(jax.random.key(13), (2, 4, 4, 2))
+    batch = {"latents": latents, "uncond_cond": {}}
+    state, base = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    _, m0 = base(state, {"latents": latents}, jax.random.key(0))
+    for kw in (
+        dict(guidance_loss_target=2.0),
+        dict(guidance_loss_target=2.0, do_guidance_loss_cfg_zero=True),
+        dict(guidance_loss_target=2.0, guidance_loss_schedule="sigma"),
+    ):
+        _, step = _state_and_step(TrainStepConfig(timestep_type="linear", **kw))
+        _, m = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(m["loss"])), kw
+        assert float(m["loss"]) != float(m0["loss"]), kw
