@@ -359,6 +359,7 @@ class TrainConfig:
     unconditional_prompt: str = ""
     do_guidance_loss_cfg_zero: bool = False  # CFG-Zero* anchor projection
     guidance_loss_schedule: str = "constant"  # constant | sigma
+    match_adapter_chance: float = 0.0  # prior keeps assist residuals w/ prob
     optimizer: str = "adamw"
     optimizer_params: dict[str, Any] = field(default_factory=dict)
     lr: float = 1e-4

@@ -68,6 +68,9 @@ class UltimateSliderProcess:
         cfg_w = float(slider.get("cfg_loss_weight", 1.0))
         strength = float(slider.get("guidance_strength", 3.0))
         net_weight = float(slider.get("network_weight", 1.0))
+        # per-step uniform jitter of the slider multiplier (reference
+        # ImageReferenceSliderTrainerProcess.py:94-99)
+        weight_jitter = float(slider.get("weight_jitter", 0.0))
 
         model = get_model_class(cfg.model.arch)(cfg.model)
         variables = model.load_variables(jax.random.key(42))
@@ -118,7 +121,12 @@ class UltimateSliderProcess:
         def img_pair_loss(lora_t, batch, rng):
             pos, neg = batch["latents"], batch["unconditional_latents"]
             b = pos.shape[0]
-            rng_t, rng_n = jax.random.split(rng)
+            rng_t, rng_n, rng_j = jax.random.split(rng, 3)
+            w = net_weight
+            if weight_jitter > 0.0:
+                w = w + jax.random.uniform(
+                    rng_j, (), minval=-weight_jitter, maxval=weight_jitter
+                )
             if is_flow:
                 t = schedule.sample_timesteps(rng_t, b, timestep_type="sigmoid")
             else:
@@ -128,9 +136,7 @@ class UltimateSliderProcess:
                 [schedule.add_noise(pos, noise, t), schedule.add_noise(neg, noise, t)], 0
             )
             tt = jnp.concatenate([t, t])
-            mult = jnp.concatenate(
-                [jnp.full((b,), net_weight), jnp.full((b,), -net_weight)]
-            )
+            mult = jnp.concatenate([jnp.full((b,), 1.0) * w, jnp.full((b,), -1.0) * w])
             lv = merge_variables(variables, {"lora": scale_lora(lora_t, mult)})
             from ai_toolkit_tpu.train.slider import _double
 

@@ -121,6 +121,9 @@ class TrainStepConfig:
     guidance_loss_target: float = 1.0
     do_guidance_loss_cfg_zero: bool = False  # CFG-Zero* alpha on the anchor
     guidance_loss_schedule: str = "constant"  # constant | sigma
+    # probability the DOP/prior forward keeps the assist adapter's residuals
+    # (reference match_adapter_chance; default 0 = prior runs adapter-free)
+    match_adapter_chance: float = 0.0
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -213,6 +216,7 @@ class TrainStepConfig:
             guidance_loss_schedule=str(
                 getattr(tc, "guidance_loss_schedule", "constant") or "constant"
             ),
+            match_adapter_chance=float(getattr(tc, "match_adapter_chance", 0.0)),
         )
 
 
@@ -459,7 +463,23 @@ def make_train_step(
         prior_pred = None
         if cfg.do_prior_pred:
             base_vars = {k: v for k, v in variables.items() if k != "lora"}
-            prior_pred = jax.lax.stop_gradient(predict_fn(base_vars, noisy, t, cond))
+            pcond = cond
+            if "adapter_residuals" in cond:
+                # reference match_adapter_chance (SDTrainer.py:1407-1416 +
+                # 1292-1296): the prior normally runs WITHOUT the assist
+                # adapter's residuals; with probability `chance` it keeps
+                # them. Residuals are additive, so zeroing == popping.
+                mflag = (
+                    jax.random.uniform(jax.random.fold_in(rng_o, 31), ())
+                    < cfg.match_adapter_chance
+                ).astype(jnp.float32)
+                pcond = {
+                    **cond,
+                    "adapter_residuals": jax.tree.map(
+                        lambda r: r * mflag.astype(r.dtype), cond["adapter_residuals"]
+                    ),
+                }
+            prior_pred = jax.lax.stop_gradient(predict_fn(base_vars, noisy, t, pcond))
 
         tw = None
         if cfg.use_timestep_weights and is_flow:
@@ -487,23 +507,32 @@ def make_train_step(
         if cfg.guidance_loss_target != 1.0 and "uncond_cond" in batch:
             # target-side CFG: anchor at the model's unconditional prediction
             # and extrapolate the flow target away from it (SDTrainer.py:695-752)
-            u = jax.lax.stop_gradient(
-                predict_fn(variables, noisy, t, batch["uncond_cond"])
-            ).astype(jnp.float32)
-            tf = target.astype(jnp.float32)
-            if cfg.do_guidance_loss_cfg_zero:
-                # CFG-Zero*: project the anchor onto the target direction
-                axes = tuple(range(1, u.ndim))
-                dot = jnp.sum(tf * u, axis=axes, keepdims=True)
-                sq = jnp.sum(u * u, axis=axes, keepdims=True) + 1e-8
-                u = u * (dot / sq)
-            g = jnp.asarray(cfg.guidance_loss_target, jnp.float32)
-            if cfg.guidance_loss_schedule == "sigma" and is_flow:
-                # the extrapolation direction carries fresh noise nothing can
-                # predict at low sigma — decay toward a plain flow target
-                sig = t.reshape(t.shape + (1,) * (tf.ndim - t.ndim)).astype(jnp.float32)
-                g = 1.0 + (g - 1.0) * sig
-            target = (u + g * (tf - u)).astype(target.dtype)
+            u_all = predict_fn(variables, noisy, t, batch["uncond_cond"])
+            u_audio = None
+            if audio_target is not None:
+                u_all, u_audio = u_all
+
+            def _extrapolate(tgt, anchor):
+                anchor = jax.lax.stop_gradient(anchor).astype(jnp.float32)
+                tf = tgt.astype(jnp.float32)
+                if cfg.do_guidance_loss_cfg_zero:
+                    # CFG-Zero*: project the anchor onto the target direction
+                    axes = tuple(range(1, anchor.ndim))
+                    dot = jnp.sum(tf * anchor, axis=axes, keepdims=True)
+                    sq = jnp.sum(anchor * anchor, axis=axes, keepdims=True) + 1e-8
+                    anchor = anchor * (dot / sq)
+                g = jnp.asarray(cfg.guidance_loss_target, jnp.float32)
+                if cfg.guidance_loss_schedule == "sigma" and is_flow:
+                    # the extrapolation direction carries fresh noise nothing
+                    # can predict at low sigma — decay toward a plain target
+                    sig = t.reshape(t.shape + (1,) * (tf.ndim - t.ndim)).astype(jnp.float32)
+                    g = 1.0 + (g - 1.0) * sig
+                return (anchor + g * (tf - anchor)).astype(tgt.dtype)
+
+            target = _extrapolate(target, u_all)
+            if audio_target is not None and u_audio is not None:
+                # audio stream trains contrastively too (SDTrainer.py:754-786)
+                audio_target = _extrapolate(audio_target, u_audio)
 
         if cfg.do_differential_guidance:
             # amplify the residual the model still has to learn
