@@ -360,6 +360,13 @@ class TrainConfig:
     do_guidance_loss_cfg_zero: bool = False  # CFG-Zero* anchor projection
     guidance_loss_schedule: str = "constant"  # constant | sigma
     match_adapter_chance: float = 0.0  # prior keeps assist residuals w/ prob
+    free_u: bool = False  # FreeU skip/backbone modulation on the train forward
+    adapter_lr: float | None = None  # per-group LR for adapter collections
+    embedding_lr: float | None = None  # per-group LR for textual-inversion bank
+    # flow target becomes noise - latents*(1 + (1-t)*strength)
+    # (reference do_signal_amplification, SDTrainer.py:594-603)
+    do_signal_amplification: bool = False
+    signal_amplification_strength: float = 1.0
     optimizer: str = "adamw"
     optimizer_params: dict[str, Any] = field(default_factory=dict)
     lr: float = 1e-4

@@ -72,6 +72,12 @@ class SDTrainProcess:
         model_cls = get_model_class(cfg.model.arch)
         model = model_cls(cfg.model)
         self.model = model
+        if getattr(cfg.train, "free_u", False):
+            if hasattr(model, "enable_free_u"):
+                # FreeU on the train forward (BaseSDTrainProcess.py:2539)
+                model.enable_free_u()
+            else:
+                raise ValueError(f"free_u is a UNet-family knob; {cfg.model.arch} has no skips")
         variables = model.load_variables(rng)
         # assistant/inference LoRA (reference assistant_lora.py; fuse/unfuse
         # flow base_model.py:396-411): assistant is FUSED for training and
@@ -216,7 +222,42 @@ class SDTrainProcess:
             tc.optimizer_params.setdefault(
                 "paramiter_swapping", tc.paramiter_swapping_factor
             )
-        tx = get_optimizer(tc.optimizer, lr, tc.optimizer_params, tc.max_grad_norm)
+        # per-group learning rates (reference unet_lr / text_encoder_lr /
+        # adapter_lr / embedding_lr, config_modules.py:381-386): one
+        # multi_transform over top-level trainable collections
+        group_lr = {
+            "te": getattr(tc, "text_encoder_lr", None),
+            "emb": getattr(tc, "embedding_lr", None),
+            "adapter": getattr(tc, "adapter_lr", None),
+            "unet": getattr(tc, "unet_lr", None),
+        }
+        group_lr = {k: v for k, v in group_lr.items() if v}
+        if group_lr:
+            import optax
+
+            def _label(key: str) -> str:
+                if key.startswith("lora_te") or key == "te_full":
+                    return "te" if "te" in group_lr else "default"
+                if key == "emb":
+                    return "emb" if "emb" in group_lr else "default"
+                if key in ("ip", "ip_proj", "adapter", "t2i"):
+                    return "adapter" if "adapter" in group_lr else "default"
+                if key in ("lora", "loha", "lokr", "dora") or key == self._main_component(variables):
+                    return "unet" if "unet" in group_lr else "default"
+                return "default"
+
+            labels = {k: _label(k) for k in trainable}
+            txs = {"default": get_optimizer(tc.optimizer, lr, tc.optimizer_params, tc.max_grad_norm)}
+            for g, glr in group_lr.items():
+                if g in labels.values():
+                    txs[g] = get_optimizer(
+                        tc.optimizer, self._lr_schedule(tc, base_lr=glr),
+                        tc.optimizer_params, tc.max_grad_norm,
+                    )
+            used = {v for v in labels.values()}
+            tx = optax.multi_transform({k: v for k, v in txs.items() if k in used or k == "default"}, labels)
+        else:
+            tx = get_optimizer(tc.optimizer, lr, tc.optimizer_params, tc.max_grad_norm)
         state = TrainState.create(variables, trainable, tx, use_ema=tc.ema_config.use_ema)
 
         # 6. checkpoints + resume
@@ -852,35 +893,36 @@ class SDTrainProcess:
             return flux_lora_key_map(lora)
         return unet_lora_key_map(lora, num_levels=len(model.unet_config.block_out_channels))
 
-    def _lr_schedule(self, tc):
+    def _lr_schedule(self, tc, base_lr=None):
         import optax
 
+        base = tc.lr if base_lr is None else base_lr
         total = tc.steps
         params = dict(tc.lr_scheduler_params or {})
         name = (tc.lr_scheduler or "constant").lower()
         if name == "constant":
-            return tc.lr
+            return base
         if name == "linear":
-            return optax.linear_schedule(tc.lr, params.get("end_lr", 0.0), total)
+            return optax.linear_schedule(base, params.get("end_lr", 0.0), total)
         if name == "cosine":
-            return optax.cosine_decay_schedule(tc.lr, total, alpha=params.get("alpha", 0.0))
+            return optax.cosine_decay_schedule(base, total, alpha=params.get("alpha", 0.0))
         if name == "cosine_with_restarts":
             n = params.get("num_cycles", 3)
             per = max(1, total // n)
             return optax.join_schedules(
-                [optax.cosine_decay_schedule(tc.lr, per) for _ in range(n)],
+                [optax.cosine_decay_schedule(base, per) for _ in range(n)],
                 [per * (i + 1) for i in range(n - 1)],
             )
         if name == "constant_with_warmup":
             warm = params.get("num_warmup_steps", 100)
             return optax.join_schedules(
-                [optax.linear_schedule(0.0, tc.lr, warm), optax.constant_schedule(tc.lr)], [warm]
+                [optax.linear_schedule(0.0, base, warm), optax.constant_schedule(base)], [warm]
             )
         if name == "step":
             every = params.get("step_size", max(1, total // 3))
             gamma = params.get("gamma", 0.1)
-            return lambda step: tc.lr * gamma ** (step // every)
-        return tc.lr
+            return lambda step: base * gamma ** (step // every)
+        return base
 
     def _build_data(self, model, variables):
         cfg = self.cfg

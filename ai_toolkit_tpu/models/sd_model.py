@@ -97,15 +97,22 @@ class SDModel(BaseTpuModel):
         out = jax.jit(self.clip.apply)(colls, jnp.asarray(ids))
         return {"context": out["last_hidden_state"]}
 
-    def predict(self, variables, noisy_latents, t, cond):
+    def predict(self, variables, noisy_latents, t, cond, unet=None):
         collections = {"params": variables["unet"]}
         for k in ("lora", "loha", "lokr", "dora", "quant", "ip"):
             if k in variables:
                 collections[k] = variables[k]
-        return self.unet.apply(
+        return (unet or self.unet).apply(
             collections, noisy_latents, t, cond["context"], cond.get("added_cond"),
             cond.get("ip_tokens"), cond.get("adapter_residuals"),
         )
+
+    def enable_free_u(self, s1=0.9, s2=0.2, b1=1.1, b2=1.2):
+        """FreeU on the TRAIN forward only (sampling stays plain, mirroring
+        the reference's enable/disable dance around sample())."""
+        from dataclasses import replace
+
+        self.unet_freeu = UNet2DCondition(replace(self.unet_config, free_u=(b1, b2, s1, s2)))
 
     def predict_train(self, variables, noisy_latents, t, cond):
         """Train-time forward. When the batch carries token ids (textual
@@ -124,7 +131,9 @@ class SDModel(BaseTpuModel):
                 clip_colls["lora"] = variables["lora_te"]
             out = self.clip.apply(clip_colls, cond["input_ids"])
             cond = {**cond, "context": out["last_hidden_state"]}
-        return self.predict(variables, noisy_latents, t, cond)
+        return self.predict(
+            variables, noisy_latents, t, cond, unet=getattr(self, "unet_freeu", None)
+        )
 
     def encode_images(self, variables, images, rng=None):
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
@@ -227,7 +236,9 @@ class SDXLModel(SDModel):
         if "ip_embeds" in cond and "ip_proj" in variables and hasattr(self, "ip_proj"):
             tokens = self.ip_proj.apply({"params": variables["ip_proj"]}, cond["ip_embeds"])
             cond = {**cond, "ip_tokens": tokens}
-        return self.predict(variables, noisy_latents, t, cond)
+        return self.predict(
+            variables, noisy_latents, t, cond, unet=getattr(self, "unet_freeu", None)
+        )
 
 
 @register_model

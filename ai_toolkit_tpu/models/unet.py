@@ -38,6 +38,11 @@ class UNetConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    # FreeU (b1, b2, s1, s2): scale the backbone's first channel half and
+    # Fourier-damp the skip's low frequencies on the first two decoder
+    # resolutions (diffusers apply_freeu; reference enables it on the TRAIN
+    # forward, BaseSDTrainProcess.py:2539)
+    free_u: tuple | None = None
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -166,6 +171,20 @@ class SpatialTransformer(nn.Module):
         return x + h.reshape(b, hh, ww, c)
 
 
+def _fourier_filter(x: jax.Array, threshold: int, scale: float) -> jax.Array:
+    """Scale the centered low-frequency box of a feature map (diffusers
+    fourier_filter), channels-last."""
+    xf = jnp.fft.fftshift(jnp.fft.fft2(x.astype(jnp.complex64), axes=(1, 2)), axes=(1, 2))
+    _, hh, ww, _ = x.shape
+    crow, ccol = hh // 2, ww // 2
+    mask = jnp.ones((1, hh, ww, 1), jnp.float32)
+    mask = mask.at[:, max(crow - threshold, 0):crow + threshold,
+                   max(ccol - threshold, 0):ccol + threshold, :].set(scale)
+    xf = xf * mask
+    out = jnp.real(jnp.fft.ifft2(jnp.fft.ifftshift(xf, axes=(1, 2)), axes=(1, 2)))
+    return out.astype(x.dtype)
+
+
 class UNet2DCondition(nn.Module):
     cfg: UNetConfig
 
@@ -224,9 +243,18 @@ class UNet2DCondition(nn.Module):
         h = Attn(cfg, max(cfg.transformer_layers[-1], 1), name="mid_attn")(h, context, ip_context)
         h = Res(mid_ch, cfg, name="mid_res_1")(h, temb)
 
+        n_levels = len(cfg.block_out_channels)
         for i, ch in reversed(list(enumerate(cfg.block_out_channels))):
+            res_idx = (n_levels - 1) - i
             for j in range(cfg.layers_per_block + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                skip = skips.pop()
+                if cfg.free_u is not None and res_idx in (0, 1):
+                    b1, b2, s1, s2 = cfg.free_u
+                    bs, ss = (b1, s1) if res_idx == 0 else (b2, s2)
+                    half = h.shape[-1] // 2
+                    h = jnp.concatenate([h[..., :half] * bs, h[..., half:]], axis=-1)
+                    skip = _fourier_filter(skip, 1, ss)
+                h = jnp.concatenate([h, skip], axis=-1)
                 h = Res(ch, cfg, name=f"up_{i}_res_{j}")(h, temb)
                 if cfg.transformer_layers[i] > 0:
                     h = Attn(cfg, cfg.transformer_layers[i], name=f"up_{i}_attn_{j}")(h, context, ip_context)

@@ -124,6 +124,10 @@ class TrainStepConfig:
     # probability the DOP/prior forward keeps the assist adapter's residuals
     # (reference match_adapter_chance; default 0 = prior runs adapter-free)
     match_adapter_chance: float = 0.0
+    # flow target amplifies the signal term as sigma falls
+    # (reference do_signal_amplification, SDTrainer.py:594-603)
+    do_signal_amplification: bool = False
+    signal_amplification_strength: float = 1.0
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -217,6 +221,10 @@ class TrainStepConfig:
                 getattr(tc, "guidance_loss_schedule", "constant") or "constant"
             ),
             match_adapter_chance=float(getattr(tc, "match_adapter_chance", 0.0)),
+            do_signal_amplification=bool(getattr(tc, "do_signal_amplification", False)),
+            signal_amplification_strength=float(
+                getattr(tc, "signal_amplification_strength", 1.0)
+            ),
         )
 
 
@@ -416,6 +424,13 @@ def make_train_step(
             else noise
         )
         target = latents if cfg.x0_target else schedule.target(latents, target_noise, t)
+        if cfg.do_signal_amplification and is_flow:
+            # amplify the signal term toward low sigma: target becomes
+            # noise - latents*(1 + (1-t)*strength)
+            nas = ((1.0 - t) * cfg.signal_amplification_strength).reshape(
+                t.shape + (1,) * (latents.ndim - t.ndim)
+            ).astype(latents.dtype)
+            target = target_noise - (latents + latents * nas)
         if cfg.noisy_multiplier != 1.0:
             noisy = noisy * cfg.noisy_multiplier
 

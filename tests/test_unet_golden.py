@@ -312,3 +312,33 @@ def test_sdxl_added_cond_matches_torch_mirror():
     np.testing.assert_allclose(
         np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
     )
+
+
+def test_free_u_modulates_decoder():
+    """FreeU (diffusers apply_freeu semantics): enabled config changes the
+    output; fourier filter is identity at scale=1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+
+    from ai_toolkit_tpu.models.unet import UNet2DCondition, UNetConfig, _fourier_filter
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    np.testing.assert_allclose(
+        np.asarray(_fourier_filter(x, 1, 1.0)), np.asarray(x), atol=1e-4
+    )
+    damped = _fourier_filter(x, 1, 0.0)
+    # removing the DC/low box shifts the mean toward zero
+    assert abs(float(damped.mean())) < abs(float(x.mean()))
+
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 8, 8, cfg.in_channels), cfg.dtype)
+    ctx = jax.random.normal(jax.random.key(2), (1, 8, cfg.cross_attention_dim), cfg.dtype)
+    v = unet.init(jax.random.key(3), lat, jnp.zeros((1,)), ctx)
+    base = unet.apply(v, lat, jnp.zeros((1,)), ctx)
+    fu = UNet2DCondition(replace(cfg, free_u=(1.3, 1.4, 0.9, 0.2)))
+    out = fu.apply(v, lat, jnp.zeros((1,)), ctx)
+    assert out.shape == base.shape
+    assert float(jnp.max(jnp.abs(out - base))) > 1e-4
