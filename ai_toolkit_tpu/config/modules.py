@@ -25,6 +25,13 @@ _TPU_NA_KEYS = {
     "layer_offloading_text_encoder_percent", "accuracy_recovery_adapter",
     # trainer-internal bookkeeping keys some configs carry
     "orig_batch_size", "num_workers_dataloader",
+    # torch device/dtype placement + torch.compile knobs: XLA jit compiles
+    # the whole step and the mesh handles placement, so these have no TPU
+    # meaning (reference ModelConfig.{vae,te}_device/dtype, compile_*)
+    "vae_device", "vae_dtype", "te_device", "te_dtype",
+    "split_model_over_gpus", "auto_memory", "compile_mode",
+    "compile_fullgraph", "compile_dynamic", "cache_size_limit",
+    "unet_sample_size", "latent_space_version", "experimental_xl",
 }
 
 
@@ -367,6 +374,8 @@ class TrainConfig:
     # (reference do_signal_amplification, SDTrainer.py:594-603)
     do_signal_amplification: bool = False
     signal_amplification_strength: float = 1.0
+    next_sample_timesteps: int | None = None  # K-step ladder for next_sample
+    max_loss_debug: bool = False  # print when max_loss zeroes a batch
     optimizer: str = "adamw"
     optimizer_params: dict[str, Any] = field(default_factory=dict)
     lr: float = 1e-4
@@ -480,7 +489,18 @@ class ModelConfig:
     is_v2: bool = False
     is_v3: bool = False
     is_pixart: bool = False
+    is_pixart_sigma: bool = False
+    is_auraflow: bool = False
     is_lumina2: bool = False
+    is_ssd: bool = False
+    is_vega: bool = False
+    # merge a LoRA into the base weights at load (reference ModelConfig
+    # lora_path, stable_diffusion_model load_model)
+    lora_path: str | None = None
+    # alias of text_encoder_path in newer reference configs
+    te_name_or_path: str | None = None
+    # kept for metadata parity (reference stores the pre-resolution path)
+    name_or_path_original: str | None = None
     is_v_pred: bool = False  # v-prediction fine-tune (sd2-768 style)
     quantize: bool = False
     quantize_te: bool = False
@@ -525,10 +545,24 @@ class ModelConfig:
                 obj.arch = "sd3"
             elif obj.is_lumina2:
                 obj.arch = "lumina2"
+            elif obj.is_pixart_sigma:
+                obj.arch = "pixart_sigma"
+            elif obj.is_pixart:
+                obj.arch = "pixart"
+            elif obj.is_auraflow:
+                obj.arch = "auraflow"
+            elif obj.is_ssd:
+                obj.arch = "ssd"
+            elif obj.is_vega:
+                obj.arch = "vega"
             elif obj.is_v2:
                 obj.arch = "sd2"
             else:
                 obj.arch = "sd1"
+        if obj.name_or_path_original is None:
+            obj.name_or_path_original = obj.name_or_path
+        if obj.te_name_or_path and not obj.text_encoder_path:
+            obj.text_encoder_path = obj.te_name_or_path
         return obj
 
 

@@ -84,13 +84,14 @@ class SDTrainProcess:
         # unfused for sampling; an inference lora is the opposite.
         self._assistant_lora = None
         self._inference_lora = None
+        mpath = getattr(cfg.model, "lora_path", None)
         apath = cfg.model.assistant_lora_path or cfg.model.model_kwargs.get(
             "assistant_lora_path"
         )
         ipath = cfg.model.inference_lora_path or cfg.model.model_kwargs.get(
             "inference_lora_path"
         )
-        if apath or ipath:
+        if apath or ipath or mpath:
             from ai_toolkit_tpu.adapters.lora import merge_lora
             from ai_toolkit_tpu.io.lora_file import load_lora_file
 
@@ -105,6 +106,12 @@ class SDTrainProcess:
             else:
                 inv0 = {v: k for k, v in km.items()}
                 inv0.update({v.replace(".", "_"): k for k, v in km.items()})
+            if mpath:
+                # permanent merge into the base (reference ModelConfig
+                # lora_path) — never unfused, unlike the assistant lora
+                tree, _ = load_lora_file(mpath, inv0)
+                variables[main0] = merge_lora(variables[main0], tree)
+                print(f"base lora merged at load: {mpath}")
             if apath:
                 tree, _ = load_lora_file(apath, inv0)
                 variables[main0] = merge_lora(variables[main0], tree)
@@ -509,6 +516,10 @@ class SDTrainProcess:
                     next_batch = self._prepare_batch(model, raw, text_cache, step_cfg)
             loss_dev = metrics["loss"]
             losses.append(loss_dev)
+            if tc.max_loss_debug and "max_loss_skipped" in metrics:
+                if float(metrics["max_loss_skipped"]) > 0:
+                    print(f"max_loss: step {step + 1} batch exceeded "
+                          f"{tc.max_loss} — update zeroed")
             want_loss_now = (
                 self.progress_hook is not None
                 or self.ui.enabled

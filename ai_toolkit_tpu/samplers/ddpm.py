@@ -53,6 +53,7 @@ class DDPMSchedule:
         max_t: int | None = None,
         content_or_style: str = "balanced",
         timestep_type: str | None = None,
+        next_sample_timesteps: int | None = None,
     ) -> jax.Array:
         """Timestep indices per the reference's distribution zoo
         (BaseSDTrainProcess.py:1243-1313): discrete two/four/eight_step grids,
@@ -70,7 +71,11 @@ class DDPMSchedule:
         if timestep_type == "one_step":
             return jnp.zeros((batch_size,), jnp.int32)
         if timestep_type == "next_sample":
-            return jax.random.randint(rng, (batch_size,), 0, n - 2)
+            # indices into a reduced K-step ladder, mapped back to the full
+            # scale (reference next_sample_timesteps, BaseSDTrainProcess:1202)
+            k = next_sample_timesteps or n
+            idx = jax.random.randint(rng, (batch_size,), 0, max(k - 2, 1))
+            return idx * (n // k)
         if content_or_style in ("content", "style"):
             # cubic skew: content favors early (low-noise) timesteps, style
             # favors late ones, mapped into the [min_t, max_t] window

@@ -128,6 +128,7 @@ class TrainStepConfig:
     # (reference do_signal_amplification, SDTrainer.py:594-603)
     do_signal_amplification: bool = False
     signal_amplification_strength: float = 1.0
+    next_sample_timesteps: int | None = None  # K-step ladder for next_sample
 
     @classmethod
     def from_train_config(cls, tc: TrainConfig) -> "TrainStepConfig":
@@ -225,6 +226,7 @@ class TrainStepConfig:
             signal_amplification_strength=float(
                 getattr(tc, "signal_amplification_strength", 1.0)
             ),
+            next_sample_timesteps=getattr(tc, "next_sample_timesteps", None),
         )
 
 
@@ -343,11 +345,13 @@ def make_train_step(
             t = schedule.sample_timesteps(
                 rng_t, b, min_t=lo_t, max_t=hi_t,
                 content_or_style=cfg.content_or_style, timestep_type=tt,
+                next_sample_timesteps=cfg.next_sample_timesteps,
             )
             if cfg.content_or_style_reg != cfg.content_or_style:
                 t_reg = schedule.sample_timesteps(
                     rng_t, b, min_t=lo_t, max_t=hi_t,
                     content_or_style=cfg.content_or_style_reg, timestep_type=tt,
+                    next_sample_timesteps=cfg.next_sample_timesteps,
                 )
                 t = jnp.where(batch.get("is_reg_flag", jnp.zeros(())) > 0, t_reg, t)
 
@@ -665,6 +669,7 @@ def make_train_step(
             aux = {**aux, "new_lsnr": _lsnr_update(trainable["lsnr"], per, schedule.snr(t))}
         if cfg.max_loss is not None:
             # reference train.max_loss: outlier batches produce no update
+            aux = {**aux, "max_loss_skipped": (loss >= cfg.max_loss).astype(jnp.float32)}
             loss = jnp.where(loss < cfg.max_loss, loss, jnp.zeros_like(loss))
         return loss, aux
 
