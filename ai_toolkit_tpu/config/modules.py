@@ -499,6 +499,15 @@ class ModelConfig:
     lora_path: str | None = None
     # alias of text_encoder_path in newer reference configs
     te_name_or_path: str | None = None
+    # SDXL: gate which text encoder trains (reference param filtering)
+    use_text_encoder_1: bool = True
+    use_text_encoder_2: bool = True
+    # load the diffusion core from a different checkpoint dir than
+    # name_or_path (reference ModelConfig.unet_path)
+    unet_path: str | None = None
+    # flux: sample with a real negative-prompt CFG pass instead of the
+    # distilled guidance embedding alone (reference use_flux_cfg)
+    use_flux_cfg: bool = False
     # kept for metadata parity (reference stores the pre-resolution path)
     name_or_path_original: str | None = None
     is_v_pred: bool = False  # v-prediction fine-tune (sd2-768 style)

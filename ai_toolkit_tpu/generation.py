@@ -66,9 +66,11 @@ def generate_flux(
                 "txt": jnp.zeros_like(cond["txt"]),
                 "txt_mask": jnp.zeros_like(cond["txt_mask"]),
             }
-        elif x0_pred:
+        elif x0_pred or getattr(model.config, "use_flux_cfg", False):
+            # real negative-prompt CFG pass (x0-pred archs, or a guidance-
+            # distilled flux forced into true CFG via use_flux_cfg)
             neg = model.encode_prompt(variables, [gen.negative_prompt or ""])
-            neg_cond = {**neg, "pe": pe}
+            neg_cond = {**cond, **neg, "pe": pe}
 
     rng = jax.random.key(gen.seed)
     x = jax.random.normal(rng, (1, h, w, c), jnp.float32)

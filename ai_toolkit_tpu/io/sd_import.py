@@ -245,10 +245,24 @@ def load_sd_checkpoint(path: str, model) -> dict:
         ("text_encoder", "clip", clip_rules()),
         ("text_encoder_2", "clip2", clip_rules()),
     ]
+    # component-path overrides (reference ModelConfig unet_path / vae_path /
+    # text_encoder_path): load that part from a different checkpoint dir
+    overrides = {
+        "unet": getattr(model.config, "unet_path", None),
+        "vae": getattr(model.config, "vae_path", None),
+        "clip": getattr(model.config, "text_encoder_path", None),
+    }
     for subdir, comp, rules in parts:
-        d = os.path.join(path, subdir)
+        root = path
+        ov = overrides.get(comp)
+        if ov:
+            if os.path.isdir(os.path.join(ov, subdir)):
+                root = ov  # a full HF dir: use its matching subdir
+            else:
+                root, subdir = os.path.split(ov.rstrip("/"))
+        d = os.path.join(root, subdir)
         if comp in variables and os.path.isdir(d):
-            flat = load_safetensors_dir(path, subdir)
+            flat = load_safetensors_dir(root, subdir)
             tree, _ = torch_to_tree(flat, rules)
             if tree:
                 variables[comp] = _merge_imported(variables[comp], tree, f"{comp}")

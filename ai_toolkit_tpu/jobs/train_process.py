@@ -870,6 +870,12 @@ class SDTrainProcess:
                 target_patterns=[r"layer_\d+/(q|k|v|out|fc1|fc2)$"],
             )
             for i, te_key in enumerate(k for k in ("clip", "clip2") if k in variables):
+                # SDXL: use_text_encoder_1/2 gate which TE trains (reference
+                # stable_diffusion_model.py:2668-2674 param filtering)
+                if i == 0 and not getattr(cfg.model, "use_text_encoder_1", True):
+                    continue
+                if i == 1 and not getattr(cfg.model, "use_text_encoder_2", True):
+                    continue
                 te_lora = build_lora(variables[te_key], te_spec, jax.random.fold_in(rng, 50 + i))
                 if te_lora:
                     trainable_extra[f"lora_te{i + 1}" if "clip2" in variables else "lora_te"] = (
