@@ -164,6 +164,28 @@ class _Handler(BaseHTTPRequestHandler):
             return self.wfile.write(body)
         if self.path == "/api/health":
             return self._json({"ok": True})
+        if self.path == "/api/archs":
+            # per-arch options for the config builder (reference
+            # ui/src/app/jobs/new/options.tsx model list)
+            from ai_toolkit_tpu.models.registry import (
+                MODEL_REGISTRY,
+                _ensure_builtin_models,
+            )
+
+            _ensure_builtin_models()
+            out = []
+            for arch in sorted(MODEL_REGISTRY):
+                cls = MODEL_REGISTRY[arch]
+                out.append({
+                    "arch": arch,
+                    "is_flow_matching": bool(getattr(cls, "is_flow_matching", True)),
+                    "bucket_divisibility": int(getattr(cls, "bucket_divisibility", 16)),
+                    "is_video": hasattr(cls, "frame_count_snapper"),
+                    "is_audio": hasattr(cls, "latent_shape_audio"),
+                    "noise_scheduler": "flowmatch"
+                    if getattr(cls, "is_flow_matching", True) else "ddpm",
+                })
+            return self._json(out)
         if self.path == "/api/gpu":
             return self._json(accelerator_stats())
         if self.path == "/api/jobs":
@@ -256,7 +278,14 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path in ("/api/launch", "/api/jobs/queue"):
             if ctype != "application/json":
                 return self._json({"error": "Content-Type must be application/json"}, 415)
-            return self._launch(queue=self.path.endswith("queue"))
+            body_queue = False
+            if self.path == "/api/launch":
+                # the /new form can also enqueue via the body flag
+                peek = self._json_body()
+                if peek is not None:
+                    self._peeked_body = peek
+                    body_queue = bool(peek.get("queue"))
+            return self._launch(queue=self.path.endswith("queue") or body_queue)
         if len(parts) >= 3 and parts[:2] == ["api", "datasets"]:
             return self._datasets_post(parts[2:], ctype)
         if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] in ("stop", "save", "sample"):
@@ -368,7 +397,10 @@ class _Handler(BaseHTTPRequestHandler):
         or (``queue=True``) a 'queued' Job row the worker starts when its
         device set frees up (reference ui/cron/actions/processQueue.ts).
         """
-        req = self._json_body()
+        req = getattr(self, "_peeked_body", None)
+        self._peeked_body = None
+        if req is None:
+            req = self._json_body()
         if req is None:
             return self._json({"error": "bad json"}, 400)
         name = str(req.get("name", "quick_lora"))
@@ -400,6 +432,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "model": {"name_or_path": req.get("name_or_path", ""),
                           "arch": req.get("arch", "flux"),
                           "quantize": bool(req.get("quantize", True)),
+                          "qtype": req.get("qtype", "qfloat8"),
                           "model_kwargs": req.get("model_kwargs", {})},
                 "sample": {"sample_every": int(req.get("sample_every", 0)),
                            "prompts": req.get("prompts", [])},
@@ -639,18 +672,33 @@ button{margin-top:12px;padding:6px 18px;background:#5b8cff;border:0;color:#fff;
 border-radius:4px}</style></head><body>
 <h1>Quick LoRA launch</h1>
 <label>name</label><input id="name" value="my_lora">
-<label>arch</label><input id="arch" value="flux">
+<label>arch</label><select id="arch"></select>
 <label>checkpoint path</label><input id="ckpt" value="">
 <label>dataset folder</label><input id="ds" value="">
 <label>steps</label><input id="steps" value="2000">
 <label>rank</label><input id="rank" value="16">
+<label>learning rate</label><input id="lr" value="1e-4">
+<label>resolution</label><input id="res" value="1024">
 <label>trigger word</label><input id="trig" value="">
+<label>quantize base</label><select id="quant">
+<option value="">off</option><option value="qfloat8">qfloat8</option>
+<option value="qint8">qint8</option><option value="uint4">uint4</option></select>
+<label><input type="checkbox" id="queue" style="width:auto"> queue (run when a slot frees)</label>
 <button onclick="go()">Launch</button><pre id="out"></pre>
 <script>
+fetch('/api/archs').then(r=>r.json()).then(list=>{
+ const sel=document.getElementById('arch');
+ for(const a of list){const o=document.createElement('option');
+  o.value=a.arch;o.textContent=a.arch+(a.is_video?' (video)':a.is_audio?' (audio)':'');
+  if(a.arch==='flux')o.selected=true;sel.appendChild(o);}
+});
 async function go(){
  const body={name:name.value,arch:arch.value,name_or_path:ckpt.value,
   dataset_folder:ds.value,steps:+steps.value,rank:+rank.value,
-  trigger_word:trig.value};
+  lr:lr.value,resolution:+res.value,trigger_word:trig.value,
+  queue:document.getElementById('queue').checked};
+ const q=document.getElementById('quant').value;
+ if(q){body.model_kwargs={};body.quantize=true;body.qtype=q;}
  const r=await fetch('/api/launch',{method:'POST',
   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
  document.getElementById('out').textContent=JSON.stringify(await r.json(),null,2);

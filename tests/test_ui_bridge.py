@@ -368,3 +368,23 @@ def test_quick_launch_endpoint(tmp_path):
     finally:
         os.environ.pop("AIT_PLATFORM", None)
         srv.stop()
+
+
+def test_api_archs_lists_registry():
+    import json
+    import urllib.request
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    srv = UIServer(port=0).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/api/archs") as r:
+            rows = json.loads(r.read())
+        archs = {row["arch"] for row in rows}
+        assert {"flux", "sd1", "sdxl", "wan21"} <= archs
+        flux = next(r for r in rows if r["arch"] == "flux")
+        assert flux["is_flow_matching"] and flux["noise_scheduler"] == "flowmatch"
+        sd1 = next(r for r in rows if r["arch"] == "sd1")
+        assert sd1["noise_scheduler"] == "ddpm"
+    finally:
+        srv.stop()
