@@ -39,7 +39,8 @@ def get_schedule(name: str, arch: str | None = None, **overrides: Any):
             defaults = {"use_dynamic_shifting": True}
         defaults.update(overrides)
         return FlowMatchSchedule(**defaults)
-    if name in ("ddpm", "ddim", "euler", "euler_a", "dpm", "pndm", "lms", "heun", "lcm"):
+    if name in ("ddpm", "ddim", "euler", "euler_a", "dpm", "dpm++", "dpmpp_2m",
+                "dpm++ 2m", "pndm", "lms", "heun", "lcm", "custom_lcm"):
         defaults = {}
         if arch in ("sd2", "sd2_v"):
             defaults = {"prediction_type": "v_prediction"}

@@ -12,7 +12,8 @@ CHUNKS=(
   "tests/test_config.py tests/test_import.py tests/test_io.py tests/test_data.py tests/test_caption_tools.py tests/test_train_knobs.py tests/test_augmentations.py tests/test_civitai.py"
   "tests/test_ops_lora.py tests/test_quantize.py tests/test_samplers.py tests/test_samplers_extra.py tests/test_lycoris.py"
   "tests/test_train_core.py --deselect tests/test_train_core.py::test_train_text_encoder_lora --deselect tests/test_train_core.py::test_train_text_encoder_resume --deselect tests/test_train_core.py::test_concept_replacer_process --deselect tests/test_train_core.py::test_oom_skip_resilience"
-  "tests/test_train_core.py::test_train_text_encoder_lora tests/test_train_core.py::test_train_text_encoder_resume tests/test_train_core.py::test_concept_replacer_process tests/test_train_core.py::test_oom_skip_resilience"
+  "tests/test_train_core.py::test_train_text_encoder_lora tests/test_train_core.py::test_train_text_encoder_resume"
+  "tests/test_train_core.py::test_concept_replacer_process tests/test_train_core.py::test_oom_skip_resilience"
   "tests/test_models.py tests/test_dfe.py tests/test_guidance.py"
   "tests/test_flux_golden.py tests/test_flux_scan.py tests/test_dit_importers.py"
   "tests/test_unet_golden.py tests/test_vae_golden.py tests/test_sd3.py tests/test_pixart.py"
@@ -32,7 +33,8 @@ CHUNKS=(
   "tests/test_ui_bridge.py"
   "tests/test_e2e.py::test_sd1_e2e_train_save_resume tests/test_e2e.py::test_flux_tiny_e2e tests/test_e2e.py::test_extract_lora_job"
   "tests/test_e2e.py::test_textual_inversion_e2e tests/test_e2e.py::test_validation_loss_logged tests/test_e2e.py::test_vae_trainer_e2e"
-  "tests/test_e2e.py::test_cli_run_py tests/test_e2e.py::test_slider_trainer_e2e tests/test_e2e.py::test_merge_job_and_img2img"
+  "tests/test_e2e.py::test_cli_run_py tests/test_e2e.py::test_merge_job_and_img2img"
+  "tests/test_e2e.py::test_slider_trainer_e2e tests/test_e2e.py::test_ultimate_slider_e2e"
   "tests/test_e2e.py::test_image_pair_polarity_slider_e2e tests/test_e2e.py::test_esrgan_trainer_e2e tests/test_e2e.py::test_ip_adapter_training_e2e"
   "tests/test_e2e.py::test_reference_and_img2img_generator_processes"
 )
