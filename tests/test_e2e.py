@@ -255,7 +255,9 @@ def test_cli_run_py(tmp_path):
     cfg_path = tmp_path / "job.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # AIT_PLATFORM is required too: jax is pre-imported by sitecustomize, so
+    # the env var alone would still initialize the (possibly dead) TPU tunnel
+    env = dict(os.environ, JAX_PLATFORMS="cpu", AIT_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "run.py"), str(cfg_path)],
         capture_output=True, text=True, timeout=900, env=env, cwd=repo,
