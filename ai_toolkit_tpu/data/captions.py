@@ -58,3 +58,33 @@ def process_caption(
             rng.shuffle(tail)
         caption = ", ".join(head + tail)
     return caption
+
+
+def parse_ace_caption(text: str) -> dict:
+    """ACE-Step tagged caption -> dict (reference parse_ace_step_caption,
+    ace_step_15_model.py:49-66). Untagged text becomes the caption."""
+    import re
+
+    def tag(name):
+        m = re.search(rf"<{name}>(.*?)</{name}>", text, re.DOTALL)
+        return m.group(1).strip() if m else ""
+
+    def num(v, default):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return default
+
+    if "<CAPTION>" not in text:
+        return {"caption": text.strip(), "lyrics": "", "bpm": 120,
+                "keyscale": "", "timesignature": "", "duration": 10.0,
+                "language": "en"}
+    return {
+        "caption": tag("CAPTION"),
+        "lyrics": tag("LYRICS"),
+        "bpm": num(tag("BPM"), 120),
+        "keyscale": tag("KEYSCALE"),
+        "timesignature": tag("TIMESIGNATURE"),
+        "duration": num(tag("DURATION"), 10.0),
+        "language": tag("LANGUAGE") or "en",
+    }

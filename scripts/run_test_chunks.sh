@@ -27,6 +27,7 @@ CHUNKS=(
   "tests/test_ideogram_golden.py tests/test_mage_vae_golden.py"
   "tests/test_ltx_audio_vae.py tests/test_ltx_vocoder.py tests/test_lpips.py"
   "tests/test_ilora_llm_adapter.py tests/test_flex2.py"
+  "tests/test_ace_golden.py"
   "tests/test_custom_adapter.py"
   "tests/test_ip_adapter.py"
   "tests/test_parallel.py tests/test_ring_attention.py tests/test_moe_gmm.py tests/test_flash_attention.py"
