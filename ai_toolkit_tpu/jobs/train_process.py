@@ -1118,8 +1118,11 @@ class SDTrainProcess:
                 pt, ph, pw = model.dit_config.patch_size
                 batch["image_seq_len"] = (tt // pt) * (h // ph) * (w // pw)
             elif lat.ndim == 3:
-                # audio latents [B, T_lat, C] (ace_step): 1D rope over time
-                cond["pe"] = model.rope_table(int(lat.shape[1]))
+                # audio latents [B, T_lat, C] (ace_step): 1D rope over time;
+                # the exact AIO arch builds its own rotary tables (returns None)
+                pe = model.rope_table(int(lat.shape[1]))
+                if pe is not None:
+                    cond["pe"] = pe
                 batch["image_seq_len"] = int(lat.shape[1])
             else:
                 h, w = lat.shape[1], lat.shape[2]
