@@ -1139,3 +1139,83 @@ def mage_vae_rules() -> list[Rule]:
             (c + rf"block\.{i}\.proj_out\.bias", f"cod/attn_{i}/proj_out/bias", "direct"),
         ]
     return rules
+
+
+# ---------------------------------------------------------------- ernie_image
+
+
+def ernie_rules(scan_blocks: bool = True) -> list[Rule]:
+    r"""ErnieImageTransformer2DModel (vendored layout,
+    ``extensions_built_in/diffusion_models/ernie_image/transformer.py``)
+    -> ErnieDiT tree. adaLN is SHARED across layers (one Sequential at the
+    top level); blocks carry only norms/attn/mlp weights."""
+    b = "layers/block/" if scan_blocks else "layer_{0}/"
+    L = "linear_stack" if scan_blocks else "linear"
+    D = "direct_stack" if scan_blocks else "direct"
+    p = r"layers\.(\d+)\."
+    return [
+        (r"x_embedder\.proj\.weight", "x_embedder/kernel", "conv2d"),
+        (r"x_embedder\.proj\.bias", "x_embedder/bias", "direct"),
+        (r"text_proj\.weight", "text_proj/kernel", "linear"),
+        (r"time_embedding\.linear_1\.weight", "time_in/kernel", "linear"),
+        (r"time_embedding\.linear_1\.bias", "time_in/bias", "direct"),
+        (r"time_embedding\.linear_2\.weight", "time_out/kernel", "linear"),
+        (r"time_embedding\.linear_2\.bias", "time_out/bias", "direct"),
+        # nn.Sequential(SiLU, Linear) -> index 1
+        (r"adaLN_modulation\.1\.weight", "adaLN_modulation/kernel", "linear"),
+        (r"adaLN_modulation\.1\.bias", "adaLN_modulation/bias", "direct"),
+        (p + r"adaLN_sa_ln\.weight", b + "adaLN_sa_ln/scale", D),
+        (p + r"self_attention\.to_q\.weight", b + "to_q/kernel", L),
+        (p + r"self_attention\.to_k\.weight", b + "to_k/kernel", L),
+        (p + r"self_attention\.to_v\.weight", b + "to_v/kernel", L),
+        (p + r"self_attention\.norm_q\.weight", b + "q_norm", D),
+        (p + r"self_attention\.norm_k\.weight", b + "k_norm", D),
+        (p + r"self_attention\.to_out\.0\.weight", b + "to_out/kernel", L),
+        (p + r"adaLN_mlp_ln\.weight", b + "adaLN_mlp_ln/scale", D),
+        (p + r"mlp\.gate_proj\.weight", b + "gate_proj/kernel", L),
+        (p + r"mlp\.up_proj\.weight", b + "up_proj/kernel", L),
+        (p + r"mlp\.linear_fc2\.weight", b + "linear_fc2/kernel", L),
+        (r"final_norm\.linear\.weight", "final_mod/kernel", "linear"),
+        (r"final_norm\.linear\.bias", "final_mod/bias", "direct"),
+        (r"final_linear\.weight", "final_linear/kernel", "linear"),
+        (r"final_linear\.bias", "final_linear/bias", "direct"),
+    ]
+
+
+def load_ernie_checkpoint(path: str, model) -> dict:
+    """ernie_image checkpoint dir: transformer/ + text_encoder/ (Ernie-4.5,
+    HF llama-style keys) + vae/ (AutoencoderKLFlux2: diffusers AutoencoderKL
+    layout + a BatchNorm over the 128 patchified channels whose running
+    stats standardize latents — ``ernie_image.py`` encode_images)."""
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import llm_rules, vae_rules
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    if os.path.isdir(tdir):
+        flat = load_safetensors_dir(tdir)
+        tree, unmatched = torch_to_tree(flat, ernie_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"ernie import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "ernie dit")
+    tedir = os.path.join(path, "text_encoder")
+    if os.path.isdir(tedir):
+        flat = load_safetensors_dir(tedir)
+        tree, _ = torch_to_tree(flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "ernie text_encoder")
+    vdir = os.path.join(path, "vae")
+    if os.path.isdir(vdir):
+        flat = load_safetensors_dir(vdir)
+        if "bn.running_mean" in flat:
+            mean = np.asarray(flat["bn.running_mean"], np.float32)
+            var = np.asarray(flat["bn.running_var"], np.float32)
+            variables["latent_bn"] = {
+                "mean": mean, "std": np.sqrt(var + 1e-5),
+            }
+        tree, _ = torch_to_tree(flat, vae_rules())
+        if tree:
+            variables["vae"] = _merge_imported(variables["vae"], tree, "ernie vae")
+    return variables

@@ -355,6 +355,11 @@ def llm_rules(gemma: bool = False) -> list[Rule]:
         (p + r"mlp\.gate_proj\.weight", "layer_{0}/gate/kernel", "linear"),
         (p + r"mlp\.up_proj\.weight", "layer_{0}/up/kernel", "linear"),
         (p + r"mlp\.down_proj\.weight", "layer_{0}/down/kernel", "linear"),
+        # Ernie4.5 use_bias=True adds biases on every linear
+        (p + r"self_attn\.o_proj\.bias", "layer_{0}/o/bias", "direct"),
+        (p + r"mlp\.gate_proj\.bias", "layer_{0}/gate/bias", "direct"),
+        (p + r"mlp\.up_proj\.bias", "layer_{0}/up/bias", "direct"),
+        (p + r"mlp\.down_proj\.bias", "layer_{0}/down/bias", "direct"),
     ]
     if gemma:
         rules += [

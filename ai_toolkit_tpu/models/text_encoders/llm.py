@@ -17,6 +17,10 @@ small per-family deltas expressed as config flags:
 - ``gemma_gelu``    — Gemma2 uses GELU-tanh gating instead of SiLU.
 - ``collect_layers``— return hidden states after the listed layers stacked
                       on a leading axis (hidream consumes one per block).
+- ``all_bias``      — Ernie4.5 ``use_bias``: biases on every linear
+                      (q/k/v/o and gate/up/down).
+- ``rope_interleaved`` — Ernie4.5/GPT-J rope: adjacent pairs (x2i, x2i+1)
+                      rotated by angle θi instead of the llama half-split.
 
 TPU notes: the whole stack is static-shape; attention is one fused
 dot_product_attention with a causal+padding mask; GQA KV heads are
@@ -59,6 +63,9 @@ class LLMConfig:
     query_scale: float | None = None
     # Qwen3(-VL): per-head RMSNorm on q/k before rope (HF q_norm/k_norm)
     qk_head_norm: bool = False
+    # Ernie4.5: use_bias on all linears; interleaved (GPT-J-style) rope
+    all_bias: bool = False
+    rope_interleaved: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -94,6 +101,19 @@ class LLMConfig:
         )
 
     @classmethod
+    def ernie45(cls) -> "LLMConfig":
+        """Ernie-4.5 dense text tower (the ernie_image TE: AutoModel over the
+        checkpoint's text_encoder/, hidden 2560 per the transformer's
+        text_in_dim). Llama-family with ``use_bias`` linears, interleaved
+        rope, tied embeddings; real dims come from text_encoder/config.json
+        at import time (``modeling_ernie4_5.py``)."""
+        return cls(
+            vocab_size=103_424, d_model=2560, n_layers=28, n_heads=20,
+            n_kv_heads=4, head_dim=128, d_ff=12_288, rope_theta=500_000.0,
+            rms_eps=1e-5, rope_interleaved=True,
+        )
+
+    @classmethod
     def tiny(cls, **kw) -> "LLMConfig":
         base = dict(
             vocab_size=1000, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
@@ -115,6 +135,21 @@ def _llm_rope(x: jax.Array, theta: float) -> jax.Array:
     return jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
 
 
+def _llm_rope_interleaved(x: jax.Array, theta: float) -> jax.Array:
+    """GPT-J / Ernie4.5 rope: pair (x2i, x2i+1) rotated by θi
+    (``modeling_ernie4_5.py`` apply_rotary_pos_emb: cos repeat_interleave(2),
+    rotate_half = stack((-x[1::2], x[0::2]))). x: [B, S, H, D]."""
+    b, s, h, d = x.shape
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = jnp.arange(s, dtype=jnp.float32)[:, None] * freqs[None, :]  # [S, D/2]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    xe, xo = x[..., 0::2].astype(jnp.float32), x[..., 1::2].astype(jnp.float32)
+    oe = xe * cos - xo * sin
+    oo = xo * cos + xe * sin
+    return jnp.stack([oe, oo], axis=-1).reshape(b, s, h, d).astype(x.dtype)
+
+
 class LLMLayer(nn.Module):
     cfg: LLMConfig
 
@@ -125,18 +160,20 @@ class LLMLayer(nn.Module):
         b, s, _ = x.shape
         nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
+        qkv_bias = cfg.qkv_bias or cfg.all_bias
         h = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="input_norm")(x)
-        q = Linear(nh * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="q")(h)
-        k = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="k")(h)
-        v = Linear(nkv * hd, use_bias=cfg.qkv_bias, dtype=dt, param_dtype=dt, name="v")(h)
+        q = Linear(nh * hd, use_bias=qkv_bias, dtype=dt, param_dtype=dt, name="q")(h)
+        k = Linear(nkv * hd, use_bias=qkv_bias, dtype=dt, param_dtype=dt, name="k")(h)
+        v = Linear(nkv * hd, use_bias=qkv_bias, dtype=dt, param_dtype=dt, name="v")(h)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         if cfg.qk_head_norm:
             # Qwen3: RMSNorm over head_dim on each q/k head, before rope
             q = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="q_norm")(q)
             k = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="k_norm")(k)
-        q = _llm_rope(q, cfg.rope_theta)
-        k = _llm_rope(k, cfg.rope_theta)
+        rope = _llm_rope_interleaved if cfg.rope_interleaved else _llm_rope
+        q = rope(q, cfg.rope_theta)
+        k = rope(k, cfg.rope_theta)
         v = v.reshape(b, s, nkv, hd)
         if nkv != nh:  # GQA: repeat kv heads
             rep = nh // nkv
@@ -159,16 +196,16 @@ class LLMLayer(nn.Module):
             attn = dot_product_attention(
                 q, k, v, mask=mask, scale=cfg.query_scale
             ).reshape(b, s, nh * hd)
-        attn = Linear(cfg.d_model, use_bias=False, dtype=dt, param_dtype=dt, name="o")(attn)
+        attn = Linear(cfg.d_model, use_bias=cfg.all_bias, dtype=dt, param_dtype=dt, name="o")(attn)
         if cfg.post_norms:
             attn = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="post_attn_norm")(attn)
         x = x + attn
 
         h = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="pre_mlp_norm")(x)
-        gate = Linear(cfg.d_ff, use_bias=False, dtype=dt, param_dtype=dt, name="gate")(h)
-        up = Linear(cfg.d_ff, use_bias=False, dtype=dt, param_dtype=dt, name="up")(h)
+        gate = Linear(cfg.d_ff, use_bias=cfg.all_bias, dtype=dt, param_dtype=dt, name="gate")(h)
+        up = Linear(cfg.d_ff, use_bias=cfg.all_bias, dtype=dt, param_dtype=dt, name="up")(h)
         act = jax.nn.gelu(gate, approximate=True) if cfg.gemma_gelu else jax.nn.silu(gate)
-        mlp = Linear(cfg.d_model, use_bias=False, dtype=dt, param_dtype=dt, name="down")(act * up)
+        mlp = Linear(cfg.d_model, use_bias=cfg.all_bias, dtype=dt, param_dtype=dt, name="down")(act * up)
         if cfg.post_norms:
             mlp = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="post_mlp_norm")(mlp)
         return x + mlp

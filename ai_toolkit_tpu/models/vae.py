@@ -48,10 +48,12 @@ class VAEConfig:
                    use_quant_conv=False)
 
     @classmethod
-    def tiny(cls) -> "VAEConfig":
+    def tiny(cls, **kw) -> "VAEConfig":
         """CPU-testable config."""
-        return cls(base_channels=16, channel_multipliers=(1, 2), layers_per_block=1,
-                   use_quant_conv=False, dtype=jnp.float32)
+        base = dict(base_channels=16, channel_multipliers=(1, 2), layers_per_block=1,
+                    use_quant_conv=False, dtype=jnp.float32)
+        base.update(kw)
+        return cls(**base)
 
     @property
     def downscale(self) -> int:
