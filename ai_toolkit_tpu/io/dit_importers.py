@@ -1219,3 +1219,190 @@ def load_ernie_checkpoint(path: str, model) -> dict:
         if tree:
             variables["vae"] = _merge_imported(variables["vae"], tree, "ernie vae")
     return variables
+
+
+# ---------------------------------------------------------------- krea2
+
+
+def _krea_fusion_block_rules(src: str, dst: str) -> list[Rule]:
+    rules: list[Rule] = []
+    for s, d in (("attn.wq", "attn/wq"), ("attn.wk", "attn/wk"),
+                 ("attn.wv", "attn/wv"), ("attn.gate", "attn/gate"),
+                 ("attn.wo", "attn/wo"), ("mlp.gate", "mlp/gate"),
+                 ("mlp.up", "mlp/up"), ("mlp.down", "mlp/down")):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight", f"{dst}{d}/kernel", "linear"))
+        rules.append((src + s.replace(".", r"\.") + r"\.bias", f"{dst}{d}/bias", "direct"))
+    for s, d in (("prenorm.scale", "prenorm/scale"), ("postnorm.scale", "postnorm/scale"),
+                 ("attn.qknorm.qnorm.scale", "attn/q_norm"),
+                 ("attn.qknorm.knorm.scale", "attn/k_norm")):
+        rules.append((src + s.replace(".", r"\."), f"{dst}{d}", "direct"))
+    return rules
+
+
+def krea_rules(scan_blocks: bool = True) -> list[Rule]:
+    r"""Krea2 SingleStreamDiT (vendored layout,
+    ``extensions_built_in/diffusion_models/krea2/src/mmdit.py``) -> KreaDiT
+    tree. All RMSNorm scales are stored zero-init (applied as 1+scale) so they
+    import 'direct'; mod.lin / last.modulation.lin are additive params."""
+    b = "blocks/block/" if scan_blocks else "block_{0}/"
+    L = "linear_stack" if scan_blocks else "linear"
+    D = "direct_stack" if scan_blocks else "direct"
+    p = r"blocks\.(\d+)\."
+    rules: list[Rule] = [
+        (r"first\.weight", "first/kernel", "linear"),
+        (r"first\.bias", "first/bias", "direct"),
+        (r"tmlp\.0\.weight", "tmlp_0/kernel", "linear"),
+        (r"tmlp\.0\.bias", "tmlp_0/bias", "direct"),
+        (r"tmlp\.2\.weight", "tmlp_2/kernel", "linear"),
+        (r"tmlp\.2\.bias", "tmlp_2/bias", "direct"),
+        (r"tproj\.1\.weight", "tproj_1/kernel", "linear"),
+        (r"tproj\.1\.bias", "tproj_1/bias", "direct"),
+        (r"txtfusion\.projector\.weight", "txtfusion/projector/kernel", "linear"),
+        (r"txtmlp\.0\.scale", "txtmlp_norm/scale", "direct"),
+        (r"txtmlp\.1\.weight", "txtmlp_1/kernel", "linear"),
+        (r"txtmlp\.1\.bias", "txtmlp_1/bias", "direct"),
+        (r"txtmlp\.3\.weight", "txtmlp_3/kernel", "linear"),
+        (r"txtmlp\.3\.bias", "txtmlp_3/bias", "direct"),
+        (r"last\.norm\.scale", "last_norm/scale", "direct"),
+        (r"last\.linear\.weight", "last_linear/kernel", "linear"),
+        (r"last\.linear\.bias", "last_linear/bias", "direct"),
+        (r"last\.modulation\.lin", "last_mod_lin", "direct"),
+        (p + r"mod\.lin", b + "mod_lin", D),
+    ]
+    for i in range(2):
+        rules += _krea_fusion_block_rules(
+            rf"txtfusion\.layerwise_blocks\.{i}\.", f"txtfusion/layerwise_{i}/")
+        rules += _krea_fusion_block_rules(
+            rf"txtfusion\.refiner_blocks\.{i}\.", f"txtfusion/refiner_{i}/")
+    for s, d in (("attn.wq", "attn/wq"), ("attn.wk", "attn/wk"),
+                 ("attn.wv", "attn/wv"), ("attn.gate", "attn/gate"),
+                 ("attn.wo", "attn/wo"), ("mlp.gate", "mlp/gate"),
+                 ("mlp.up", "mlp/up"), ("mlp.down", "mlp/down")):
+        rules.append((p + s.replace(".", r"\.") + r"\.weight", b + f"{d}/kernel", L))
+        rules.append((p + s.replace(".", r"\.") + r"\.bias", b + f"{d}/bias", D))
+    for s, d in (("prenorm.scale", "prenorm/scale"), ("postnorm.scale", "postnorm/scale"),
+                 ("attn.qknorm.qnorm.scale", "attn/q_norm"),
+                 ("attn.qknorm.knorm.scale", "attn/k_norm")):
+        rules.append((p + s.replace(".", r"\."), b + d, D))
+    return rules
+
+
+def load_krea_checkpoint(path: str, model) -> dict:
+    """krea2 layout (krea2.py load_model): the MMDiT is a single safetensors
+    state dict (file path, or transformer/ under a dir); Qwen3-VL text tower
+    under text_encoder/ and the Qwen-Image (wan21) VAE under vae/."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+
+    variables = model.init_variables(jax.random.key(0))
+    flat = None
+    if os.path.isfile(path):
+        flat = load_safetensors_dir(path)
+    else:
+        for sub in ("transformer", "."):
+            p = os.path.join(path, sub)
+            if os.path.isdir(p) or os.path.isfile(p):
+                try:
+                    flat = load_safetensors_dir(path, sub if sub != "." else None)
+                except FileNotFoundError:
+                    continue
+                if any(k.startswith("blocks.") for k in flat):
+                    break
+                flat = None
+    if flat:
+        tree, unmatched = torch_to_tree(flat, krea_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"krea2 import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "krea2 dit")
+
+    base = path if os.path.isdir(path) else os.path.dirname(path)
+    tedir = os.path.join(base, "text_encoder")
+    if os.path.isdir(tedir):
+        te_flat = load_safetensors_dir(tedir)
+        te_flat = {k.replace("model.language_model.", "model."): v
+                   for k, v in te_flat.items()}
+        tree, _ = torch_to_tree(te_flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "krea2 text_encoder")
+    vdir = os.path.join(base, "vae")
+    if os.path.isdir(vdir):
+        from ai_toolkit_tpu.io.video_vae_import import (
+            load_wan_vae_tree,
+            wan_vae_config_from_json,
+        )
+        from ai_toolkit_tpu.models.wan_vae import WanVAE
+
+        cfg = wan_vae_config_from_json(vdir)
+        model.vae_config = cfg
+        model.vae = WanVAE(cfg)
+        tree, unmatched = load_wan_vae_tree(vdir)
+        if unmatched:
+            print(f"krea2 vae import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+        ref = model.vae.init(
+            jax.random.key(0),
+            jnp.zeros((1, 1, 2 * cfg.spatial_downscale, 2 * cfg.spatial_downscale, 3)),
+        )["params"]
+        variables["vae"] = _merge_imported(ref, tree, "krea2 vae")
+    return variables
+
+
+# ---------------------------------------------------------------- minimax_h3
+
+
+def minimax_rules(scan_blocks: bool = True, refiner_layers: int = 2) -> list[Rule]:
+    r"""MiniMaxH3Transformer (vendored layout,
+    ``extensions_built_in/diffusion_models/minimax_h3/src/transformer.py``,
+    original ``MiniMaxAI/MiniMax-H3`` checkpoint keys) -> flax tree."""
+    b = "blocks/block/" if scan_blocks else "block_{0}/"
+    L = "linear_stack" if scan_blocks else "linear"
+    D = "direct_stack" if scan_blocks else "direct"
+    p = r"blocks\.(\d+)\."
+    rules: list[Rule] = [
+        (r"video_patch_proj\.weight", "video_patch_proj/kernel", "linear"),
+        (r"video_patch_proj\.bias", "video_patch_proj/bias", "direct"),
+        (r"audio_patch_proj\.weight", "audio_patch_proj/kernel", "linear"),
+        (r"audio_patch_proj\.bias", "audio_patch_proj/bias", "direct"),
+        (r"condition_proj\.weight", "condition_proj/kernel", "linear"),
+        (r"condition_proj\.bias", "condition_proj/bias", "direct"),
+        (r"time_embedder\.proj_in\.weight", "time_proj_in/kernel", "linear"),
+        (r"time_embedder\.proj_in\.bias", "time_proj_in/bias", "direct"),
+        (r"time_embedder\.proj_out\.weight", "time_proj_out/kernel", "linear"),
+        (r"time_embedder\.proj_out\.bias", "time_proj_out/bias", "direct"),
+        (r"adaln_t_table", "adaln_t_table", "direct"),
+        (r"rope\.inv_freq", "rope_inv_freq", "direct"),
+        (r"token_refiner\.final_norm\.weight", "token_refiner/refiner_norm/scale", "direct"),
+        (r"final_layer\.norm\.weight", "final_norm/scale", "direct"),
+        (r"final_layer\.adaln_proj\.linear\.weight", "final_adaln/linear/kernel", "linear"),
+        (r"final_layer\.adaln_proj\.linear\.bias", "final_adaln/linear/bias", "direct"),
+        (r"final_layer\.video_out\.weight", "video_out/kernel", "linear"),
+        (r"final_layer\.video_out\.bias", "video_out/bias", "direct"),
+        (r"final_layer\.audio_out\.weight", "audio_out/kernel", "linear"),
+        (r"final_layer\.audio_out\.bias", "audio_out/bias", "direct"),
+        (p + r"norm1\.weight", b + "norm1/scale", D),
+        (p + r"norm2\.weight", b + "norm2/scale", D),
+        (p + r"attn\.qkv_proj\.weight", b + "attn/qkv_proj/kernel", L),
+        (p + r"attn\.q_norm\.weight", b + "attn/q_norm/scale", D),
+        (p + r"attn\.k_norm\.weight", b + "attn/k_norm/scale", D),
+        (p + r"attn\.out_proj\.weight", b + "attn/out_proj/kernel", L),
+        (p + r"mlp\.fc1\.weight", b + "mlp/fc1/kernel", L),
+        (p + r"mlp\.fc2\.weight", b + "mlp/fc2/kernel", L),
+        (p + r"adaln_proj\.linear\.weight", b + "adaln_proj/linear/kernel", L),
+        (p + r"adaln_proj\.linear\.bias", b + "adaln_proj/linear/bias", D),
+    ]
+    for i in range(refiner_layers):
+        r = rf"token_refiner\.blocks\.{i}\."
+        d = f"token_refiner/refiner_{i}/"
+        rules += [
+            (r + r"norm1\.weight", d + "norm1/scale", "direct"),
+            (r + r"norm2\.weight", d + "norm2/scale", "direct"),
+            (r + r"attn\.qkv_proj\.weight", d + "attn/qkv_proj/kernel", "linear"),
+            (r + r"attn\.q_norm\.weight", d + "attn/q_norm/scale", "direct"),
+            (r + r"attn\.k_norm\.weight", d + "attn/k_norm/scale", "direct"),
+            (r + r"attn\.out_proj\.weight", d + "attn/out_proj/kernel", "linear"),
+            (r + r"mlp\.fc1\.weight", d + "mlp/fc1/kernel", "linear"),
+            (r + r"mlp\.fc2\.weight", d + "mlp/fc2/kernel", "linear"),
+        ]
+    return rules

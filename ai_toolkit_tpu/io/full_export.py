@@ -79,7 +79,7 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
     # only the true BFL-layout flux family (hidream/extra archs reuse
     # FluxConfig but have different param trees)
     flux_archs = {"flux", "flux_schnell", "flex1", "flex2", "flux_kontext",
-                  "chroma", "krea2", "zeta_chroma", "chroma_radiance"}
+                  "chroma", "zeta_chroma", "chroma_radiance"}
     if arch in flux_archs and hasattr(model, "dit_config"):
         from ai_toolkit_tpu.io.flux_import import chroma_approximator_rules, flux_dit_rules
 

@@ -35,7 +35,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 @register_model
 class FluxModel(BaseTpuModel):
     arch = "flux"
-    archs = ["flux", "flex1", "flex2", "flux_schnell", "flux_kontext", "chroma", "krea2"]
+    archs = ["flux", "flex1", "flex2", "flux_schnell", "flux_kontext", "chroma"]
     is_flow_matching = True
     bucket_divisibility = 16
     max_txt_len = 512
