@@ -1406,3 +1406,240 @@ def minimax_rules(scan_blocks: bool = True, refiner_layers: int = 2) -> list[Rul
             (r + r"mlp\.fc2\.weight", d + "mlp/fc2/kernel", "linear"),
         ]
     return rules
+
+
+# ---------------------------------------------------------------- zimage family
+
+
+def zimage_canonical(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Normalize the three on-disk Z-Image layouts to the canonical (vendored
+    ZImageDCT) key names, mirroring the reference's own conversion
+    ``toolkit/models/v2/z_image.py:37-58``: split fused qkv, q_norm->norm_q,
+    out->to_out.0, strip the all_x_embedder/all_final_layer ModuleDict keys."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if k == "__x0__":
+            continue
+        if k.endswith(".attention.qkv.weight"):
+            prefix = k[: -len(".qkv.weight")]
+            q, kk, vv = np.split(v, 3, axis=0)
+            out[prefix + ".to_q.weight"] = q
+            out[prefix + ".to_k.weight"] = kk
+            out[prefix + ".to_v.weight"] = vv
+            continue
+        k = k.replace(".attention.out.weight", ".attention.to_out.0.weight")
+        k = k.replace(".attention.q_norm.weight", ".attention.norm_q.weight")
+        k = k.replace(".attention.k_norm.weight", ".attention.norm_k.weight")
+        if k.startswith("all_x_embedder."):
+            k = "x_embedder." + k.split(".", 2)[2]
+        elif k.startswith("all_final_layer."):
+            k = "final_layer." + k.split(".", 2)[2]
+        out[k] = v
+    return out
+
+
+def _zimage_block_rules(src: str, dst: str, stacked: bool) -> list[Rule]:
+    L = "linear_stack" if stacked else "linear"
+    D = "direct_stack" if stacked else "direct"
+    rules: list[Rule] = []
+    for s, d in (("attention.to_q", "attention/to_q"),
+                 ("attention.to_k", "attention/to_k"),
+                 ("attention.to_v", "attention/to_v"),
+                 ("attention.to_out.0", "attention/to_out"),
+                 ("feed_forward.w1", "ff_w1"), ("feed_forward.w2", "ff_w2"),
+                 ("feed_forward.w3", "ff_w3")):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight",
+                      f"{dst}{d}/kernel", L))
+    for s, d in (("attention.norm_q", "attention/q_norm"),
+                 ("attention.norm_k", "attention/k_norm"),
+                 ("attention_norm1", "attention_norm1"),
+                 ("attention_norm2", "attention_norm2"),
+                 ("ffn_norm1", "ffn_norm1"), ("ffn_norm2", "ffn_norm2")):
+        rules.append((src + s.replace(".", r"\.") + r"\.weight",
+                      f"{dst}{d}/scale", D))
+    rules.append((src + r"adaLN_modulation\.0\.weight",
+                  f"{dst}adaLN_modulation/kernel", L))
+    rules.append((src + r"adaLN_modulation\.0\.bias",
+                  f"{dst}adaLN_modulation/bias", D))
+    return rules
+
+
+def zimage_rules(scan_blocks: bool = True, n_refiner: int = 2,
+                 head: str = "final",
+                 decoder_res_blocks: int = 4) -> list[Rule]:
+    r"""Canonical Z-Image layout (vendored ZImageDCT state-dict names,
+    ``zeta_chroma_transformer.py:452-555``; diffusers/single-file checkpoints
+    are first normalized by :func:`zimage_canonical`) -> ZImageDiT tree."""
+    b = "layers/block/" if scan_blocks else "layer_{0}/"
+    rules: list[Rule] = [
+        (r"x_embedder\.weight", "x_embedder/kernel", "linear"),
+        (r"x_embedder\.bias", "x_embedder/bias", "direct"),
+        (r"t_embedder\.mlp\.0\.weight", "t_in/kernel", "linear"),
+        (r"t_embedder\.mlp\.0\.bias", "t_in/bias", "direct"),
+        (r"t_embedder\.mlp\.2\.weight", "t_out/kernel", "linear"),
+        (r"t_embedder\.mlp\.2\.bias", "t_out/bias", "direct"),
+        (r"cap_embedder\.0\.weight", "cap_norm/scale", "direct"),
+        (r"cap_embedder\.1\.weight", "cap_proj/kernel", "linear"),
+        (r"cap_embedder\.1\.bias", "cap_proj/bias", "direct"),
+        (r"x_pad_token", "x_pad_token", "direct"),
+        (r"cap_pad_token", "cap_pad_token", "direct"),
+    ]
+    rules += _zimage_block_rules(r"layers\.(\d+)\.", b, scan_blocks)
+    for i in range(n_refiner):
+        rules += _zimage_block_rules(rf"noise_refiner\.{i}\.",
+                                     f"noise_refiner_{i}/", False)
+        rules += _zimage_block_rules(rf"context_refiner\.{i}\.",
+                                     f"context_refiner_{i}/", False)
+    if head == "final":
+        rules += [
+            (r"final_layer\.linear\.weight", "final_linear/kernel", "linear"),
+            (r"final_layer\.linear\.bias", "final_linear/bias", "direct"),
+            (r"final_layer\.adaLN_modulation\.1\.weight", "final_adaln/kernel", "linear"),
+            (r"final_layer\.adaLN_modulation\.1\.bias", "final_adaln/bias", "direct"),
+        ]
+    elif head == "dct":
+        rules += [
+            (r"dec_net\.cond_embed\.weight", "dec_net/cond_embed/kernel", "linear"),
+            (r"dec_net\.cond_embed\.bias", "dec_net/cond_embed/bias", "direct"),
+            (r"dec_net\.input_embedder\.embedder\.0\.weight",
+             "dec_net/input_embedder/kernel", "linear"),
+            (r"dec_net\.input_embedder\.embedder\.0\.bias",
+             "dec_net/input_embedder/bias", "direct"),
+            (r"dec_net\.final_layer\.linear\.weight", "dec_net/final_linear/kernel", "linear"),
+            (r"dec_net\.final_layer\.linear\.bias", "dec_net/final_linear/bias", "direct"),
+        ]
+        for i in range(decoder_res_blocks):
+            r = rf"dec_net\.res_blocks\.{i}\."
+            d = f"dec_net/res_{i}/"
+            rules += [
+                (r + r"in_ln\.weight", d + "in_ln_scale", "direct"),
+                (r + r"in_ln\.bias", d + "in_ln_bias", "direct"),
+                (r + r"mlp\.0\.weight", d + "mlp_0/kernel", "linear"),
+                (r + r"mlp\.0\.bias", d + "mlp_0/bias", "direct"),
+                (r + r"mlp\.2\.weight", d + "mlp_2/kernel", "linear"),
+                (r + r"mlp\.2\.bias", d + "mlp_2/bias", "direct"),
+                (r + r"adaLN_modulation\.1\.weight", d + "adaLN/kernel", "linear"),
+                (r + r"adaLN_modulation\.1\.bias", d + "adaLN/bias", "direct"),
+            ]
+    elif head == "l2p":
+        for enc, ch in (("enc1", 64), ("enc2", 128), ("enc3", 256), ("enc4", 512)):
+            rules += [
+                (rf"local_decoder\.{enc}\.0\.weight", f"local_decoder/{enc}_0/kernel", "conv2d"),
+                (rf"local_decoder\.{enc}\.0\.bias", f"local_decoder/{enc}_0/bias", "direct"),
+            ]
+        rules += [
+            (r"local_decoder\.bottleneck\.0\.weight", "local_decoder/bottleneck_0/kernel", "conv2d"),
+            (r"local_decoder\.bottleneck\.0\.bias", "local_decoder/bottleneck_0/bias", "direct"),
+            (r"local_decoder\.out_conv\.weight", "local_decoder/out_conv/kernel", "conv2d"),
+            (r"local_decoder\.out_conv\.bias", "local_decoder/out_conv/bias", "direct"),
+        ]
+        for lvl in (4, 3, 2, 1):
+            rules += [
+                (rf"local_decoder\.up{lvl}\.1\.weight", f"local_decoder/up{lvl}_1/kernel", "conv2d"),
+                (rf"local_decoder\.up{lvl}\.1\.bias", f"local_decoder/up{lvl}_1/bias", "direct"),
+                (rf"local_decoder\.dec{lvl}\.0\.weight", f"local_decoder/dec{lvl}_0/kernel", "conv2d"),
+                (rf"local_decoder\.dec{lvl}\.0\.bias", f"local_decoder/dec{lvl}_0/bias", "direct"),
+            ]
+    return rules
+
+
+def load_zimage_checkpoint(path: str, model) -> dict:
+    """zimage / zimage_l2p: diffusers dir (transformer/ + text_encoder/ +
+    vae/) or a single-file checkpoint (``z_image.py:172-181`` /
+    ``z_image_l2p_model.py:331-436``). For zimage_l2p, a latent-space
+    checkpoint is converted to pixel space exactly like the reference:
+    fresh 0.001-scaled x_embedder, final_layer dropped, random local_decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import llm_rules, vae_rules
+
+    cfg = model.dit_config
+    variables = model.init_variables(jax.random.key(0))
+
+    if os.path.isfile(path):
+        flat = zimage_canonical(load_safetensors_dir(path))
+        base = os.path.dirname(path)
+    else:
+        flat = zimage_canonical(load_safetensors_dir(path, "transformer"))
+        base = path
+
+    if cfg.head == "l2p":
+        is_pixel = any(k.startswith("local_decoder.") for k in flat)
+        if not is_pixel and "x_embedder.weight" in flat \
+                and flat["x_embedder.weight"].shape[1] == cfg.in_feats:
+            is_pixel = True
+        if not is_pixel:
+            # latent->pixel conversion (z_image_l2p_model.py:401-436)
+            print("zimage_l2p import: converting latent-space checkpoint to "
+                  "pixel space (fresh x_embedder/local_decoder)")
+            rng = np.random.default_rng(0)
+            flat["x_embedder.weight"] = (
+                rng.standard_normal((cfg.dim, cfg.in_feats)).astype(np.float32)
+                * 0.001)
+            flat.pop("x_embedder.bias", None)
+            flat = {k: v for k, v in flat.items()
+                    if not k.startswith("final_layer.")}
+
+    tree, unmatched = torch_to_tree(
+        flat, zimage_rules(cfg.scan_blocks, cfg.n_refiner_layers, cfg.head))
+    if unmatched:
+        print(f"zimage import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+    variables["dit"] = _merge_imported(variables["dit"], tree, "zimage dit")
+
+    tedir = os.path.join(base, "text_encoder") if base else ""
+    extras = getattr(model.config, "extras_name_or_path", None)
+    if not os.path.isdir(tedir) and extras and os.path.isdir(str(extras)):
+        tedir = os.path.join(str(extras), "text_encoder")
+    if os.path.isdir(tedir):
+        te_flat = load_safetensors_dir(tedir)
+        t, _ = torch_to_tree(te_flat, llm_rules())
+        if t:
+            variables["te"] = _merge_imported(variables["te"], t, "zimage text_encoder")
+    vdir = os.path.join(base, "vae") if base else ""
+    if "vae" in variables and os.path.isdir(vdir):
+        v_flat = load_safetensors_dir(vdir)
+        t, _ = torch_to_tree(v_flat, vae_rules())
+        if t:
+            variables["vae"] = _merge_imported(variables["vae"], t, "zimage vae")
+    return variables
+
+
+def load_zeta_checkpoint(path: str, model) -> dict:
+    """zeta_chroma: a single ZImageDCT .safetensors file
+    (``zeta_chroma_model.py:95-116``; use_x0 auto-detected from the __x0__
+    buffer), Qwen3 text tower + tokenizer from extras_name_or_path."""
+    import dataclasses
+
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.models.zimage_dit import ZImageDiT
+
+    raw = load_safetensors_dir(path)
+    use_x0 = "__x0__" in raw
+    if use_x0 != model.dit_config.use_x0:
+        model.dit_config = dataclasses.replace(model.dit_config, use_x0=use_x0)
+        model.dit = ZImageDiT(model.dit_config)
+    cfg = model.dit_config
+    variables = model.init_variables(jax.random.key(0))
+    flat = zimage_canonical(raw)
+    tree, unmatched = torch_to_tree(
+        flat, zimage_rules(cfg.scan_blocks, cfg.n_refiner_layers, "dct",
+                           cfg.decoder_num_res_blocks))
+    if unmatched:
+        print(f"zeta_chroma import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+    variables["dit"] = _merge_imported(variables["dit"], tree, "zeta_chroma dit")
+
+    extras = getattr(model.config, "extras_name_or_path", None)
+    if extras and os.path.isdir(str(extras)):
+        tedir = os.path.join(str(extras), "text_encoder")
+        if os.path.isdir(tedir):
+            te_flat = load_safetensors_dir(tedir)
+            t, _ = torch_to_tree(te_flat, llm_rules())
+            if t:
+                variables["te"] = _merge_imported(
+                    variables["te"], t, "zeta_chroma text_encoder")
+    return variables

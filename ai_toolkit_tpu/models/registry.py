@@ -49,4 +49,5 @@ def _ensure_builtin_models():
     import ai_toolkit_tpu.models.ideogram_dit  # noqa: F401
     import ai_toolkit_tpu.models.ernie_dit  # noqa: F401
     import ai_toolkit_tpu.models.krea_dit  # noqa: F401
+    import ai_toolkit_tpu.models.zimage_dit  # noqa: F401
     import ai_toolkit_tpu.models.extra_archs  # noqa: F401

@@ -27,7 +27,10 @@ def get_schedule(name: str, arch: str | None = None, **overrides: Any):
         overrides["weighting_table"] = tuple(wt)
     if name in ("flowmatch", "flowmatch_euler", "mean_flow"):
         defaults: dict[str, Any] = {}
-        if arch in ("sd3", "prx_pixel", "prx"):
+        if arch in ("sd3", "prx_pixel", "prx", "zimage", "zimage_l2p",
+                    "zeta_chroma"):
+            # zimage family: scheduler_config shift 3.0 (z_image.py:42-46,
+            # zeta_chroma_model.py:31-35)
             # prx: released scheduler_config.json (prx_pixel_t2i.py:66-70)
             defaults = {"shift": 3.0, "use_dynamic_shifting": False}
         elif arch in ("lumina2",):

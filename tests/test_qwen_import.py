@@ -172,8 +172,8 @@ def test_extra_archs_refuse_silent_random_checkpoints(tmp_path):
     import pytest as _pytest
 
     # table-driven archs with no importer refuse outright
-    model = get_model_class("zimage")(
-        ModelConfig(arch="zimage", name_or_path=str(tmp_path),
+    model = get_model_class("nucleus_image")(
+        ModelConfig(arch="nucleus_image", name_or_path=str(tmp_path),
                     model_kwargs={"size": "tiny"})
     )
     with _pytest.raises(NotImplementedError, match="no checkpoint importer"):
