@@ -579,6 +579,14 @@ def load_ltx2_checkpoint(path: str, model) -> dict:
         )["params"]
         variables["vae"] = _merge_imported(ref, tree, "ltx2 vae")
     # mel audio chain (audio_vae/ + vocoder/) when the mel backend is active
+    if (getattr(model, "audio_backend", None) not in (None, "mel")
+            and os.path.isdir(os.path.join(path, "audio_vae"))):
+        print(
+            "WARNING: ltx2 import skipping the checkpoint's audio_vae/ — "
+            f"audio_backend='{model.audio_backend}' substitutes a random-init "
+            "waveform VAE. Remove the audio_vae override for reference "
+            "numerics."
+        )
     if getattr(model, "audio_backend", None) == "mel" and os.path.isdir(path):
         avdir = os.path.join(path, "audio_vae")
         if os.path.isdir(avdir) and "audio_vae" in variables:

@@ -17,13 +17,15 @@ params — LoRA/quant collections get the leading layer axis exactly like the
 video-only path. Audio tokens use 1D RoPE over latent time; AV cross-attn
 carries no RoPE (different coordinate systems), matching the reference.
 
-Substitution (documented in PARITY.md): the reference encodes audio as
-log-mel spectrograms through a 2D audio VAE (torchaudio MelSpectrogram +
-``AutoencoderKLLTX2Audio``). Here audio latents come from the repo's causal
-1D waveform VAE (``audio_vae.py``) — a host-side mel frontend is a torch
-artifact; a learned 1D frontend keeps the whole path on-device. The DiT-side
-contract is identical: a ``[B, T_a, C_a]`` latent token stream, flow-matching
-target per stream.
+Audio front end: the reference-exact mel chain (jit log-mel ->
+``models/ltx_audio_vae.LTXAudioVAE`` 2D causal VAE -> 16x8 token packing,
+decode via ``models/ltx_vocoder.LTX2Vocoder``) is the DEFAULT whenever a
+real checkpoint is in play and is imported from the checkpoint's
+``audio_vae/`` + ``vocoder/`` dirs (io/dit_importers.py). The repo's causal
+1D waveform VAE (``audio_vae.py``) remains available as
+``model_kwargs: {audio_vae: waveform}`` for from-scratch on-device
+experiments. Either way the DiT-side contract is identical: a
+``[B, T_a, C_a]`` latent token stream, flow-matching target per stream.
 """
 
 from __future__ import annotations

@@ -15,9 +15,13 @@ heavier VAE compression.
 Joint audio stream (``model_kwargs: {joint_audio: true}``): the DiT becomes
 ``LTX2AVDiT`` (see ``ltx2_av.py``) — audio latent tokens run beside the
 video tokens with bidirectional a2v/v2a cross-attention per block
-(reference ``ltx2.py:945-1079``); audio latents come from the causal 1D
-waveform VAE; loss is flow matching on both streams (shared sigma, the
-reference's default — ``use_cross_timestep`` off).
+(reference ``ltx2.py:945-1079``). Audio latents come from the reference's
+exact mel chain by default for checkpoint training (jit log-mel -> 2D
+causal ``LTXAudioVAE`` -> 16x8 packing, decode via ``LTX2Vocoder``); the
+causal 1D waveform VAE is the from-scratch fallback
+(``model_kwargs: {audio_vae: waveform}``). Loss is flow matching on both
+streams (shared sigma, the reference's default — ``use_cross_timestep``
+off).
 """
 
 from __future__ import annotations
@@ -81,10 +85,30 @@ class LTX2Model(BaseTpuModel):
             from ai_toolkit_tpu.models.ltx2_av import LTX2AVConfig, LTX2AVDiT
 
             # 'mel' = the reference's exact chain (log-mel -> 2D taming-style
-            # causal VAE -> 16x8 token packing, decode via LTX2Vocoder);
-            # 'waveform' = the 1D causal waveform VAE stand-in (default until
-            # the mel chain has real-checkpoint validation)
-            self.audio_backend = config.model_kwargs.get("audio_vae", "waveform")
+            # causal VAE -> 16x8 token packing, decode via LTX2Vocoder;
+            # convert_ltx2_to_diffusers.py:84-86 — the audio VAE is part of
+            # every real checkpoint). 'waveform' = the on-device 1D causal
+            # waveform VAE (random-init experiments only). Default: 'mel'
+            # whenever a real checkpoint directory is in play, so checkpoint
+            # training always uses reference numerics.
+            import os as _os
+
+            backend = config.model_kwargs.get("audio_vae")
+            ckpt_dir = str(config.name_or_path or "")
+            has_ckpt_audio = _os.path.isdir(_os.path.join(ckpt_dir, "audio_vae"))
+            if backend is None:
+                backend = "mel" if (has_ckpt_audio or _os.path.isdir(ckpt_dir)) \
+                    else "waveform"
+            if backend != "mel" and has_ckpt_audio:
+                print(
+                    "WARNING: ltx2 joint-audio with audio_vae="
+                    f"'{backend}' but '{ckpt_dir}/audio_vae' exists — the "
+                    "checkpoint's mel audio VAE will NOT be loaded and audio "
+                    "trains against a random-init waveform VAE. Drop the "
+                    "audio_vae override (or set audio_vae: mel) for "
+                    "reference numerics."
+                )
+            self.audio_backend = backend
             if size == "tiny":
                 self.av_config = LTX2AVConfig.tiny()
                 if self.audio_backend == "mel":

@@ -17,9 +17,11 @@ Geometry: mel spectrograms [B, T, mel=64, 2] -> two 2x downsamples ->
 latents [B, T/4, 16, 8]; the AV DiT packs them to [B, T/4, 128] tokens
 (reference ``_pack_audio_latents``; 16*8 == audio_in_channels 128).
 
-Not yet the active ltx2_av audio path: producing wav files from decoded
-mels needs the LTX2Vocoder (HiFiGAN-family), queued for round 3; the 1D
-waveform VAE remains the training stand-in until then (docs/PARITY.md).
+This is the DEFAULT ltx2_av audio path for checkpoint training (r3):
+decoded mels go through ``models/ltx_vocoder.LTX2Vocoder`` (HiFiGAN-family,
+landed r2) back to waveforms; weights import from the checkpoint's
+``audio_vae/`` + ``vocoder/`` dirs. The 1D waveform VAE is opt-in via
+``model_kwargs: {audio_vae: waveform}`` for from-scratch experiments.
 """
 
 from __future__ import annotations
@@ -61,6 +63,13 @@ class LTXAudioVAEConfig:
     @property
     def time_downscale(self) -> int:
         return 2 ** (len(self.ch_mult) - 1)
+
+    @property
+    def downscale(self) -> int:
+        """Waveform samples per audio latent token (mel hop x VAE temporal
+        stride) — the mel-chain analog of AudioVAEConfig.downscale, so
+        generation token-count math is backend-agnostic."""
+        return self.hop_length * self.time_downscale
 
 
 def _pixel_norm(x, eps=1e-6):

@@ -228,3 +228,86 @@ def test_ltx2_mel_audio_backend_end_to_end():
     out_v, out_a = model.predict(variables, noisy, jnp.array([0.5, 0.5]), cond)
     assert out_v.shape == noisy.shape
     assert out_a.shape == tokens.shape
+
+
+def test_mel_is_default_for_checkpoint_dirs(tmp_path, capsys):
+    """Real checkpoints always carry an audio VAE
+    (convert_ltx2_to_diffusers.py:84-86), so joint-AV training against a
+    checkpoint path must default to the reference mel chain; overriding it
+    back to the waveform stand-in warns loudly."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    (tmp_path / "audio_vae").mkdir()
+    kw = {"size": "tiny", "joint_audio": True}
+    m = get_model_class("ltx2")(ModelConfig(
+        arch="ltx2", name_or_path=str(tmp_path), model_kwargs=dict(kw)))
+    assert m.audio_backend == "mel"
+    capsys.readouterr()
+
+    # explicit waveform override over a mel checkpoint: honored, but loud
+    m2 = get_model_class("ltx2")(ModelConfig(
+        arch="ltx2", name_or_path=str(tmp_path),
+        model_kwargs={**kw, "audio_vae": "waveform"}))
+    assert m2.audio_backend == "waveform"
+    assert "random-init waveform" in capsys.readouterr().out
+
+    # no checkpoint path at all -> from-scratch waveform experiments keep
+    # working without a mel frontend
+    m3 = get_model_class("ltx2")(ModelConfig(
+        arch="ltx2", name_or_path="", model_kwargs=dict(kw)))
+    assert m3.audio_backend == "waveform"
+
+
+def test_mel_av_train_step_and_sample(tmp_path):
+    """e2e through the default checkpoint path: LoRA train step on
+    mel-backed audio tokens, then joint sampling mel -> vocoder -> wav."""
+    import optax
+    from scipy.io import wavfile
+
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig, ModelConfig
+    from ai_toolkit_tpu.generation import generate_video, save_wav_atomic
+    from ai_toolkit_tpu.models.registry import get_model_class
+    from ai_toolkit_tpu.samplers import get_schedule
+    from ai_toolkit_tpu.train.state import TrainState
+    from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+
+    model = get_model_class("ltx2")(ModelConfig(
+        arch="ltx2", model_kwargs={"size": "tiny", "joint_audio": True,
+                                   "audio_vae": "mel"}))
+    variables = model.init_variables(jax.random.key(0))
+
+    # audio tokens from a real waveform through the mel chain
+    wav_in = jax.random.normal(jax.random.key(1), (1, 8000, 2)) * 0.1
+    a_lat = model.encode_audio(variables, wav_in)
+
+    spec = LoRASpec(rank=2, alpha=2, target_patterns=model.lora_targets())
+    lora = build_lora(variables["dit"], spec, jax.random.key(7))
+    state = TrainState.create(variables, {"lora": lora}, optax.adam(1e-3))
+    step = make_train_step(
+        model.predict, get_schedule("flowmatch", "ltx2"),
+        TrainStepConfig(timestep_type="linear"))
+    b, t_, h, w = 1, 2, 4, 4
+    lat = jax.random.normal(jax.random.key(4),
+                            (b, t_, h, w, model.dit_config.in_channels))
+    cond = model.encode_prompt(variables, ["x"])
+    cond["pe"] = model.rope_table(t_, h, w)
+    cond["pe_audio"] = model.audio_rope_table(int(a_lat.shape[1]))
+    batch = {"latents": lat, "audio_latents": a_lat, "cond": cond}
+    _, metrics = jax.jit(step)(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["audio_loss"]) > 0
+
+    # joint sampling: audio latents -> mel VAE decode -> vocoder -> wav file
+    sd = model.vae_config.spatial_downscale
+    gen = GenerateImageConfig(
+        prompt="a tiny clip", width=2 * sd, height=2 * sd, sample_steps=2,
+        num_frames=2 * model.vae_config.temporal_downscale, fps=8, seed=3)
+    sr = model.audio_vae_config.sample_rate
+    frames, wav = generate_video(model, variables, gen, audio_sample_rate=sr)
+    assert frames.ndim == 4 and frames.dtype == np.uint8
+    assert wav is not None and wav.ndim == 2 and np.isfinite(wav).all()
+    save_wav_atomic(wav, str(tmp_path / "clip.wav"), sample_rate=sr)
+    got_sr, data = wavfile.read(tmp_path / "clip.wav")
+    assert got_sr == sr and data.shape == wav.shape
