@@ -23,6 +23,24 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Tiering (SURVEY §4): goldens gate numerics, e2e gates lifecycle, everything
+# else is the fast tier. Auto-marked by filename so new golden files join the
+# tier without bookkeeping; `make test-fast` runs `-m "not golden and not e2e"`.
+_GOLDEN_EXTRA = {
+    "test_lpips.py", "test_dfe.py", "test_ltx_audio_vae.py", "test_ltx_vocoder.py",
+    "test_dit_importers.py", "test_qwen_import.py", "test_mage_vae_golden.py",
+}
+_E2E_FILES = {"test_e2e.py", "test_ui_bridge.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _E2E_FILES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.e2e)
+        elif "golden" in fname or fname in _GOLDEN_EXTRA:
+            item.add_marker(pytest.mark.golden)
+
 
 @pytest.fixture(scope="session")
 def mesh8():

@@ -273,7 +273,7 @@ def test_queue_worker_serializes_jobs(tmp_path):
         for i in range(2):
             body = json.dumps({
                 "name": f"q{i}", "arch": "sd3", "dataset_folder": str(ds),
-                "steps": 2, "rank": 2, "batch_size": 1, "dtype": "float32",
+                "steps": 1, "rank": 2, "batch_size": 1, "dtype": "float32",
                 "noise_scheduler": "flowmatch", "timestep_type": "linear",
                 "optimizer": "adamw", "quantize": False,
                 "model_kwargs": {"size": "tiny"}, "resolution": 64,
@@ -290,7 +290,11 @@ def test_queue_worker_serializes_jobs(tmp_path):
             return {r["id"]: r["status"] for r in rows}
 
         saw_serialized = False
-        deadline = time.time() + 420
+        # Load-scaled deadline: on the 1-core host a concurrent test run can
+        # slow each subprocess job several-fold; a fixed wall deadline made
+        # this contract test flaky under load (r2 verdict weak #2).
+        load = os.getloadavg()[0] if hasattr(os, "getloadavg") else 1.0
+        deadline = time.time() + 420 * max(1.0, min(load, 4.0))
         while time.time() < deadline:
             st = statuses()
             if st.get(ids[0]) in ("running", "completed") and st.get(ids[1]) == "queued":
