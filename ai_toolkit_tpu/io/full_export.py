@@ -56,9 +56,148 @@ def _wan_specials(tree, cfg) -> dict[str, np.ndarray]:
     return out
 
 
+def _split_qkv(kern, bias):
+    """Inverse of qwen_import._fuse_qkv: [in, 3h] kernel -> 3 torch [h, in]."""
+    h = kern.shape[-1] // 3
+    ws = [np.ascontiguousarray(kern[:, i * h:(i + 1) * h].T) for i in range(3)]
+    bs = None if bias is None else [np.asarray(bias[i * h:(i + 1) * h]) for i in range(3)]
+    return ws, bs
+
+
+def _qwen_flat(tree) -> dict[str, np.ndarray]:
+    """Inverse of ``qwen_import.qwen_transformer_to_tree`` (diffusers
+    QwenImageTransformer2DModel layout; scanned stacks unrolled, fused qkv
+    split back into to_q/to_k/to_v + add_*_proj, final adaln halves swapped
+    back to diffusers (scale, shift) order)."""
+    out: dict[str, np.ndarray] = {}
+
+    def lin(path, key):
+        node = _get(tree, path)
+        if node is None:
+            return
+        out[key + ".weight"] = np.ascontiguousarray(np.asarray(node["kernel"]).T)
+        if "bias" in node:
+            out[key + ".bias"] = np.asarray(node["bias"])
+
+    lin("img_in", "img_in")
+    lin("txt_in", "txt_in")
+    lin("time_in/in_layer", "time_text_embed.timestep_embedder.linear_1")
+    lin("time_in/out_layer", "time_text_embed.timestep_embedder.linear_2")
+    lin("final_proj", "proj_out")
+    fm = _get(tree, "final_mod")
+    if fm is not None:  # ours (shift, scale) -> diffusers (scale, shift)
+        k = np.asarray(fm["kernel"])
+        b = np.asarray(fm["bias"])
+        h2 = k.shape[-1] // 2
+        out["norm_out.linear.weight"] = np.ascontiguousarray(
+            np.concatenate([k[:, h2:], k[:, :h2]], axis=-1).T)
+        out["norm_out.linear.bias"] = np.concatenate([b[h2:], b[:h2]])
+
+    scanned = _get(tree, "double_blocks/block") is not None
+    if scanned:
+        blk = _get(tree, "double_blocks/block")
+        depth = np.asarray(blk["img_qkv"]["kernel"]).shape[0]
+    else:
+        depth = 0
+        while _get(tree, f"double_{depth}") is not None:
+            depth += 1
+
+    def layer_leaf(i, path):
+        if scanned:
+            node = _get(tree, "double_blocks/block/" + path)
+            return None if node is None else np.asarray(node[i])
+        node = _get(tree, f"double_{i}/" + path)
+        return None if node is None else np.asarray(node)
+
+    for i in range(depth):
+        p = f"transformer_blocks.{i}."
+        for fused, names in (("img_qkv", ("attn.to_q", "attn.to_k", "attn.to_v")),
+                             ("txt_qkv", ("attn.add_q_proj", "attn.add_k_proj",
+                                          "attn.add_v_proj"))):
+            ws, bs = _split_qkv(layer_leaf(i, fused + "/kernel"),
+                                layer_leaf(i, fused + "/bias"))
+            for j, name in enumerate(names):
+                out[p + name + ".weight"] = ws[j]
+                if bs is not None:
+                    out[p + name + ".bias"] = bs[j]
+        for dst, src in (("attn.norm_q.weight", "img_qknorm/query_norm/scale"),
+                         ("attn.norm_k.weight", "img_qknorm/key_norm/scale"),
+                         ("attn.norm_added_q.weight", "txt_qknorm/query_norm/scale"),
+                         ("attn.norm_added_k.weight", "txt_qknorm/key_norm/scale")):
+            out[p + dst] = layer_leaf(i, src)
+        for src, dst in (("img_proj", "attn.to_out.0"), ("txt_proj", "attn.to_add_out"),
+                         ("img_mlp_in", "img_mlp.net.0.proj"), ("img_mlp_out", "img_mlp.net.2"),
+                         ("txt_mlp_in", "txt_mlp.net.0.proj"), ("txt_mlp_out", "txt_mlp.net.2"),
+                         ("img_mod/mod", "img_mod.1"), ("txt_mod/mod", "txt_mod.1")):
+            out[p + dst + ".weight"] = np.ascontiguousarray(layer_leaf(i, src + "/kernel").T)
+            b = layer_leaf(i, src + "/bias")
+            if b is not None:
+                out[p + dst + ".bias"] = b
+    return out
+
+
+def _flux2_specials(tree, flat) -> dict[str, np.ndarray]:
+    """Post-process the flux1-rule inverse into the BFL flux2 layout: the
+    per-block modulation stacks collapse back to the three global stream
+    modulations (flux2 computes ONE modulation from vec and reuses it in every
+    block — the import tiled it; export takes block 0 and warns if a full
+    fine-tune made the tiles diverge, which the flux2 layout cannot hold).
+    All-zero biases (flux2 Linears are bias-free; the import zero-filled them)
+    are dropped; trained nonzero biases are kept so our own re-import stays a
+    round trip."""
+    import re
+
+    out: dict[str, np.ndarray] = {}
+    mods = {
+        r"double_blocks\.(\d+)\.img_mod\.lin\.weight": "double_stream_modulation_img.lin.weight",
+        r"double_blocks\.(\d+)\.txt_mod\.lin\.weight": "double_stream_modulation_txt.lin.weight",
+        r"single_blocks\.(\d+)\.modulation\.lin\.weight": "single_stream_modulation.lin.weight",
+    }
+    per_block: dict[str, dict[int, np.ndarray]] = {}
+    for key in list(flat):
+        for pat, gkey in mods.items():
+            m = re.match(pat, key)
+            if m:
+                per_block.setdefault(gkey, {})[int(m.group(1))] = flat.pop(key)
+                break
+    for gkey, layers in per_block.items():
+        out[gkey] = layers[0]
+        if any(not np.allclose(v, layers[0], atol=1e-3)
+               for i, v in layers.items() if i > 0):
+            print(f"flux2 export: per-block modulations diverged under {gkey}; "
+                  f"the BFL layout keeps only the shared (block 0) kernel")
+    for key in list(flat):
+        if key.endswith(".bias") and not np.any(flat[key]):
+            flat.pop(key)
+    return out
+
+
+def _ltx2_specials(tree, cfg) -> dict[str, np.ndarray]:
+    """Inverse of ltx2_dit_tree's table handling (scale_shift_table leaves)."""
+    out: dict[str, np.ndarray] = {}
+    head = _get(tree, "head_modulation")
+    if head is not None:
+        out["scale_shift_table"] = np.asarray(head)
+    mod = _get(tree, "blocks/block/modulation")
+    if mod is not None:
+        for i in range(mod.shape[0]):
+            out[f"transformer_blocks.{i}.scale_shift_table"] = np.asarray(mod[i])
+    else:
+        i = 0
+        while (m := _get(tree, f"block_{i}/modulation")) is not None:
+            out[f"transformer_blocks.{i}.scale_shift_table"] = np.asarray(m)
+            i += 1
+    return out
+
+
 def component_plan(model) -> list[tuple[str, str, str, list, object]]:
     """[(component_key, subdir, filename, rules, specials_fn|None)] for the
-    arch, or raises for archs without an inverse mapping yet."""
+    arch, or raises for archs without an inverse mapping yet.
+
+    ``rules`` may be None for archs whose importer is a hand-written tree
+    builder (qwen) — then ``specials`` produces the whole flat dict.
+    ``specials`` receives ``(tree, flat)`` and may mutate ``flat`` in place
+    (flux2 pops per-block keys its layout cannot hold)."""
     from ai_toolkit_tpu.io.sd_import import clip_rules, t5_rules, unet_rules, vae_rules
 
     plan: list[tuple[str, str, str, list, object]] = []
@@ -101,17 +240,39 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         i2v = getattr(model.dit_config, "i2v", False)
         rules = wan_dit_rules(model.dit_config.scan_blocks, i2v)
         cfg = model.dit_config
-        plan.append(("dit", "transformer", W, rules, lambda t: _wan_specials(t, cfg)))
+        plan.append(("dit", "transformer", W, rules, lambda t, f: _wan_specials(t, cfg)))
         if getattr(model, "multistage", False):
             plan.append(("dit_low", "transformer_2", W, rules,
-                         lambda t: _wan_specials(t, cfg)))
+                         lambda t, f: _wan_specials(t, cfg)))
         plan.append(("t5", "text_encoder", M,
                      t5_rules(per_layer_bias=model.t5_config.per_layer_bias), None))
         return plan
 
+    if arch.startswith(("qwen_image", "mageflow")):
+        # hand-written importer (qwen_import.qwen_transformer_to_tree) ->
+        # hand-written inverse; TE/VAE stay with their own import paths
+        plan.append(("dit", "transformer", W, None, lambda t, f: _qwen_flat(t)))
+        return plan
+
+    if arch.startswith("flux2"):
+        from ai_toolkit_tpu.io.flux_import import flux_dit_rules
+
+        plan.append(("dit", "transformer", W,
+                     flux_dit_rules(model.dit_config.scan_blocks), _flux2_specials))
+        return plan
+
+    if arch.startswith(("ltx2", "ltxv")) and not arch.startswith("minimax"):
+        from ai_toolkit_tpu.io.dit_importers import ltx2_dit_rules
+
+        cfg = model.dit_config
+        plan.append(("dit", "transformer", W, ltx2_dit_rules(cfg.scan_blocks),
+                     lambda t, f: _ltx2_specials(t, cfg)))
+        return plan
+
     raise NotImplementedError(
         f"full-model export is not implemented for arch '{model.config.arch}' — "
-        f"supported: sd1/sd2/sdxl family, flux family, wan family"
+        f"supported: sd1/sd2/sdxl family, flux family, wan family, "
+        f"qwen_image/mageflow, flux2 family, ltx2"
     )
 
 
@@ -132,9 +293,9 @@ def export_full_model(
         if components is not None and comp not in components:
             continue
         tree = jax.tree.map(np.asarray, variables[comp])
-        flat = tree_to_torch(tree, rules)
+        flat = tree_to_torch(tree, rules) if rules is not None else {}
         if specials is not None:
-            flat.update(specials(tree))
+            flat.update(specials(tree, flat))
         if not flat:
             continue
         flat = {

@@ -38,9 +38,12 @@ def _fuse_qkv(flat: dict, prefix: str, q: str, k: str, v: str):
     return kw, kb
 
 
-def qwen_transformer_to_tree(flat: dict[str, np.ndarray], depth: int) -> tuple[dict, list[str]]:
+def qwen_transformer_to_tree(
+    flat: dict[str, np.ndarray], depth: int, scan: bool = True
+) -> tuple[dict, list[str]]:
     """Returns (params tree matching FluxDiT(depth_double=depth, depth_single=0,
-    scan_blocks=True), unmatched keys)."""
+    scan_blocks=scan), unmatched keys). ``scan=False`` writes per-layer
+    ``double_{i}/`` subtrees instead of stacked leaves (tiny test models)."""
     used: set[str] = set()
 
     def take(key):
@@ -80,7 +83,10 @@ def qwen_transformer_to_tree(flat: dict[str, np.ndarray], depth: int) -> tuple[d
     per_layer: dict[str, list] = {}
 
     def stack_put(path, val):
-        per_layer.setdefault(path, []).append(val)
+        if scan:
+            per_layer.setdefault(path, []).append(val)
+        else:  # closes over the loop's current layer index
+            put(path.replace("double_blocks/block", f"double_{i}"), val)
 
     for i in range(depth):
         p = f"transformer_blocks.{i}."
@@ -132,10 +138,15 @@ def load_qwen_checkpoint(path: str, model) -> dict:
     tdir = os.path.join(path, "transformer")
     if os.path.isdir(tdir):
         flat = load_safetensors_dir(tdir)
-        tree, unmatched = qwen_transformer_to_tree(flat, model.dit_config.depth_double)
+        tree, unmatched = qwen_transformer_to_tree(
+            flat, model.dit_config.depth_double, model.dit_config.scan_blocks)
         if unmatched:
             print(f"qwen import: {len(unmatched)} unmatched keys (e.g. {unmatched[:3]})")
-        variables["dit"] = tree
+        # merge (not replace): vector_in has no qwen-checkpoint source and
+        # must keep its init params or apply() fails on a missing collection
+        from ai_toolkit_tpu.io.flux_import import _merge_imported
+
+        variables["dit"] = _merge_imported(variables["dit"], tree, "qwen dit")
     # qwen's VAE is diffusers AutoencoderKLQwenImage == the wan 2.1 causal
     # VAE; exact import via the wan rules when the model runs the 3D VAE
     vae_dir = os.path.join(path, "vae")

@@ -33,6 +33,13 @@ if os.environ.get("AIT_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["AIT_PLATFORM"])
 
+# Persistent XLA compile cache: conv-heavy backwards (SDXL UNet) can take
+# >10 min to compile on a shared remote-compile queue; pay that once per
+# machine. Opt out with AIT_NO_COMPILE_CACHE=1.
+from ai_toolkit_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def main() -> int:
     parser = argparse.ArgumentParser(description="ai_toolkit_tpu job runner")

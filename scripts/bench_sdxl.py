@@ -1,6 +1,8 @@
 """SDXL rank-16 LoRA @1024px train-step timing (BASELINE config #2)."""
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from ai_toolkit_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax, jax.numpy as jnp, numpy as np
 from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora, count_lora_params
 from ai_toolkit_tpu.models.unet import UNet2DCondition, UNetConfig, unet_lora_targets

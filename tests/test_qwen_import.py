@@ -164,8 +164,12 @@ def test_mageflow_registers_on_qwen_path(tmp_path):
         variables["dit"]["double_blocks"]["block"]["img_qkv"]["kernel"]
     ) if "double_blocks" in variables["dit"] else None
     assert got is not None and got.shape[0] == 2  # both layers imported
+    # the merge casts imported leaves to the model's param dtype (bf16, same
+    # as every other arch importer) — compare against the bf16-cast source
     q_w = flat["transformer_blocks.1.attn.to_q.weight"]
-    np.testing.assert_allclose(got[1][:, : q_w.shape[0]], q_w.T, atol=1e-6)
+    expect = np.asarray(jnp.asarray(q_w.T, dtype=jnp.bfloat16), dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(got[1][:, : q_w.shape[0]], dtype=np.float32), expect, atol=1e-6)
 
 
 def test_extra_archs_refuse_silent_random_checkpoints(tmp_path):
