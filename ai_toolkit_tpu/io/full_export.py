@@ -172,6 +172,124 @@ def _flux2_specials(tree, flat) -> dict[str, np.ndarray]:
     return out
 
 
+def _hidream_flat(tree, cfg) -> dict[str, np.ndarray]:
+    """Inverse of ``dit_importers.hidream_dit_tree`` (vendored reference layout,
+    ``extensions_built_in/diffusion_models/hidream/src/models/``). ``txt_in``
+    has no torch counterpart (the reference projects captions per block; we
+    project once) and is skipped — re-import leaves it at init, matching the
+    forward import path."""
+    out: dict[str, np.ndarray] = {}
+
+    def T(a):
+        return np.ascontiguousarray(np.asarray(a).T)
+
+    def lin(path, key):
+        node = _get(tree, path)
+        if node is None:
+            return
+        out[key + ".weight"] = T(node["kernel"])
+        if "bias" in node:
+            out[key + ".bias"] = np.asarray(node["bias"])
+
+    for src, dst in (
+        ("time_in/in_layer", "t_embedder.timestep_embedder.linear_1"),
+        ("time_in/out_layer", "t_embedder.timestep_embedder.linear_2"),
+        ("vector_in/in_layer", "p_embedder.pooled_embedder.linear_1"),
+        ("vector_in/out_layer", "p_embedder.pooled_embedder.linear_2"),
+        ("img_in", "x_embedder.proj"),
+        ("final_proj", "final_layer.linear"),
+        ("final_mod", "final_layer.adaLN_modulation.1"),
+    ):
+        lin(src, dst)
+
+    def emit_stack(scan_path, loop_fmt, emit_one):
+        blk = _get(tree, scan_path)
+        if blk is not None:  # scanned: leading layer axis on every leaf
+            depth = len(next(iter(_iter_leaves(blk)))[1])
+
+            def get(i, path, _blk=blk):
+                node = _get(_blk, path)
+                return None if node is None else np.asarray(node[i])
+
+            for i in range(depth):
+                emit_one(i, lambda p, _i=i: get(_i, p))
+        else:
+            i = 0
+            while _get(tree, loop_fmt.format(i)) is not None:
+                def get(path, _i=i):
+                    node = _get(tree, loop_fmt.format(_i) + "/" + path)
+                    return None if node is None else np.asarray(node)
+
+                emit_one(i, get)
+                i += 1
+
+    def moe_flat(prefix, get, sub):
+        out[prefix + ".gate.weight"] = T(get(sub + "/gate/kernel"))
+        for w in ("w1", "w2", "w3"):
+            stk = get(f"{sub}/experts/{w}/kernel")  # [E, in, out]
+            for e in range(stk.shape[0]):
+                out[f"{prefix}.experts.{e}.{w}.weight"] = T(stk[e])
+            out[f"{prefix}.shared_experts.{w}.weight"] = T(get(f"{sub}/shared/{w}/kernel"))
+
+    def emit_double(i, get):
+        p = f"double_stream_blocks.{i}.block."
+        ik, tk = get("img_mod/mod/kernel"), get("txt_mod/mod/kernel")
+        out[p + "adaLN_modulation.1.weight"] = T(np.concatenate([ik, tk], axis=-1))
+        out[p + "adaLN_modulation.1.bias"] = np.concatenate(
+            [get("img_mod/mod/bias"), get("txt_mod/mod/bias")])
+        for stream, names, qn, proj in (
+            ("img", ("attn1.to_q", "attn1.to_k", "attn1.to_v"),
+             "attn1.q_rms_norm", "attn1.to_out"),
+            ("txt", ("attn1.to_q_t", "attn1.to_k_t", "attn1.to_v_t"),
+             "attn1.q_rms_norm_t", "attn1.to_out_t"),
+        ):
+            ws, bs = _split_qkv(get(f"{stream}_qkv/kernel"), get(f"{stream}_qkv/bias"))
+            for j, n in enumerate(names):
+                out[p + n + ".weight"] = ws[j]
+                if bs is not None:
+                    out[p + n + ".bias"] = bs[j]
+            out[p + qn + ".weight"] = get(f"{stream}_qknorm/query_norm/scale")
+            out[p + qn.replace("q_rms", "k_rms") + ".weight"] = get(
+                f"{stream}_qknorm/key_norm/scale")
+            out[p + proj + ".weight"] = T(get(f"{stream}_proj/kernel"))
+            b = get(f"{stream}_proj/bias")
+            if b is not None:
+                out[p + proj + ".bias"] = b
+        moe_flat(p + "ff_i", get, "img_mlp_moe")
+        for w in ("w1", "w2", "w3"):
+            out[p + f"ff_t.{w}.weight"] = T(get(f"txt_mlp_swiglu/{w}/kernel"))
+
+    def emit_single(i, get):
+        p = f"single_stream_blocks.{i}.block."
+        out[p + "adaLN_modulation.1.weight"] = T(get("mod/mod/kernel"))
+        out[p + "adaLN_modulation.1.bias"] = get("mod/mod/bias")
+        ws, bs = _split_qkv(get("qkv/kernel"), get("qkv/bias"))
+        for j, n in enumerate(("attn1.to_q", "attn1.to_k", "attn1.to_v")):
+            out[p + n + ".weight"] = ws[j]
+            if bs is not None:
+                out[p + n + ".bias"] = bs[j]
+        out[p + "attn1.q_rms_norm.weight"] = get("qknorm/query_norm/scale")
+        out[p + "attn1.k_rms_norm.weight"] = get("qknorm/key_norm/scale")
+        out[p + "attn1.to_out.weight"] = T(get("proj/kernel"))
+        b = get("proj/bias")
+        if b is not None:
+            out[p + "attn1.to_out.bias"] = b
+        moe_flat(p + "ff_i", get, "mlp_moe")
+
+    emit_stack("double_blocks/block", "double_{0}", emit_double)
+    emit_stack("single_blocks/block", "single_{0}", emit_single)
+    return out
+
+
+def _iter_leaves(tree, prefix=""):
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _iter_leaves(v, p)
+        else:
+            yield p, v
+
+
 def _ltx2_specials(tree, cfg) -> dict[str, np.ndarray]:
     """Inverse of ltx2_dit_tree's table handling (scale_shift_table leaves)."""
     out: dict[str, np.ndarray] = {}
@@ -254,6 +372,12 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         plan.append(("dit", "transformer", W, None, lambda t, f: _qwen_flat(t)))
         return plan
 
+    if arch.startswith("hidream"):
+        cfg = model.dit_config
+        plan.append(("dit", "transformer", W, None,
+                     lambda t, f, _c=cfg: _hidream_flat(t, _c)))
+        return plan
+
     if arch.startswith("flux2"):
         from ai_toolkit_tpu.io.flux_import import flux_dit_rules
 
@@ -272,7 +396,7 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
     raise NotImplementedError(
         f"full-model export is not implemented for arch '{model.config.arch}' — "
         f"supported: sd1/sd2/sdxl family, flux family, wan family, "
-        f"qwen_image/mageflow, flux2 family, ltx2"
+        f"qwen_image/mageflow, hidream, flux2 family, ltx2"
     )
 
 

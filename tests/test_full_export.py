@@ -112,12 +112,34 @@ def test_sd15_full_export_roundtrip(tmp_path):
 
 
 def test_export_unsupported_arch_raises():
-    model = get_model_class("hidream")(
-        ModelConfig(arch="hidream", model_kwargs={"size": "tiny"})
+    model = get_model_class("auraflow")(
+        ModelConfig(arch="auraflow", model_kwargs={"size": "tiny"})
     )
     variables = model.init_variables(jax.random.key(0))
     with pytest.raises(NotImplementedError, match="full-model export"):
         export_full_model(model, variables, "/tmp/should_not_be_written")
+
+
+def test_hidream_full_export_roundtrip(tmp_path):
+    """Inverse of the hand-written hidream_dit_tree: fused qkv split back to
+    to_q/k/v(+_t), img+txt modulation re-fused into the 12d adaLN, MoE experts
+    unstacked (txt_in has no torch slot on either path, so a same-seed
+    re-import reproduces the full tree)."""
+    from ai_toolkit_tpu.io.dit_importers import load_hidream_checkpoint
+
+    model = get_model_class("hidream")(
+        ModelConfig(arch="hidream", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    written = export_full_model(model, variables, str(tmp_path))
+    assert any("transformer" in p for p in written)
+    import safetensors.numpy as stnp
+    flat = stnp.load_file(written[0])
+    assert "double_stream_blocks.0.block.ff_i.experts.0.w1.weight" in flat
+    assert "single_stream_blocks.0.block.attn1.to_q.weight" in flat
+    re = load_hidream_checkpoint(str(tmp_path), model)
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
+    )
 
 
 def test_qwen_full_export_roundtrip(tmp_path):
