@@ -82,9 +82,16 @@ def _validate_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
             out.append(None)
             continue
         names = entry if isinstance(entry, tuple) else (entry,)
+        # axes absent from the mesh (e.g. 'ep' on a single-chip dp/fsdp/tp
+        # mesh) are dropped, not passed through — NamedSharding rejects them
+        names = tuple(nm for nm in names if nm in sizes)
+        if not names:
+            out.append(None)
+            continue
+        entry = names if len(names) > 1 else names[0]
         n = 1
         for nm in names:
-            n *= sizes.get(nm, 1)
+            n *= sizes[nm]
         if i < len(shape) and shape[i] % n == 0:
             out.append(entry)
         else:

@@ -26,6 +26,15 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         return None
     import jax
 
+    # CPU AOT entries embed the compile host's machine features; loading them
+    # on a different host (the axon relay compiles remotely) risks SIGILL.
+    # The cache exists for the >10-min TPU conv compiles — skip it on CPU
+    # unless the user points at a cache dir explicitly.
+    if (os.environ.get("AIT_PLATFORM", "").lower() == "cpu"
+            or "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()) \
+            and not os.environ.get("AIT_COMPILE_CACHE"):
+        return None
+
     path = path or os.environ.get(
         "AIT_COMPILE_CACHE", os.path.expanduser("~/.cache/ait_jax_compile")
     )
