@@ -372,6 +372,20 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         plan.append(("dit", "transformer", W, None, lambda t, f: _qwen_flat(t)))
         return plan
 
+    if arch.startswith(("sd3", "sd35")):
+        from ai_toolkit_tpu.io.sd3_import import sd3_flat
+
+        cfg = model.dit_config
+        plan.append(("dit", "transformer", W, None,
+                     lambda t, f, _c=cfg: sd3_flat(t, _c)))
+        plan.append(("vae", "vae", W, vae_rules(
+            len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
+        ), None))
+        plan.append(("clip", "text_encoder", M, clip_rules(), None))
+        plan.append(("clip2", "text_encoder_2", M, clip_rules(), None))
+        plan.append(("t5", "text_encoder_3", M, t5_rules(), None))
+        return plan
+
     if arch.startswith("hidream"):
         cfg = model.dit_config
         plan.append(("dit", "transformer", W, None,
@@ -395,7 +409,7 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
 
     raise NotImplementedError(
         f"full-model export is not implemented for arch '{model.config.arch}' — "
-        f"supported: sd1/sd2/sdxl family, flux family, wan family, "
+        f"supported: sd1/sd2/sdxl family, sd3/sd3.5, flux family, wan family, "
         f"qwen_image/mageflow, hidream, flux2 family, ltx2"
     )
 

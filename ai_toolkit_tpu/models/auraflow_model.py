@@ -24,8 +24,8 @@ from ai_toolkit_tpu.models.flux_dit import (
     FluxDiT,
     flux_lora_targets,
     flux_partition_rules,
-    pack_latents,
-    unpack_latents,
+    pack_latents_cmajor,
+    unpack_latents_cmajor,
 )
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import T5Config, T5Encoder
@@ -88,7 +88,7 @@ class AuraFlowModel(BaseTpuModel):
         }
 
     def load_variables(self, rng: jax.Array) -> dict:
-        return self.init_variables(rng)
+        return self.refuse_or_init(rng)
 
     def _identity_pe(self, n: int) -> jnp.ndarray:
         d2 = self.dit_config.head_dim // 2
@@ -105,13 +105,13 @@ class AuraFlowModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         b, h, w, c = noisy_latents.shape
-        img = pack_latents(noisy_latents)
+        img = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None)
-        return unpack_latents(out, h, w)
+        return unpack_latents_cmajor(out, h, w)
 
     def encode_images(self, variables, images, rng=None):
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)

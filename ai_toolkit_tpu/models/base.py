@@ -44,6 +44,20 @@ class BaseTpuModel:
         """Load from ``config.name_or_path`` if it exists locally, else random init."""
         raise NotImplementedError
 
+    def refuse_or_init(self, rng: jax.Array) -> dict:
+        """load_variables for archs without a weight importer yet: loud
+        refusal beats silently training against random weights (the same
+        contract extra_archs uses). Empty name_or_path = train from scratch."""
+        path = self.config.name_or_path
+        if path:
+            raise NotImplementedError(
+                f"arch '{self.config.arch}': no checkpoint importer exists yet — "
+                f"refusing to silently random-init a model named '{path}'. "
+                f"Set name_or_path: '' to train from scratch, or use an arch "
+                f"with import support."
+            )
+        return self.init_variables(rng)
+
     # ---- pure functions ----
 
     def predict(self, variables: dict, noisy_latents: jax.Array, t: jax.Array, cond: dict) -> jax.Array:

@@ -33,8 +33,8 @@ from ai_toolkit_tpu.models.flux_dit import (
     FluxDiT,
     flux_lora_targets,
     flux_partition_rules,
-    pack_latents,
-    unpack_latents,
+    pack_latents_cmajor,
+    unpack_latents_cmajor,
 )
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
@@ -157,7 +157,7 @@ class Flux2Model(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         b, h, w, c = noisy_latents.shape
-        img = pack_latents(noisy_latents)
+        img = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
@@ -167,7 +167,7 @@ class Flux2Model(BaseTpuModel):
             cond.get("guidance") if self.dit_config.guidance_embed else None,
             cond.get("txt_mask"),
         )
-        return unpack_latents(out, h, w)
+        return unpack_latents_cmajor(out, h, w)
 
     def encode_images(self, variables, images, rng=None):
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)

@@ -83,6 +83,22 @@ class FluxConfig:
     chroma_mod: bool = False
     approximator_hidden: int = 5120
     approximator_depth: int = 5
+    # --- SD3/MMDiT semantics (diffusers SD3Transformer2DModel) ---
+    # qk_norm=False: sd3-medium attention has no q/k RMSNorm (sd3.5 has it)
+    qk_norm: bool = True
+    # learned absolute position table [1, M*M, hidden] added after img_in,
+    # center-cropped per resolution (diffusers PatchEmbed.cropped_pos_embed);
+    # 0 disables (flux uses RoPE instead)
+    pos_embed_max_size: int = 0
+    # the LAST double block is context_pre_only: txt stream is normed by an
+    # AdaLayerNormContinuous, contributes q/k/v to the joint attention, but
+    # has no output projection / FFN (diffusers JointTransformerBlock)
+    final_context_pre_only: bool = False
+    # the first N double blocks carry a second img-only self-attention
+    # (sd3.5-medium SD35AdaLayerNormZeroX: 9 modulation chunks + attn2)
+    dual_attention_layers: int = 0
+    # per-block marker set internally for the dual-attention prefix stack
+    dual_attention: bool = False
 
     @classmethod
     def dev(cls) -> "FluxConfig":
@@ -308,6 +324,7 @@ class DoubleBlock(nn.Module):
         mlp_dim = int(h * cfg.mlp_ratio)
 
         del mlp_dim  # FFN width is resolved inside _ffn
+        i_dual = None
         if mod is not None:
             # chroma: [B, 2(sets), 3(shift/scale/gate), h] per stream from the
             # approximator, no per-block projections
@@ -316,6 +333,15 @@ class DoubleBlock(nn.Module):
             i_shift2, i_scale2, i_gate2 = im[:, 1, 0], im[:, 1, 1], im[:, 1, 2]
             t_shift1, t_scale1, t_gate1 = tm[:, 0, 0], tm[:, 0, 1], tm[:, 0, 2]
             t_shift2, t_scale2, t_gate2 = tm[:, 1, 0], tm[:, 1, 1], tm[:, 1, 2]
+        elif cfg.dual_attention:
+            # SD35AdaLayerNormZeroX: 9 chunks, the extra 3 drive attn2
+            (i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2,
+             i_shift3, i_scale3, i_gate3) = AdaLayerNormZero(
+                h, 9, dtype=dt, param_dtype=pdt, name="img_mod")(vec)
+            i_dual = (i_shift3, i_scale3, i_gate3)
+            t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = AdaLayerNormZero(
+                h, 6, dtype=dt, param_dtype=pdt, name="txt_mod"
+            )(vec)
         else:
             i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = AdaLayerNormZero(
                 h, 6, dtype=dt, param_dtype=pdt, name="img_mod"
@@ -333,10 +359,12 @@ class DoubleBlock(nn.Module):
                 return (q.reshape(b, s, nh, hd), k.reshape(b, s, nh, hd),
                         v.reshape(b, s, nh, hd))
             q, k, v = jnp.split(out.reshape(b, s, 3 * nh, hd), 3, axis=2)
-            q, k = QKNorm(hd, dt, name=f"{prefix}_qknorm")(q, k)
+            if cfg.qk_norm:
+                q, k = QKNorm(hd, dt, name=f"{prefix}_qknorm")(q, k)
             return q, k, v
 
-        img_n = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="img_norm1")(img), i_shift1, i_scale1)
+        img_ln = LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="img_norm1")(img)
+        img_n = modulate(img_ln, i_shift1, i_scale1)
         txt_n = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="txt_norm1")(txt), t_shift1, t_scale1)
         iq, ik, iv = qkv(img_n, "img")
         tq, tk, tv = qkv(txt_n, "txt")
@@ -352,6 +380,15 @@ class DoubleBlock(nn.Module):
         img = img + i_gate1[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="img_proj")(
             i_attn.reshape(b, -1, nh * hd)
         )
+        if i_dual is not None:
+            # parallel img-only self-attention off the same pre-attn norm
+            i_shift3, i_scale3, i_gate3 = i_dual
+            img_n2 = modulate(img_ln, i_shift3, i_scale3)
+            q2, k2, v2 = qkv(img_n2, "img2")
+            a2 = _attend(q2, k2, v2, pe[:, s_txt:], mask=None)
+            img = img + i_gate3[:, None] * Linear(
+                h, dtype=dt, param_dtype=pdt, name="img2_proj"
+            )(a2.reshape(b, -1, nh * hd))
         img_m = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="img_norm2")(img), i_shift2, i_scale2)
         img = img + i_gate2[:, None] * _ffn(cfg, img_m, "img_mlp")
 
@@ -361,6 +398,56 @@ class DoubleBlock(nn.Module):
         txt_m = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="txt_norm2")(txt), t_shift2, t_scale2)
         txt = txt + t_gate2[:, None] * _ffn(cfg, txt_m, "txt_mlp", moe=False)
         return img, txt
+
+
+class FinalDoubleBlock(nn.Module):
+    """SD3's last joint block (diffusers JointTransformerBlock with
+    context_pre_only=True): the txt stream is normed by an
+    AdaLayerNormContinuous (scale, shift — diffusers chunk order), feeds
+    q/k/v into the joint attention, but has no output projection or FFN;
+    only the img stream continues."""
+
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, img, txt, vec, pe, mask=None):
+        cfg = self.cfg
+        dt, pdt = cfg.dtype, cfg.param_dtype
+        h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+        i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = AdaLayerNormZero(
+            h, 6, dtype=dt, param_dtype=pdt, name="img_mod")(vec)
+        cm = Linear(2 * h, dtype=dt, param_dtype=pdt, name="txt_mod")(nn.silu(vec.astype(dt)))
+        t_scale, t_shift = jnp.split(cm, 2, axis=-1)  # diffusers order: (scale, shift)
+
+        def qkv(x, prefix):
+            b, s, _ = x.shape
+            out = Linear(h * 3, dtype=dt, param_dtype=pdt, name=f"{prefix}_qkv")(x)
+            q, k, v = jnp.split(out.reshape(b, s, 3 * nh, hd), 3, axis=2)
+            if cfg.qk_norm:
+                q, k = QKNorm(hd, dt, name=f"{prefix}_qknorm")(q, k)
+            return q, k, v
+
+        img_n = modulate(
+            LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="img_norm1")(img),
+            i_shift1, i_scale1)
+        txt_n = modulate(
+            LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="txt_norm1")(txt),
+            t_shift, t_scale)
+        iq, ik, iv = qkv(img_n, "img")
+        tq, tk, tv = qkv(txt_n, "txt")
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
+        attn = _attend(q, k, v, pe, mask)
+        i_attn = attn[:, txt.shape[1]:]
+        b = img.shape[0]
+        img = img + i_gate1[:, None] * Linear(h, dtype=dt, param_dtype=pdt, name="img_proj")(
+            i_attn.reshape(b, -1, nh * hd))
+        img_m = modulate(
+            LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="img_norm2")(img),
+            i_shift2, i_scale2)
+        return img + i_gate2[:, None] * _ffn(cfg, img_m, "img_mlp")
 
 
 class SingleBlock(nn.Module):
@@ -468,12 +555,23 @@ class FluxDiT(nn.Module):
         pe: jax.Array,  # [B|1, N_txt+N_img, head_dim/2, 2, 2] rope table
         guidance: jax.Array | None = None,  # [B]
         txt_mask: jax.Array | None = None,  # [B, N_txt] bool (attn_masking)
+        pos_ids: jax.Array | None = None,  # [N_img] int32 rows into pos_embed
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         h = cfg.hidden_size
 
         img = Linear(h, dtype=dt, param_dtype=pdt, name="img_in")(img)
+        if cfg.pos_embed_max_size:
+            # sd3: learned absolute positions, center-cropped per resolution
+            # (pos_ids precomputed host-side from the static latent shape)
+            tab = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, cfg.pos_embed_max_size * cfg.pos_embed_max_size, h), pdt,
+            )
+            if pos_ids is None:
+                pos_ids = jnp.arange(img.shape[1])
+            img = img + tab[:, pos_ids].astype(dt)
         txt = Linear(h, dtype=dt, param_dtype=pdt, name="txt_in")(txt)
         vec = None
         sing_mod = img_mod = txt_mod = fin_mod = None
@@ -550,23 +648,44 @@ class FluxDiT(nn.Module):
                         cfg, name="single_blocks"
                     )(x, pe, mask, sing_mod.transpose(1, 0, 2, 3))
             else:
+                import dataclasses as _dc
+
                 DCarry = nn.remat(_DoubleCarry, **remat_kwargs) if cfg.remat else _DoubleCarry
                 SCarry = nn.remat(_SingleCarry, **remat_kwargs) if cfg.remat else _SingleCarry
-                if cfg.depth_double > 0:
-                    (img, txt), _ = nn.scan(DCarry, length=cfg.depth_double, **scan_kwargs)(
+                n_final = 1 if cfg.final_context_pre_only else 0
+                n_dual = cfg.dual_attention_layers
+                n_main = cfg.depth_double - n_dual - n_final
+                if n_dual > 0:
+                    dcfg = _dc.replace(cfg, dual_attention=True)
+                    (img, txt), _ = nn.scan(DCarry, length=n_dual, **scan_kwargs)(
+                        dcfg, name="dual_blocks"
+                    )((img, txt), vec, pe, mask)
+                if n_main > 0:
+                    (img, txt), _ = nn.scan(DCarry, length=n_main, **scan_kwargs)(
                         cfg, name="double_blocks"
                     )((img, txt), vec, pe, mask)
+                if n_final:
+                    img = FinalDoubleBlock(cfg, name="final_block")(img, txt, vec, pe, mask)
                 x = jnp.concatenate([txt, img], axis=1)
                 if cfg.depth_single > 0:
                     x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
                         cfg, name="single_blocks"
                     )(x, vec, pe, mask)
         else:
+            import dataclasses as _dc
+
             DBlock = nn.remat(DoubleBlock) if cfg.remat else DoubleBlock
             SBlock = nn.remat(SingleBlock) if cfg.remat else SingleBlock
-            for i in range(cfg.depth_double):
+            n_final = 1 if cfg.final_context_pre_only else 0
+            n_dual = 0 if cfg.chroma_mod else cfg.dual_attention_layers
+            dcfg = _dc.replace(cfg, dual_attention=True) if n_dual else cfg
+            for i in range(n_dual):
+                img, txt = DBlock(dcfg, name=f"dual_{i}")(img, txt, vec, pe, mask)
+            for i in range(cfg.depth_double - n_dual - n_final):
                 dm = (img_mod[:, i], txt_mod[:, i]) if cfg.chroma_mod else None
                 img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe, mask, mod=dm)
+            if n_final:
+                img = FinalDoubleBlock(cfg, name="final_block")(img, txt, vec, pe, mask)
             x = jnp.concatenate([txt, img], axis=1)
             for i in range(cfg.depth_single):
                 sm = sing_mod[:, i] if cfg.chroma_mod else None
@@ -605,7 +724,11 @@ def flux_partition_rules(scan_blocks: bool = True) -> list[PartitionRule]:
             PartitionRule(r"blocks/block/.*(qkv|mlp_in|linear1)/kernel", P(None, "fsdp", "tp")),
             PartitionRule(r"blocks/block/.*(proj|mlp_out|linear2)/kernel", P(None, "tp", "fsdp")),
             PartitionRule(r"blocks/block/.*mod/mod/kernel", P(None, "fsdp", "tp")),
+            # sd3 final context-pre-only block is outside the scan (2-D kernels)
+            PartitionRule(r"final_block/.*(qkv|mlp_in)/kernel", P("fsdp", "tp")),
+            PartitionRule(r"final_block/.*(proj|mlp_out)/kernel", P("tp", "fsdp")),
             PartitionRule(r"txt_in/kernel", P("fsdp", None)),
+            PartitionRule(r"pos_embed", P()),
         ]
     return [
         PartitionRule(r"moe/experts/w[13]/kernel", P("ep", "fsdp", "tp")),
@@ -613,13 +736,14 @@ def flux_partition_rules(scan_blocks: bool = True) -> list[PartitionRule]:
         PartitionRule(r"moe/shared/w[13]/kernel", P("fsdp", "tp")),
         PartitionRule(r"moe/shared/w2/kernel", P("tp", "fsdp")),
         PartitionRule(r"moe/gate/kernel", P()),
-        PartitionRule(r"(img|txt)_qkv/kernel", P("fsdp", "tp")),
+        PartitionRule(r"(img|img2|txt)_qkv/kernel", P("fsdp", "tp")),
         PartitionRule(r"(img|txt)_mlp_in/kernel", P("fsdp", "tp")),
         PartitionRule(r"linear1/kernel", P("fsdp", "tp")),
-        PartitionRule(r"(img|txt)_proj/kernel", P("tp", "fsdp")),
+        PartitionRule(r"(img|img2|txt)_proj/kernel", P("tp", "fsdp")),
         PartitionRule(r"(img|txt)_mlp_out/kernel", P("tp", "fsdp")),
         PartitionRule(r"linear2/kernel", P("tp", "fsdp")),
         PartitionRule(r"txt_in/kernel", P("fsdp", None)),
+        PartitionRule(r"pos_embed", P()),
     ]
 
 
@@ -700,7 +824,8 @@ def _all_module_paths(params: dict, prefix: tuple[str, ...] = ()) -> list[str]:
 def flux_lora_targets() -> list[str]:
     """Default LoRA targeting (transformer blocks only, as the reference's
     transformer_only/only_if_contains defaults do for flux)."""
-    return [r"double_blocks/", r"single_blocks/", r"double_\d+/", r"single_\d+/"]
+    return [r"double_blocks/", r"single_blocks/", r"double_\d+/", r"single_\d+/",
+            r"dual_blocks/", r"dual_\d+/", r"final_block/"]
 
 
 def flux_inverse_key_map(key_map: dict[str, str], depth_double: int, depth_single: int) -> dict:
@@ -720,7 +845,12 @@ def flux_inverse_key_map(key_map: dict[str, str], depth_double: int, depth_singl
 
 
 def pack_latents(latents: jax.Array) -> jax.Array:
-    """[B, H, W, C] VAE latents -> [B, (H/2)(W/2), 4C] flux-packed tokens."""
+    """[B, H, W, C] VAE latents -> [B, (H/2)(W/2), 4C] tokens, feature order
+    ``(ph pw c)`` — the *patch-major* convention (hidream patchify
+    ``'B C (H p1) (W p2) -> B (H W) (p1 p2 C)'``, omnigen2, boogu, sd3
+    unpatchify). Checkpoint-linear row order is arch-specific: flux-family /
+    qwen / flux2 / auraflow checkpoints use the channel-major order — those
+    wrappers must use :func:`pack_latents_cmajor` instead."""
     b, h, w, c = latents.shape
     x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
@@ -728,9 +858,34 @@ def pack_latents(latents: jax.Array) -> jax.Array:
 
 
 def unpack_latents(tokens: jax.Array, h: int, w: int) -> jax.Array:
-    """[B, N, 4C] -> [B, H, W, C]."""
+    """[B, N, 4C] -> [B, H, W, C] (patch-major inverse)."""
     b, n, c4 = tokens.shape
     c = c4 // 4
     x = tokens.reshape(b, h // 2, w // 2, 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def pack_latents_cmajor(latents: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, (H/2)(W/2), 4C] tokens with the BFL/diffusers
+    channel-major feature order ``(c ph pw)`` (reference
+    ``stable_diffusion_model.py:2144``, ``flex2/flex2.py:269``,
+    ``qwen_image/qwen_image.py:332-339``, flux2 VAE ``'(c pi pj) i j'``).
+    Real flux/qwen/flux2 checkpoints' img_in rows and final-proj columns are
+    laid out in this order — using the patch-major pack with imported weights
+    channel-scrambles every token. Channel-major also composes: concatenating
+    latent channels (flex2's 49-ch inpaint+control composite) then packing
+    equals packing each group and concatenating features."""
+    b, h, w, c = latents.shape
+    x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [b, h2, w2, c, ph, pw]
+    return x.reshape(b, (h // 2) * (w // 2), 4 * c)
+
+
+def unpack_latents_cmajor(tokens: jax.Array, h: int, w: int) -> jax.Array:
+    """[B, N, 4C] -> [B, H, W, C] (channel-major inverse)."""
+    b, n, c4 = tokens.shape
+    c = c4 // 4
+    x = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # [b, h2, ph, w2, pw, c]
     return x.reshape(b, h, w, c)

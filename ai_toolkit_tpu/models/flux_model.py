@@ -22,8 +22,8 @@ from ai_toolkit_tpu.models.flux_dit import (
     FluxDiT,
     flux_lora_targets,
     flux_partition_rules,
-    pack_latents,
-    unpack_latents,
+    pack_latents_cmajor,
+    unpack_latents_cmajor,
 )
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import CLIPTextConfig, CLIPTextModel, T5Config, T5Encoder
@@ -169,9 +169,9 @@ class FluxModel(BaseTpuModel):
         """noisy_latents: [B, h, w, C] (VAE latent space). cond: txt, y, pe, guidance,
         optional control_latents [B, h, w, C_ctrl] (channel-concat conditioning)."""
         b, h, w, c = noisy_latents.shape
-        img = pack_latents(noisy_latents)
+        img = pack_latents_cmajor(noisy_latents)
         if cond.get("control_latents") is not None:
-            img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=-1)
+            img = jnp.concatenate([img, pack_latents_cmajor(cond["control_latents"])], axis=-1)
         pe = cond["pe"]
         out = self.dit.apply(
             {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant")}},
@@ -183,7 +183,7 @@ class FluxModel(BaseTpuModel):
             cond.get("guidance"),
             cond.get("txt_mask"),
         )
-        return unpack_latents(out, h, w)
+        return unpack_latents_cmajor(out, h, w)
 
     def encode_images(self, variables: dict, images: jax.Array, rng=None) -> jax.Array:
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)

@@ -94,7 +94,7 @@ class OmniGen2Model(BaseTpuModel):
         }
 
     def load_variables(self, rng: jax.Array) -> dict:
-        return self.init_variables(rng)
+        return self.refuse_or_init(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])

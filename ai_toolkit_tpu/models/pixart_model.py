@@ -83,7 +83,7 @@ class PixArtModel(BaseTpuModel):
         return {"dit": dit_vars["params"], "vae": vae_vars["params"], "t5": t5_vars["params"]}
 
     def load_variables(self, rng: jax.Array) -> dict:
-        return self.init_variables(rng)
+        return self.refuse_or_init(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])

@@ -33,8 +33,8 @@ from ai_toolkit_tpu.models.flux_dit import (
     FluxDiT,
     flux_lora_targets,
     flux_partition_rules,
-    pack_latents,
-    unpack_latents,
+    pack_latents_cmajor,
+    unpack_latents_cmajor,
 )
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
@@ -238,11 +238,11 @@ class QwenImageModel(BaseTpuModel):
             # one token per latent pixel (patch_size 1, mageflow.py:122-125)
             img = noisy_latents.reshape(b, h * w, c)
         else:
-            img = pack_latents(noisy_latents)
+            img = pack_latents_cmajor(noisy_latents)
         n_img = img.shape[1]
         if self.is_edit and cond.get("control_latents") is not None:
             ctrl = cond["control_latents"]
-            ctrl = (ctrl.reshape(b, -1, c) if self.is_mageflow else pack_latents(ctrl))
+            ctrl = (ctrl.reshape(b, -1, c) if self.is_mageflow else pack_latents_cmajor(ctrl))
             img = jnp.concatenate([img, ctrl], axis=1)
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant"):
@@ -254,7 +254,7 @@ class QwenImageModel(BaseTpuModel):
         )
         if self.is_mageflow:
             return out[:, :n_img].reshape(b, h, w, c)
-        return unpack_latents(out[:, :n_img], h, w)
+        return unpack_latents_cmajor(out[:, :n_img], h, w)
 
     def encode_images(self, variables, images, rng=None):
         if self._vae_3d:

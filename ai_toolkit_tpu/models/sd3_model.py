@@ -1,15 +1,24 @@
-"""SD3-class MMDiT model wrapper.
+"""SD3-class MMDiT model wrapper — exact diffusers SD3Transformer2DModel
+semantics.
 
 Parity target: the reference's sd3 arch (``is_v3`` path in
-``toolkit/stable_diffusion_model.py``): MMDiT joint text+image attention
-blocks, triple text conditioning (CLIP-L + OpenCLIP-G penultimate states
-zero-padded to the T5 width and concatenated with T5; pooled = concat of both
-CLIP pooled projections), 16-ch VAE, flow matching with static shift=3.
+``toolkit/stable_diffusion_model.py:396`` loads diffusers
+``SD3Transformer2DModel``): MMDiT joint text+image attention blocks, triple
+text conditioning (CLIP-L + OpenCLIP-G penultimate states zero-padded to the
+T5 width and concatenated with T5; pooled = concat of both CLIP pooled
+projections), 16-ch VAE (scale 1.5305 / shift 0.0609), flow matching with
+static shift=3.
 
-The transformer reuses FluxDiT double blocks with a zero-angle RoPE table
-(identity rotation) — MMDiT blocks are flux double blocks without rotary
-embeddings; image positions come from a learned/abs embedding folded into the
-tokens host-side.
+Exact-layout notes (vs the generic flux double block):
+- learned absolute pos_embed table (``pos_embed.pos_embed``), center-cropped
+  per resolution; zero-angle RoPE (identity rotation) since MMDiT has no RoPE
+- sd3-medium has NO q/k norm (``qk_norm=False``); sd3.5 uses per-head RMS
+- the LAST block is context_pre_only (txt normed by AdaLayerNormContinuous,
+  no txt out-proj/FFN)
+- sd3.5-medium puts a second img-only self-attention (attn2) in the first 13
+  blocks (``dual_attention_layers``)
+- ``norm_out.linear`` emits (scale, shift) — swapped to our (shift, scale)
+  at import (``io/sd3_import.py``)
 """
 
 from __future__ import annotations
@@ -49,7 +58,9 @@ class SD3Model(BaseTpuModel):
         if size == "tiny":
             base = FluxConfig.tiny()
             self.dit_config = FluxConfig(
-                **{**base.__dict__, "depth_single": 0, "guidance_embed": False}
+                **{**base.__dict__, "depth_single": 0, "guidance_embed": False,
+                   "final_context_pre_only": True, "pos_embed_max_size": 32,
+                   "qk_norm": False}
             )
             self.vae_config = VAEConfig.tiny()
             self.clip_config = CLIPTextConfig.tiny()
@@ -57,15 +68,25 @@ class SD3Model(BaseTpuModel):
             self.t5_config = T5Config.tiny()
             self.max_txt_len = 16
         else:
-            large = size in ("large", "8b")
+            # diffusers transformer/config.json per variant:
+            #   sd3 (2B medium):   24 layers, d=1536, no qk norm
+            #   sd3.5-medium:      24 layers, d=1536, qk rms, attn2 in blocks
+            #                      0..12, pos_embed_max_size 384
+            #   sd3.5-large (8B):  38 layers, d=2432, qk rms
+            large = size in ("large", "8b") or self.config.arch == "sd35_large"
+            is_35 = self.config.arch != "sd3" or size in ("35", "3.5")
             self.dit_config = FluxConfig(
                 in_channels=64, hidden_size=2432 if large else 1536,
                 num_heads=38 if large else 24, head_dim=64,
                 depth_double=38 if large else 24, depth_single=0,
                 context_dim=4096, vec_dim=2048, guidance_embed=False,
-                axes_dim=(64,),  # identity table; positions are additive embeds
+                axes_dim=(64,),  # identity rope table (MMDiT has none)
+                qk_norm=is_35,
+                final_context_pre_only=True,
+                pos_embed_max_size=384 if (is_35 and not large) else 192,
+                dual_attention_layers=13 if (is_35 and not large) else 0,
             )
-            self.vae_config = VAEConfig.flux()  # sd3 uses a 16ch vae, scale ~1.5305
+            self.vae_config = VAEConfig.sd3()
             self.clip_config = CLIPTextConfig.clip_l()
             self.clip2_config = CLIPTextConfig.open_clip_g()
             self.t5_config = T5Config.xxl()
@@ -104,7 +125,23 @@ class SD3Model(BaseTpuModel):
         }
 
     def load_variables(self, rng: jax.Array) -> dict:
+        import os
+
+        path = self.config.name_or_path
+        if path and (os.path.isdir(os.path.join(path, "transformer")) or os.path.isfile(path)):
+            from ai_toolkit_tpu.io.sd3_import import load_sd3_checkpoint
+
+            return load_sd3_checkpoint(path, self)
         return self.init_variables(rng)
+
+    def _pos_ids(self, latent_h: int, latent_w: int) -> jnp.ndarray:
+        """Center-cropped rows into the learned pos table (diffusers
+        PatchEmbed.cropped_pos_embed)."""
+        m = self.dit_config.pos_embed_max_size
+        h2, w2 = latent_h // 2, latent_w // 2
+        top, left = (m - h2) // 2, (m - w2) // 2
+        rows = np.arange(top, top + h2)[:, None] * m + np.arange(left, left + w2)[None]
+        return jnp.asarray(rows.reshape(-1), jnp.int32)
 
     def _identity_pe(self, n: int) -> jnp.ndarray:
         """Zero-angle rope table == identity rotation (MMDiT has no RoPE)."""
@@ -137,7 +174,8 @@ class SD3Model(BaseTpuModel):
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
-        out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None)
+        out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None,
+                             pos_ids=self._pos_ids(h, w))
         return unpack_latents(out, h, w)
 
     def encode_images(self, variables, images, rng=None):

@@ -48,6 +48,13 @@ class VAEConfig:
                    use_quant_conv=False)
 
     @classmethod
+    def sd3(cls) -> "VAEConfig":
+        """SD3/SD3.5 16-ch VAE (diffusers vae/config.json: scaling_factor
+        1.5305, shift_factor 0.0609, no quant convs)."""
+        return cls(latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609,
+                   use_quant_conv=False)
+
+    @classmethod
     def tiny(cls, **kw) -> "VAEConfig":
         """CPU-testable config."""
         base = dict(base_channels=16, channel_multipliers=(1, 2), layers_per_block=1,

@@ -156,3 +156,40 @@ def test_flux_control_conditioning():
         {**cond, "pe": pe, "control_latents": ctrl * 0, "guidance": jnp.ones((1,))},
     )
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_pack_latents_orders_match_reference_formulas():
+    """Channel-major == reference 'b c (h ph) (w pw) -> b (h w) (c ph pw)'
+    (stable_diffusion_model.py:2144); patch-major == hidream patchify
+    '(p1 p2 C)'. Real-checkpoint token layouts depend on this — regression
+    for the round-3 channel-scramble fix."""
+    import numpy as np
+    from ai_toolkit_tpu.models.flux_dit import (
+        pack_latents, pack_latents_cmajor, unpack_latents, unpack_latents_cmajor,
+    )
+
+    rng = np.random.default_rng(0)
+    lat = rng.normal(size=(2, 4, 6, 3)).astype(np.float32)  # [B,H,W,C]
+    b, h, w, c = lat.shape
+    # torch-side latents are [B,C,H,W]
+    tl = lat.transpose(0, 3, 1, 2)
+    # reference einops: b c (h ph) (w pw) -> b (h w) (c ph pw)
+    ref_c = tl.reshape(b, c, h // 2, 2, w // 2, 2).transpose(0, 2, 4, 1, 3, 5)
+    ref_c = ref_c.reshape(b, (h // 2) * (w // 2), c * 4)
+    got_c = np.asarray(pack_latents_cmajor(lat))
+    np.testing.assert_array_equal(got_c, ref_c)
+    np.testing.assert_allclose(np.asarray(unpack_latents_cmajor(got_c, h, w)), lat)
+
+    # hidream einops: B C (H p1) (W p2) -> B (H W) (p1 p2 C)
+    ref_p = tl.reshape(b, c, h // 2, 2, w // 2, 2).transpose(0, 2, 4, 3, 5, 1)
+    ref_p = ref_p.reshape(b, (h // 2) * (w // 2), 4 * c)
+    got_p = np.asarray(pack_latents(lat))
+    np.testing.assert_array_equal(got_p, ref_p)
+    np.testing.assert_allclose(np.asarray(unpack_latents(got_p, h, w)), lat)
+
+    # channel-major composes over channel concat (flex2 49-ch composite)
+    two = np.concatenate([lat, lat * 2.0], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(pack_latents_cmajor(two)),
+        np.concatenate([got_c, np.asarray(pack_latents_cmajor(lat * 2.0))], axis=-1),
+    )

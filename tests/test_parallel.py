@@ -69,6 +69,22 @@ def test_indivisible_rule_falls_back(mesh8):
     assert specs["w"] == P(None, None)
 
 
+def test_mesh_absent_axis_dropped(mesh8):
+    """Rules naming axes the mesh lacks (hidream 'ep' on a dp/fsdp/tp mesh)
+    drop those names instead of producing a NamedSharding-rejected spec."""
+    from jax.sharding import NamedSharding
+
+    params = {"experts": jnp.zeros((4, 64, 64)), "w": jnp.zeros((64, 64))}
+    rules = [PartitionRule(r"experts", P("ep", "fsdp", "tp")),
+             PartitionRule(r"w", P(("ep", "dp"), None))]
+    specs = apply_rules(params, mesh8, rules)
+    assert specs["experts"] == P(None, "fsdp", "tp")
+    assert specs["w"] == P("dp", None)
+    # and the specs are actually accepted by NamedSharding
+    for s in jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P)):
+        NamedSharding(mesh8, s)
+
+
 def test_batch_spec(mesh8):
     assert shard_batch_spec(mesh8) == P(("dp", "fsdp"))
 
