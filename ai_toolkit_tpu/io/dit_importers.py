@@ -615,6 +615,110 @@ def load_ltx2_checkpoint(path: str, model) -> dict:
     return variables
 
 
+def lumina2_rules(scan_blocks: bool = True) -> list[Rule]:
+    """diffusers Lumina2Transformer2DModel -> models/lumina2_dit.Lumina2DiT.
+
+    Module internals pinned by the vendored Lumina2 blocks (see
+    lumina2_dit.py docstring). Main 26 layers scan; the 2+2 refiner blocks
+    stay unrolled."""
+    b = "layers/block/" if scan_blocks else "layer_{0}/"
+    kind = "_stack" if scan_blocks else ""
+
+    def blk(src, dst, lin=True, bias=True):
+        pre = r"layers\.(\d+)\."
+        out = [(pre + src + r"\.weight", b + dst + ("/kernel" if lin else "/scale"),
+                ("linear" if lin else "direct") + kind)]
+        if lin and bias:
+            out.append((pre + src + r"\.bias", b + dst + "/bias", "direct" + kind))
+        return out
+
+    rules: list[Rule] = []
+    rules += blk(r"norm1\.linear", "norm1_lin")
+    rules += blk(r"norm1\.norm", "norm1_norm", lin=False)
+    for w in ("q", "k", "v"):
+        rules += blk(rf"attn\.to_{w}", f"attn/to_{w}", bias=False)
+    rules += blk(r"attn\.to_out\.0", "attn/to_out", bias=False)
+    rules += blk(r"attn\.norm_q", "attn/q_norm", lin=False)
+    rules += blk(r"attn\.norm_k", "attn/k_norm", lin=False)
+    for i in (1, 2, 3):
+        rules += blk(rf"feed_forward\.linear_{i}", f"ffn_w{i}", bias=False)
+    for nm in ("norm2", "ffn_norm1", "ffn_norm2"):
+        rules += blk(nm, nm, lin=False)
+
+    def refiner(kind_name):
+        pre = rf"{kind_name}\.(\d+)\."
+        dst = kind_name + "_{0}/"
+        out = []
+        if kind_name == "noise_refiner":
+            out += [(pre + r"norm1\.linear\.weight", dst + "norm1_lin/kernel", "linear"),
+                    (pre + r"norm1\.linear\.bias", dst + "norm1_lin/bias", "direct"),
+                    (pre + r"norm1\.norm\.weight", dst + "norm1_norm/scale", "direct")]
+        else:  # context refiner: norm1 IS the plain RMSNorm
+            out += [(pre + r"norm1\.weight", dst + "norm1_norm/scale", "direct")]
+        for w in ("q", "k", "v"):
+            out.append((pre + rf"attn\.to_{w}\.weight", dst + f"attn/to_{w}/kernel", "linear"))
+        out += [(pre + r"attn\.to_out\.0\.weight", dst + "attn/to_out/kernel", "linear"),
+                (pre + r"attn\.norm_q\.weight", dst + "attn/q_norm/scale", "direct"),
+                (pre + r"attn\.norm_k\.weight", dst + "attn/k_norm/scale", "direct")]
+        for i in (1, 2, 3):
+            out.append((pre + rf"feed_forward\.linear_{i}\.weight",
+                        dst + f"ffn_w{i}/kernel", "linear"))
+        for nm in ("norm2", "ffn_norm1", "ffn_norm2"):
+            out.append((pre + nm + r"\.weight", dst + nm + "/scale", "direct"))
+        return out
+
+    rules += refiner("noise_refiner")
+    rules += refiner("context_refiner")
+    rules += [
+        (r"x_embedder\.weight", "x_embedder/kernel", "linear"),
+        (r"x_embedder\.bias", "x_embedder/bias", "direct"),
+        (r"time_caption_embed\.timestep_embedder\.linear_1\.weight", "time_in/in_layer/kernel", "linear"),
+        (r"time_caption_embed\.timestep_embedder\.linear_1\.bias", "time_in/in_layer/bias", "direct"),
+        (r"time_caption_embed\.timestep_embedder\.linear_2\.weight", "time_in/out_layer/kernel", "linear"),
+        (r"time_caption_embed\.timestep_embedder\.linear_2\.bias", "time_in/out_layer/bias", "direct"),
+        (r"time_caption_embed\.caption_embedder\.0\.weight", "cap_norm/scale", "direct"),
+        (r"time_caption_embed\.caption_embedder\.1\.weight", "cap_proj/kernel", "linear"),
+        (r"time_caption_embed\.caption_embedder\.1\.bias", "cap_proj/bias", "direct"),
+        (r"norm_out\.linear_1\.weight", "final_mod/kernel", "linear"),
+        (r"norm_out\.linear_1\.bias", "final_mod/bias", "direct"),
+        (r"norm_out\.linear_2\.weight", "final_proj/kernel", "linear"),
+        (r"norm_out\.linear_2\.bias", "final_proj/bias", "direct"),
+    ]
+    return rules
+
+
+def load_lumina2_checkpoint(path: str, model) -> dict:
+    """HF-layout dir (transformer/ + vae/ + text_encoder/) or single file."""
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import llm_rules, vae_rules
+    from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        flat = {k.removeprefix("model.diffusion_model."): v for k, v in flat.items()}
+        tree, unmatched = torch_to_tree(flat, lumina2_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"lumina2 import: {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "lumina2 dit")
+    for subdir, comp, rules in (
+        ("vae", "vae", vae_rules(len(model.vae_config.channel_multipliers),
+                                 model.vae_config.layers_per_block)),
+        ("text_encoder", "te", llm_rules(gemma=True)),
+    ):
+        d = os.path.join(path, subdir)
+        if comp in variables and os.path.isdir(d):
+            flat = load_safetensors_dir(path, subdir)
+            tree, _ = torch_to_tree(flat, rules)
+            if tree:
+                variables[comp] = _merge_imported(variables[comp], tree, comp)
+    return variables
+
+
 def flite_rules(scan_blocks: bool = True) -> list[Rule]:
     """F-Lite DiT checkpoint keys (vendored f_light/src/model.py layout)."""
     b = "blocks/block/" if scan_blocks else "block_{0}/"

@@ -386,6 +386,18 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         plan.append(("t5", "text_encoder_3", M, t5_rules(), None))
         return plan
 
+    if arch == "lumina2":
+        from ai_toolkit_tpu.io.dit_importers import lumina2_rules
+
+        # TE (gemma) stays with its own import path — llm_rules has
+        # alternation groups the rule inverter doesn't enumerate
+        plan.append(("dit", "transformer", W,
+                     lumina2_rules(model.dit_config.scan_blocks), None))
+        plan.append(("vae", "vae", W, vae_rules(
+            len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
+        ), None))
+        return plan
+
     if arch.startswith("hidream"):
         cfg = model.dit_config
         plan.append(("dit", "transformer", W, None,

@@ -66,7 +66,8 @@ class Lumina2Config:
 
     @classmethod
     def tiny(cls, **kw) -> "Lumina2Config":
-        base = dict(dim=32, n_layers=2, n_refiner_layers=1, n_heads=2, n_kv_heads=1,
+        base = dict(in_channels=4, out_channels=4, dim=32, n_layers=2,
+                    n_refiner_layers=1, n_heads=2, n_kv_heads=1,
                     cap_feat_dim=24, ffn_hidden=64, axes_dims=(4, 6, 6),
                     scan_blocks=False, remat=False, dtype=jnp.float32,
                     param_dtype=jnp.float32)

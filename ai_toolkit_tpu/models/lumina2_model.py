@@ -1,15 +1,15 @@
-"""Lumina-Image-2.0 model wrapper.
+"""Lumina-Image-2.0 model wrapper — exact Lumina2Transformer2DModel.
 
-Parity target: the reference's lumina2 arch (``is_lumina2`` path in
-``toolkit/stable_diffusion_model.py``; NextDiT 2.6B): a *unified
-single-stream* DiT — caption tokens (Gemma2-2B hidden states, 2304-d) and
-image tokens are concatenated into one sequence and processed by 26 joint
-self-attention blocks with RoPE, timestep adaLN modulation, 16-ch FLUX VAE,
+Parity target: the reference's lumina2 arch (``is_lumina2`` path,
+``toolkit/stable_diffusion_model.py:849-881`` load / ``:2207-2220`` predict):
+the NextDiT-2B single-stream joint transformer (see models/lumina2_dit.py for
+the vendored-source pins), Gemma2-2B caption states (2304-d), 16-ch FLUX VAE,
 flow matching (the reference samples with its flowmatch scheduler and a
 static shift of 6).
 
-Maps onto FluxDiT with depth_double=0: text enters through txt_in and rides
-the single-stream stage; outputs are sliced back to image tokens.
+Prediction conventions (stable_diffusion_model.py:2207-2220): the model's
+time axis is reversed (t=0 noise, t=1 image) so it receives ``1 - t``, and
+the raw output is negated before entering the flow-matching loss/step.
 """
 
 from __future__ import annotations
@@ -20,18 +20,17 @@ import numpy as np
 
 from ai_toolkit_tpu.config.modules import ModelConfig
 from ai_toolkit_tpu.models.base import BaseTpuModel
-from ai_toolkit_tpu.models.flux_dit import (
-    FluxConfig,
-    FluxDiT,
-    flux_lora_targets,
-    flux_partition_rules,
-    pack_latents,
-    unpack_latents,
+from ai_toolkit_tpu.models.flux_dit import pack_latents, unpack_latents
+from ai_toolkit_tpu.models.lumina2_dit import (
+    Lumina2Config,
+    Lumina2DiT,
+    lumina2_lora_targets,
+    lumina2_partition_rules,
+    lumina2_pos_angles,
 )
 from ai_toolkit_tpu.models.registry import register_model
 from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
 from ai_toolkit_tpu.models.vae import AutoencoderKL, VAEConfig
-from ai_toolkit_tpu.ops.rope import image_position_ids, multi_axis_rope
 from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 
@@ -48,22 +47,15 @@ class Lumina2Model(BaseTpuModel):
         super().__init__(config)
         size = config.model_kwargs.get("size", "full")
         if size == "tiny":
-            base = FluxConfig.tiny()
-            self.dit_config = FluxConfig(**{
-                **base.__dict__, "depth_double": 0, "depth_single": 2, "guidance_embed": False,
-            })
+            self.dit_config = Lumina2Config.tiny()
             self.vae_config = VAEConfig.tiny()
-            self.llm_config = LLMConfig.tiny()
+            self.llm_config = LLMConfig.tiny(d_model=self.dit_config.cap_feat_dim)
             self.max_txt_len = 16
         else:
-            self.dit_config = FluxConfig(
-                in_channels=64, hidden_size=2304, num_heads=24, head_dim=96,
-                depth_double=0, depth_single=26, context_dim=2304, vec_dim=256,
-                guidance_embed=False, axes_dim=(32, 32, 32),
-            )
+            self.dit_config = Lumina2Config()
             self.vae_config = VAEConfig.flux()
             self.llm_config = LLMConfig.gemma2_2b()
-        self.dit = FluxDiT(self.dit_config)
+        self.dit = Lumina2DiT(self.dit_config)
         self.vae = AutoencoderKL(self.vae_config)
         self.te = LLMEncoder(self.llm_config)
         self.tokenizer = load_tokenizer(
@@ -75,11 +67,12 @@ class Lumina2Model(BaseTpuModel):
         r_dit, r_vae, r_te = jax.random.split(rng, 3)
         cfg = self.dit_config
         n_img, n_txt = 16, 8
-        pe = jnp.zeros((1, n_txt + n_img, cfg.head_dim // 2, 2, 2))
-        pe = pe.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+        ta, ia = lumina2_pos_angles(cfg, 4, 4, jnp.full((1,), n_txt), n_txt)
         dit_vars = self.dit.init(
-            r_dit, jnp.zeros((1, n_img, cfg.in_channels)), jnp.zeros((1, n_txt, cfg.context_dim)),
-            jnp.zeros((1,)), jnp.zeros((1, cfg.vec_dim)), pe, None,
+            r_dit,
+            jnp.zeros((1, n_img, cfg.patch_size**2 * cfg.in_channels)),
+            jnp.zeros((1, n_txt, cfg.cap_feat_dim)),
+            jnp.zeros((1,)), jnp.ones((1, n_txt), bool), ia, ta,
         )
         vae_vars = self.vae.init(
             r_vae, jnp.zeros((1, 2 * self.vae_config.downscale, 2 * self.vae_config.downscale, 3))
@@ -91,6 +84,13 @@ class Lumina2Model(BaseTpuModel):
         }
 
     def load_variables(self, rng: jax.Array) -> dict:
+        import os
+
+        path = self.config.name_or_path
+        if path and (os.path.isdir(os.path.join(path, "transformer")) or os.path.isfile(path)):
+            from ai_toolkit_tpu.io.dit_importers import load_lumina2_checkpoint
+
+            return load_lumina2_checkpoint(path, self)
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
@@ -98,14 +98,14 @@ class Lumina2Model(BaseTpuModel):
         is_eos = ids == self.tokenizer.eos_id
         mask = (np.cumsum(is_eos, axis=1) - is_eos <= 0).astype(np.int32)
         txt = jax.jit(self.te.apply)({"params": variables["te"]}, jnp.asarray(ids), jnp.asarray(mask))
-        return {"txt": txt, "y": jnp.zeros((len(prompts), self.dit_config.vec_dim)),
-                "txt_mask": jnp.asarray(mask, bool)}
+        if isinstance(txt, dict):
+            txt = txt["last_hidden_state"]
+        return {"txt": txt, "txt_mask": jnp.asarray(mask, bool)}
 
     def rope_table(self, latent_h: int, latent_w: int, txt_len: int) -> jnp.ndarray:
-        ids = image_position_ids(latent_h // 2, latent_w // 2, text_len=txt_len)
-        return multi_axis_rope(
-            jnp.asarray(ids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
-        )
+        # angles are built per-sample inside predict (caption lengths are
+        # dynamic); the trainer's shared pe slot is unused
+        return jnp.zeros((1, 1))
 
     def predict(self, variables, noisy_latents, t, cond):
         b, h, w, c = noisy_latents.shape
@@ -114,10 +114,17 @@ class Lumina2Model(BaseTpuModel):
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
-        out = self.dit.apply(
-            colls, img, cond["txt"], t, cond["y"], cond["pe"], None, cond.get("txt_mask")
-        )
-        return unpack_latents(out, h, w)
+        txt = cond["txt"]
+        mask = cond.get("txt_mask")
+        if mask is None:
+            mask = jnp.ones((b, txt.shape[1]), bool)
+        mask = jnp.broadcast_to(mask.astype(bool), (b, txt.shape[1]))
+        cap_lens = mask.sum(axis=1)
+        ta, ia = lumina2_pos_angles(self.dit_config, h // 2, w // 2, cap_lens, txt.shape[1])
+        # lumina time axis is reversed; the raw prediction is negated
+        # (stable_diffusion_model.py:2209,2220)
+        out = self.dit.apply(colls, img, txt, 1.0 - t, mask, ia, ta)
+        return -unpack_latents(out, h, w)
 
     def encode_images(self, variables, images, rng=None):
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
@@ -134,7 +141,7 @@ class Lumina2Model(BaseTpuModel):
         return (h // 2) * (w // 2)
 
     def lora_targets(self):
-        return flux_lora_targets()
+        return lumina2_lora_targets()
 
     def partition_rules(self):
-        return flux_partition_rules(self.dit_config.scan_blocks)
+        return lumina2_partition_rules(self.dit_config.scan_blocks)

@@ -200,3 +200,21 @@ def test_ltx2_full_export_roundtrip(tmp_path):
     _assert_trees_close(
         jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
     )
+
+
+def test_lumina2_full_export_roundtrip(tmp_path):
+    from ai_toolkit_tpu.io.dit_importers import load_lumina2_checkpoint
+
+    model = get_model_class("lumina2")(
+        ModelConfig(arch="lumina2", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    written = export_full_model(model, variables, str(tmp_path))
+    assert any("transformer" in p for p in written)
+    import safetensors.numpy as stnp
+    flat = stnp.load_file(written[0])
+    assert "norm_out.linear_2.weight" in flat
+    assert "layers.0.feed_forward.linear_1.weight" in flat
+    re = load_lumina2_checkpoint(str(tmp_path), model)
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
+    )
