@@ -7,9 +7,12 @@ Ideogram4Captioner / AceStepCaptioner): walk ``path_to_caption``, produce a
 ``recaption``, reporting progress to the UI job bridge.
 
 Backends:
-- ``vlm``       a local vision-language model (requires weights at
-                ``model_name_or_path``; this zero-egress environment has
-                none, so loading raises with a clear message).
+- ``vlm``       a real VLM decode loop (``jobs/vlm_captioner.py``): CLIP-vision
+                patches -> projector -> soft prefix tokens -> greedy causal-LM
+                decode with the tied-embedding head. Loads local weights from
+                ``model_name_or_path`` (vision_tower/ + language_model/ +
+                projector.safetensors, goldened import rules); without a path
+                it runs a deterministic random-init tiny VLM (test/dev).
 - ``heuristic`` deterministic offline captioner: dominant-color + luminance
                 + aspect description, prefixed by ``caption_prompt``-derived
                 style. Keeps the job, the UI contract, and dataset tooling
@@ -79,6 +82,7 @@ class CaptionProcess:
         self.backend = c.get("backend", "heuristic")
         self.default_caption = c.get("default_caption", "")
         self.model_path = c.get("model_name_or_path")
+        self._vlm = None
 
     def _find_files(self) -> list[str]:
         out = []
@@ -91,11 +95,17 @@ class CaptionProcess:
 
     def _caption_one(self, path: str) -> str:
         if self.backend == "vlm":
-            raise RuntimeError(
-                "backend 'vlm' needs local model weights at caption.model_name_or_path; "
-                "none found in this offline environment — use backend 'heuristic' or "
-                "'template', or provide weights"
-            )
+            if self._vlm is None:
+                from ai_toolkit_tpu.jobs.vlm_captioner import VLMCaptioner
+
+                self._vlm = VLMCaptioner(
+                    model_path=self.model_path,
+                    size=self.caption_cfg.get("model_size", "tiny"),
+                    prompt=self.prompt,
+                    max_new_tokens=int(self.caption_cfg.get("max_new_tokens", 24)),
+                    seed=int(self.caption_cfg.get("seed", 0)),
+                )
+            return self._vlm.caption(path)
         if self.backend == "template":
             stem = os.path.splitext(os.path.basename(path))[0].replace("_", " ")
             return self.default_caption.replace("[name]", stem) if self.default_caption else stem
@@ -104,11 +114,11 @@ class CaptionProcess:
     def run(self) -> dict:
         from ai_toolkit_tpu.jobs.ui_bridge import UIJobBridge
 
-        if self.backend == "vlm" and not (
-            self.model_path and os.path.isdir(self.model_path)
-        ):
+        if self.backend == "vlm" and self.model_path and not os.path.isdir(self.model_path):
             raise RuntimeError(
-                "backend 'vlm' requires caption.model_name_or_path pointing at local weights"
+                f"backend 'vlm': caption.model_name_or_path '{self.model_path}' "
+                f"is not a local directory (this environment has no network); "
+                f"omit it to run the random-init tiny VLM (test/dev only)"
             )
         files = self._find_files()
         bridge = UIJobBridge()

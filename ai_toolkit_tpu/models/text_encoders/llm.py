@@ -217,7 +217,12 @@ class LLMEncoder(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, attn_mask: jax.Array | None = None):
+    def __call__(self, input_ids: jax.Array, attn_mask: jax.Array | None = None,
+                 prefix_embeds: jax.Array | None = None,
+                 return_logits: bool = False):
+        """prefix_embeds [B, P, d]: soft tokens (e.g. projected vision patches,
+        LLaVA-style) prepended before the token embeddings; return_logits adds
+        tied-embedding LM logits (the captioner's decode head)."""
         cfg = self.cfg
         b, s = input_ids.shape
         emb = self.param(
@@ -227,6 +232,13 @@ class LLMEncoder(nn.Module):
         x = emb[input_ids].astype(cfg.dtype)
         if cfg.scale_embeddings:
             x = x * jnp.sqrt(float(cfg.d_model)).astype(cfg.dtype)
+        if prefix_embeds is not None:
+            x = jnp.concatenate([prefix_embeds.astype(cfg.dtype), x], axis=1)
+            if attn_mask is not None:
+                attn_mask = jnp.concatenate(
+                    [jnp.ones((b, prefix_embeds.shape[1]), attn_mask.dtype), attn_mask],
+                    axis=1)
+            s = x.shape[1]
 
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
         if attn_mask is not None:
@@ -239,6 +251,10 @@ class LLMEncoder(nn.Module):
             if i in cfg.collect_layers:
                 collected.append(x)
         x = RMSNorm(eps=cfg.rms_eps, dtype=cfg.dtype, name="final_norm")(x)
+        if return_logits:
+            # tied-embedding head (llama/qwen small models tie lm_head)
+            return jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
+                              emb.astype(jnp.float32))
         if cfg.collect_layers:
             return {"last_hidden_state": x, "collected": jnp.stack(collected, axis=0)}
         return x

@@ -54,10 +54,13 @@ _JOB_SCHEMA = """CREATE TABLE IF NOT EXISTS Job (
 
 def ensure_schema(db_path: str) -> None:
     """Create the Job table the reference UI/trainer contract uses
-    (ui/prisma/schema.prisma:24-50) plus queue columns."""
+    (ui/prisma/schema.prisma:24-50) plus queue columns, and the Settings
+    key/value table (reference prisma Settings model + api/settings)."""
     with sqlite3.connect(db_path, timeout=5.0) as conn:
         conn.execute("PRAGMA journal_mode=WAL")
         conn.execute(_JOB_SCHEMA)
+        conn.execute("CREATE TABLE IF NOT EXISTS Settings "
+                     "(key TEXT PRIMARY KEY, value TEXT NOT NULL DEFAULT '')")
         cols = {r[1] for r in conn.execute("PRAGMA table_info(Job)")}
         for col, decl in (("config_path", "TEXT DEFAULT ''"),
                           ("device", "TEXT DEFAULT 'all'"),
@@ -120,8 +123,19 @@ class _Handler(BaseHTTPRequestHandler):
         except sqlite3.Error as e:
             return {"error": str(e)}
 
+    def _settings(self) -> dict:
+        try:
+            ensure_schema(self.server.db_path)
+            with self._db() as conn:
+                return dict(conn.execute("SELECT key, value FROM Settings"))
+        except sqlite3.Error:
+            return {}
+
     def _runs_root(self) -> str:
-        return getattr(self.server, "runs_root", "output")
+        # the Settings table overrides the construction-time default
+        # (reference ui api/settings TRAINING_FOLDER semantics)
+        return self._settings().get("TRAINING_FOLDER") or getattr(
+            self.server, "runs_root", "output")
 
     def _run_dir(self, name: str) -> str | None:
         # reject traversal; a run is a directory under runs_root
@@ -188,6 +202,22 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(out)
         if self.path == "/api/gpu":
             return self._json(accelerator_stats())
+        if self.path == "/api/settings":
+            # reference ui/src/app/api/settings: key/value store with
+            # TRAINING_FOLDER / DATASETS_FOLDER / HF_TOKEN semantics
+            s = self._settings()
+            s.setdefault("TRAINING_FOLDER", getattr(self.server, "runs_root", "output"))
+            s.setdefault("DATASETS_FOLDER", getattr(self.server, "datasets_root", "datasets"))
+            if s.get("HF_TOKEN"):
+                s["HF_TOKEN"] = "***"  # never echo secrets back
+            return self._json(s)
+        if self.path == "/grid" or self.path.startswith("/grid?"):
+            body = _GRID_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            return self.wfile.write(body)
         if self.path == "/api/jobs":
             return self._json(self._jobs())
         if self.path == "/api/runs":
@@ -226,6 +256,48 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(files)
             if len(parts) == 5 and parts[3] == "samples" and "/" not in parts[4] and ".." not in parts[4]:
                 return self._serve_file(os.path.join(d, "samples", parts[4]))
+            if len(parts) == 4 and parts[3] == "files":
+                # recursive artifact listing (reference ui api/files)
+                out = []
+                for base, _dirs, files in os.walk(d):
+                    for fn in files:
+                        p = os.path.join(base, fn)
+                        out.append({"path": os.path.relpath(p, d),
+                                    "size": os.path.getsize(p)})
+                return self._json(sorted(out, key=lambda r: r["path"]))
+            if len(parts) >= 5 and parts[3] == "files":
+                from urllib.parse import unquote
+
+                rel = unquote("/".join(parts[4:]))
+                full = os.path.realpath(os.path.join(d, rel))
+                if not full.startswith(os.path.realpath(d) + os.sep) or not os.path.isfile(full):
+                    return self._json({"error": "not found"}, 404)
+                return self._serve_file(full)
+            if len(parts) == 4 and parts[3] == "zip":
+                # reference ui api/zip: download the whole run directory
+                import tempfile
+                import zipfile
+
+                with tempfile.TemporaryFile() as tmp:
+                    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                        for base, _dirs, files in os.walk(d):
+                            for fn in files:
+                                p = os.path.join(base, fn)
+                                zf.write(p, os.path.relpath(p, d))
+                    size = tmp.tell()
+                    tmp.seek(0)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/zip")
+                    self.send_header("Content-Disposition",
+                                     f'attachment; filename="{parts[2]}.zip"')
+                    self.send_header("Content-Length", str(size))
+                    self.end_headers()
+                    while True:
+                        chunk = tmp.read(1 << 20)
+                        if not chunk:
+                            break
+                        self.wfile.write(chunk)
+                    return None
             return self._json({"error": "not found"}, 404)
         if self.path.startswith("/api/datasets"):
             parts = [p for p in self.path.strip("/").split("/")[2:] if p]
@@ -286,6 +358,23 @@ class _Handler(BaseHTTPRequestHandler):
                     self._peeked_body = peek
                     body_queue = bool(peek.get("queue"))
             return self._launch(queue=self.path.endswith("queue") or body_queue)
+        if self.path == "/api/settings":
+            if ctype != "application/json":
+                return self._json({"error": "Content-Type must be application/json"}, 415)
+            body = self._json_body()
+            if not isinstance(body, dict):
+                return self._json({"error": "bad json"}, 400)
+            try:
+                ensure_schema(self.server.db_path)
+                with self._db() as conn:
+                    for k, v in body.items():
+                        conn.execute(
+                            "INSERT INTO Settings (key, value) VALUES (?, ?) "
+                            "ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+                            (str(k), str(v)))
+                return self._json({"updated": len(body)})
+            except sqlite3.Error as e:
+                return self._json({"error": str(e)}, 500)
         if len(parts) >= 3 and parts[:2] == ["api", "datasets"]:
             return self._datasets_post(parts[2:], ctype)
         if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] in ("stop", "save", "sample"):
@@ -303,7 +392,8 @@ class _Handler(BaseHTTPRequestHandler):
     # ---- datasets (reference ui/src/app/api/datasets + api/img routes) ----
 
     def _datasets_root(self) -> str:
-        return getattr(self.server, "datasets_root", "datasets")
+        return self._settings().get("DATASETS_FOLDER") or getattr(
+            self.server, "datasets_root", "datasets")
 
     def _dataset_dir(self, name: str, create: bool = False) -> str | None:
         if not name or "/" in name or ".." in name or name.startswith("."):
@@ -410,17 +500,26 @@ class _Handler(BaseHTTPRequestHandler):
         if not folder or not os.path.isdir(folder):
             return self._json({"error": "dataset_folder missing"}, 400)
         root = self._runs_root()
+        dataset = {"folder_path": folder, "caption_ext": "txt",
+                   "resolution": req.get("resolution", [512, 768, 1024])}
+        if req.get("num_frames"):
+            dataset["num_frames"] = int(req["num_frames"])
+            dataset["shrink_video_to_frames"] = True
+        if req.get("do_audio"):
+            dataset["do_audio"] = True
+        net_type = str(req.get("network_type", "lora"))
+        if net_type not in ("lora", "lokr", "loha", "dora"):
+            return self._json({"error": f"unknown network type {net_type}"}, 400)
         cfg = {
             "job": "extension",
             "config": {"name": name, "process": [{
                 "type": "sd_trainer",
                 "training_folder": root,
                 "trigger_word": req.get("trigger_word") or None,
-                "network": {"type": "lora", "linear": int(req.get("rank", 16)),
+                "network": {"type": net_type, "linear": int(req.get("rank", 16)),
                             "linear_alpha": int(req.get("rank", 16))},
                 "save": {"save_every": int(req.get("save_every", 250))},
-                "datasets": [{"folder_path": folder, "caption_ext": "txt",
-                              "resolution": req.get("resolution", [512, 768, 1024])}],
+                "datasets": [dataset],
                 "train": {"batch_size": int(req.get("batch_size", 1)),
                           "steps": int(req.get("steps", 2000)),
                           "noise_scheduler": req.get("noise_scheduler", "flowmatch"),
@@ -680,27 +779,89 @@ border-radius:4px}</style></head><body>
 <label>learning rate</label><input id="lr" value="1e-4">
 <label>resolution</label><input id="res" value="1024">
 <label>trigger word</label><input id="trig" value="">
+<label>network type</label><select id="nettype">
+<option>lora</option><option>lokr</option><option>loha</option>
+<option>dora</option></select>
 <label>quantize base</label><select id="quant">
 <option value="">off</option><option value="qfloat8">qfloat8</option>
 <option value="qint8">qint8</option><option value="uint4">uint4</option></select>
+<label id="framesrow" style="display:none">video frames</label>
+<input id="frames" value="33" style="display:none">
+<label id="audiorow" style="display:none"><input type="checkbox" id="audio"
+ style="width:auto"> train joint audio (AV sidecar wavs)</label>
+<label>sample prompts (one per line)</label>
+<textarea id="prompts" rows="3" style="width:320px;background:#161a22;
+color:#d7dae0;border:1px solid #2a2e38"></textarea>
+<label>sample every N steps (0 = off)</label><input id="sampleevery" value="0">
 <label><input type="checkbox" id="queue" style="width:auto"> queue (run when a slot frees)</label>
 <button onclick="go()">Launch</button><pre id="out"></pre>
 <script>
+let archinfo={};
 fetch('/api/archs').then(r=>r.json()).then(list=>{
  const sel=document.getElementById('arch');
- for(const a of list){const o=document.createElement('option');
+ for(const a of list){archinfo[a.arch]=a;const o=document.createElement('option');
   o.value=a.arch;o.textContent=a.arch+(a.is_video?' (video)':a.is_audio?' (audio)':'');
   if(a.arch==='flux')o.selected=true;sel.appendChild(o);}
+ sel.onchange=()=>{const a=archinfo[sel.value]||{};
+  for(const id of ['framesrow','frames'])
+   document.getElementById(id).style.display=a.is_video?'':'none';
+  document.getElementById('audiorow').style.display=
+   (a.is_video||a.is_audio)?'':'none';};
 });
 async function go(){
  const body={name:name.value,arch:arch.value,name_or_path:ckpt.value,
   dataset_folder:ds.value,steps:+steps.value,rank:+rank.value,
   lr:lr.value,resolution:+res.value,trigger_word:trig.value,
+  network_type:document.getElementById('nettype').value,
+  sample_every:+document.getElementById('sampleevery').value,
+  prompts:document.getElementById('prompts').value.split('\\n').filter(x=>x),
   queue:document.getElementById('queue').checked};
+ const a=archinfo[arch.value]||{};
+ if(a.is_video){body.num_frames=+document.getElementById('frames').value;}
+ if(document.getElementById('audio').checked){body.do_audio=true;}
  const q=document.getElementById('quant').value;
  if(q){body.model_kwargs={};body.quantize=true;body.qtype=q;}
  const r=await fetch('/api/launch',{method:'POST',
   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
  document.getElementById('out').textContent=JSON.stringify(await r.json(),null,2);
+}
+</script></body></html>"""
+
+
+_GRID_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>sample grid</title>
+<style>body{font:14px system-ui;margin:24px;background:#0f1115;color:#d7dae0}
+select{padding:4px;background:#161a22;color:#d7dae0;border:1px solid #2a2e38}
+#grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(180px,1fr));
+gap:8px;margin-top:16px}#grid figure{margin:0}#grid img,#grid video{width:100%;
+border:1px solid #2a2e38;border-radius:4px}
+figcaption{font-size:11px;color:#8a8f9c;overflow:hidden;white-space:nowrap}
+</style></head><body>
+<h1>Sample grid</h1>
+<select id="run"></select>
+<div id="grid"></div>
+<script>
+const sel=document.getElementById('run');
+const want=new URLSearchParams(location.search).get('run');
+fetch('/api/runs').then(r=>r.json()).then(runs=>{
+ for(const r of runs){const o=document.createElement('option');
+  o.value=r.name;o.textContent=r.name;if(r.name===want)o.selected=true;
+  sel.appendChild(o);}
+ if(runs.length)load();
+});
+sel.onchange=load;
+async function load(){
+ const run=sel.value;
+ const files=await (await fetch('/api/runs/'+run+'/samples')).json();
+ const g=document.getElementById('grid');g.innerHTML='';
+ for(const f of files){
+  const fig=document.createElement('figure');
+  const url='/api/runs/'+run+'/samples/'+encodeURIComponent(f);
+  if(f.endsWith('.webp')&&false){}
+  const el=f.endsWith('.wav')?document.createElement('audio')
+          :document.createElement('img');
+  el.src=url;if(f.endsWith('.wav'))el.controls=true;
+  const cap=document.createElement('figcaption');cap.textContent=f;
+  fig.appendChild(el);fig.appendChild(cap);g.appendChild(fig);}
 }
 </script></body></html>"""

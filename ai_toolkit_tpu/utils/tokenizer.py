@@ -36,6 +36,19 @@ class HashTokenizer:
         out[: len(ids)] = ids
         return out
 
+    def decode(self, ids) -> str:
+        """Hash ids aren't invertible — emit deterministic word tokens
+        (the tiny-VLM captioner test path)."""
+        words = []
+        for i in ids:
+            i = int(i)
+            if i == self.eos_id:
+                break
+            if self.bos_id is not None and i == self.bos_id:
+                continue
+            words.append(f"tok{i}")
+        return " ".join(words)
+
 
 class HFTokenizer:
     def __init__(self, path: str, max_len: int, eos_id: int):
@@ -51,6 +64,12 @@ class HFTokenizer:
         out = np.full((self.max_len,), self.eos_id, np.int32)
         out[: len(ids)] = ids
         return out
+
+    def decode(self, ids) -> str:
+        ids = [int(i) for i in ids]
+        if self.eos_id in ids:
+            ids = ids[: ids.index(self.eos_id)]
+        return self.tok.decode(ids)
 
 
 def load_tokenizer(

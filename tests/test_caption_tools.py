@@ -50,16 +50,20 @@ def test_caption_job_heuristic(tmp_path):
     assert results[0]["written"] == 3
 
 
-def test_caption_vlm_backend_requires_weights(tmp_path):
+def test_caption_vlm_backend_rejects_missing_weights_dir(tmp_path):
+    """A *named* weights path that doesn't exist fails loudly; omitting it
+    runs the deterministic tiny VLM (covered by
+    test_caption_job_vlm_tiny_deterministic)."""
     from ai_toolkit_tpu.jobs.caption_process import CaptionProcess
 
     folder = tmp_path / "imgs"
     _mk_imgs(folder, n=1)
 
     class _C:
-        extras = {"caption": {"path_to_caption": str(folder), "backend": "vlm"}}
+        extras = {"caption": {"path_to_caption": str(folder), "backend": "vlm",
+                              "model_name_or_path": str(tmp_path / "missing")}}
 
-    with pytest.raises(RuntimeError, match="model_name_or_path"):
+    with pytest.raises(RuntimeError, match="not a local directory"):
         CaptionProcess("j", _C()).run()
 
 
@@ -94,3 +98,40 @@ def test_dataset_tools_pipeline(tmp_path):
         if f.endswith(".png"):
             cap = (folder / f.replace(".png", ".txt")).read_text()
             assert cap.startswith("zxc, ")
+
+
+def test_caption_job_vlm_tiny_deterministic(tmp_path):
+    """'vlm' backend (round-3): random-init tiny VLM (CLIP-vision patches ->
+    projector -> greedy LLM decode through the real code paths) produces
+    deterministic, image-dependent captions. Real weights load via
+    vision_tower/ + language_model/ through the goldened import rules."""
+    import numpy as np
+    from PIL import Image
+
+    from ai_toolkit_tpu.jobs.caption_process import CaptionProcess
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)).save(
+        folder / "a.png")
+    Image.fromarray(np.full((48, 48, 3), 250, np.uint8)).save(folder / "b.png")
+
+    cfg = {"path_to_caption": str(folder), "backend": "vlm",
+           "max_new_tokens": 6, "seed": 0}
+    out = CaptionProcess("vlmcap", cfg).run()
+    assert out["written"] == 2
+    cap_a = (folder / "a.txt").read_text()
+    cap_b = (folder / "b.txt").read_text()
+    assert cap_a and cap_b
+
+    # deterministic under re-run
+    cfg2 = dict(cfg, recaption=True)
+    CaptionProcess("vlmcap2", cfg2).run()
+    assert (folder / "a.txt").read_text() == cap_a
+
+    # a missing weights path errors loudly instead of silently random-initing
+    import pytest as _pt
+    bad = dict(cfg, model_name_or_path=str(tmp_path / "nope"))
+    with _pt.raises(RuntimeError, match="not a local directory"):
+        CaptionProcess("vlmbad", bad).run()

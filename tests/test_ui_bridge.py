@@ -392,3 +392,110 @@ def test_api_archs_lists_registry():
         assert sd1["noise_scheduler"] == "ddpm"
     finally:
         srv.stop()
+
+
+def test_settings_files_zip_and_grid(tmp_path):
+    """Round-3 UI surface (reference ui api/settings, api/files, api/zip +
+    a sample-grid page): settings persist in sqlite and override the runs
+    root; run artifacts list/serve/zip; /grid renders."""
+    import io
+    import json
+    import urllib.request
+    import zipfile
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    run = tmp_path / "out" / "myrun"
+    (run / "samples").mkdir(parents=True)
+    (run / "metrics.jsonl").write_text('{"step": 1, "loss": 0.5}\n')
+    (run / "samples" / "s_0.png").write_bytes(b"\x89PNG fake")
+    (run / "myrun.safetensors").write_bytes(b"st")
+
+    srv = UIServer(db_path=str(tmp_path / "db.db"), port=0,
+                   runs_root=str(tmp_path / "elsewhere")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        def post(path, body):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            return json.load(urllib.request.urlopen(req, timeout=5))
+
+        def get(path):
+            return json.load(urllib.request.urlopen(base + path, timeout=5))
+
+        # settings persist and override runs_root
+        assert post("/api/settings", {"TRAINING_FOLDER": str(tmp_path / "out"),
+                                      "HF_TOKEN": "secret"})["updated"] == 2
+        s = get("/api/settings")
+        assert s["TRAINING_FOLDER"] == str(tmp_path / "out")
+        assert s["HF_TOKEN"] == "***"  # secrets never echo back
+        assert get("/api/runs") == [{"name": "myrun",
+                                     "mtime": s and get("/api/runs")[0]["mtime"]}]
+
+        files = get("/api/runs/myrun/files")
+        assert {f["path"] for f in files} == {"metrics.jsonl", "myrun.safetensors",
+                                              "samples/s_0.png"}
+        raw = urllib.request.urlopen(
+            base + "/api/runs/myrun/files/samples/s_0.png", timeout=5).read()
+        assert raw.startswith(b"\x89PNG")
+        import pytest as _pt
+        with _pt.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                base + "/api/runs/myrun/files/..%2f..%2fdb.db", timeout=5)
+
+        z = urllib.request.urlopen(base + "/api/runs/myrun/zip", timeout=5)
+        assert z.headers["Content-Type"] == "application/zip"
+        zf = zipfile.ZipFile(io.BytesIO(z.read()))
+        assert set(zf.namelist()) == {"metrics.jsonl", "myrun.safetensors",
+                                      "samples/s_0.png"}
+
+        html = urllib.request.urlopen(base + "/grid?run=myrun", timeout=5).read().decode()
+        assert "Sample grid" in html
+    finally:
+        srv.stop()
+
+
+def test_launch_builder_video_and_network_fields(tmp_path):
+    """/api/launch composes video dataset knobs + network type into the
+    queued config (builder parity for wan-video LoRA jobs)."""
+    import json
+    import sqlite3
+    import urllib.request
+
+    import yaml
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    srv = UIServer(db_path=str(tmp_path / "db.db"), port=0,
+                   runs_root=str(tmp_path / "out")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        body = {"name": "wanvid", "arch": "wan21", "dataset_folder": str(ds),
+                "steps": 10, "network_type": "lokr", "num_frames": 33,
+                "do_audio": False, "queue": True}
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        out = json.load(urllib.request.urlopen(req, timeout=5))
+        assert out["queued"] == "wanvid"
+        cfg = yaml.safe_load(open(out["config"]))
+        proc = cfg["config"]["process"][0]
+        assert proc["network"]["type"] == "lokr"
+        assert proc["datasets"][0]["num_frames"] == 33
+        assert proc["model"]["arch"] == "wan21"
+        with sqlite3.connect(str(tmp_path / "db.db")) as conn:
+            rows = conn.execute("SELECT name, status FROM Job").fetchall()
+        assert rows == [("wanvid", "queued")]
+        # unknown network type is rejected loudly
+        bad = dict(body, network_type="zzz", name="bad")
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        import pytest as _pt
+        with _pt.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=5)
+    finally:
+        srv.stop()
