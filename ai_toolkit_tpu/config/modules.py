@@ -356,6 +356,17 @@ class TrainConfig:
     adaptive_scaling_factor: bool = False
     min_denoising_steps: int = 0
     max_denoising_steps: int | None = None
+    # SDXL refiner training (reference config_modules.py:384,402 +
+    # BaseSDTrainProcess.py:1168-1175): with train_unet the batch halves are
+    # routed base/refiner across refiner_start_at; without, all timesteps
+    # land in the refiner range and only the refiner trains
+    train_refiner: bool = True
+    refiner_lr: float | None = None
+    # one-big-step turbo/LCM-style training (SDTrainer.py:398-478): euler-
+    # ancestral step to a random later sigma, residual noise removed, decoded
+    # to pixels, pixel-space loss (ddpm schedules only)
+    train_turbo: bool = False
+    show_turbo_outputs: bool = False
     # repeat short captions to saturate ~77 tokens with some probability
     # (BaseSDTrainProcess.py:1076-1082); non-reg batches only
     prompt_saturation_chance: float = 0.0
@@ -522,6 +533,9 @@ class ModelConfig:
     model_kwargs: dict[str, Any] = field(default_factory=dict)
     vae_path: str | None = None
     refiner_name_or_path: str | None = None
+    # fraction of the schedule where the refiner takes over (reference
+    # config_modules.py:95,649)
+    refiner_start_at: float = 0.5
     text_encoder_path: str | None = None
     # aux component dir (reference: wan vae path etc.)
     extras_name_or_path: str | None = None

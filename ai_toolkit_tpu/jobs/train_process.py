@@ -237,12 +237,15 @@ class SDTrainProcess:
             "emb": getattr(tc, "embedding_lr", None),
             "adapter": getattr(tc, "adapter_lr", None),
             "unet": getattr(tc, "unet_lr", None),
+            "refiner": getattr(tc, "refiner_lr", None),
         }
         group_lr = {k: v for k, v in group_lr.items() if v}
         if group_lr:
             import optax
 
             def _label(key: str) -> str:
+                if key == "lora_refiner":
+                    return "refiner" if "refiner" in group_lr else "default"
                 if key.startswith("lora_te") or key == "te_full":
                     return "te" if "te" in group_lr else "default"
                 if key == "emb":
@@ -367,6 +370,30 @@ class SDTrainProcess:
                 stage_boundary=float(getattr(model, "stage_boundary", 0.875)),
                 switch_every=int(tc.switch_boundary_every),
             )
+        if getattr(model, "refiner", None) is not None:
+            # reference refiner routing (BaseSDTrainProcess.py:1168-1175):
+            # with train_unet the batch doubles across the split; without,
+            # all timesteps land in the refiner range and only it runs
+            from dataclasses import replace as _dc_replace
+
+            start_at = float(getattr(cfg.model, "refiner_start_at", 0.5))
+            if tc.train_unet:
+                if tc.batch_size < 2:
+                    raise ValueError(
+                        "refiner training alongside the base unet needs "
+                        "batch_size >= 2 (the batch halves are routed "
+                        "base/refiner; reference BaseSDTrainProcess.py:1537)")
+                model.refiner_mode = "split"
+                step_cfg = _dc_replace(step_cfg, refiner_double=True,
+                                       refiner_start_at=start_at)
+            else:
+                model.refiner_mode = "all"
+                n_train = int(getattr(schedule, "num_train_timesteps", 1000))
+                step_cfg = _dc_replace(
+                    step_cfg,
+                    min_denoising_steps=max(step_cfg.min_denoising_steps,
+                                            round(n_train * start_at)))
+            print(f"refiner active (mode={model.refiner_mode}, start_at={start_at})")
         predict_fn = getattr(model, "predict_train", model.predict)
         if getattr(self, "custom_adapter", None) is not None:
             _base_predict, _runtime = predict_fn, self.custom_adapter
@@ -444,8 +471,20 @@ class SDTrainProcess:
                 )
                 return state.replace(trainable=tr, opt_state=os_, ema=ema, step=st), metrics
         else:
+            decode_fn = None
+            if step_cfg.train_turbo:
+                if any(d.cache_latents or d.cache_latents_to_disk
+                       for d in cfg.datasets):
+                    raise ValueError(
+                        "train_turbo decodes to pixels in-graph — set "
+                        "cache_latents: false on every dataset so batches "
+                        "carry raw images")
+
+                def decode_fn(vars_, lats):
+                    return model.decode_latents(vars_, lats)
             train_step = make_jitted_train_step(
-                predict_fn, schedule, step_cfg, tx, aux_loss_fn=aux_loss_fn
+                predict_fn, schedule, step_cfg, tx, aux_loss_fn=aux_loss_fn,
+                decode_fn=decode_fn,
             )
 
         # 9. validation setup (fixed batch + fixed rng -> comparable loss curve)
@@ -516,6 +555,14 @@ class SDTrainProcess:
                     next_batch = self._prepare_batch(model, raw, text_cache, step_cfg)
             loss_dev = metrics["loss"]
             losses.append(loss_dev)
+            if tc.show_turbo_outputs and "turbo_pixels" in metrics:
+                # debug view of the one-step turbo reconstruction
+                # (reference SDTrainer.py:478: shows it every step)
+                px = np.asarray(metrics["turbo_pixels"][0])
+                px = np.clip((px + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                tdir = os.path.join(self.save_root, "turbo_outputs")
+                os.makedirs(tdir, exist_ok=True)
+                save_image_atomic(px, os.path.join(tdir, f"step_{step + 1}.webp"))
             if tc.max_loss_debug and "max_loss_skipped" in metrics:
                 if float(metrics["max_loss_skipped"]) > 0:
                     print(f"max_loss: step {step + 1} batch exceeded "
@@ -883,6 +930,13 @@ class SDTrainProcess:
                     )
                     print(f"TE LoRA on {te_key}: {count_lora_params(te_lora):,} params")
             self.train_te = True
+        if "refiner" in variables and getattr(cfg.train, "train_refiner", True):
+            # reference trains the refiner alongside (BaseSDTrainProcess.py:
+            # 754-756); LoRA attaches with the same spec, own lr group
+            ref_lora = build_lora(variables["refiner"], spec, jax.random.fold_in(rng, 77))
+            if ref_lora:
+                trainable_extra["lora_refiner"] = ref_lora
+                print(f"refiner LoRA: {count_lora_params(ref_lora):,} params")
         key_map = self._key_map(model, lora)
         # per-arch export layout override (e.g. qwen_image -> ComfyUI
         # 'diffusion_model.' keys, reference qwen_image.py:420-433)
@@ -994,7 +1048,7 @@ class SDTrainProcess:
             trigger_word=cfg.trigger_word,
             latent_cache_dir=cache_dir,
             encode_fn=None if cache_dir else encode_fn,
-            want_pixels=self.ip_mode or (
+            want_pixels=self.ip_mode or self.cfg.train.train_turbo or (
                 self.custom_adapter is not None
                 and self.custom_adapter.adapter_type
                 not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter")
@@ -1035,6 +1089,11 @@ class SDTrainProcess:
             "latents": jnp.asarray(latents_np),
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
         }
+        if self.cfg.train.train_turbo:
+            if "pixels" not in raw:
+                raise ValueError("train_turbo needs raw image batches "
+                                 "(cache_latents: false)")
+            batch["pixel_values"] = jnp.asarray(raw["pixels"])
         cos_reg = self.cfg.train.content_or_style_reg
         if cos_reg and cos_reg != self.cfg.train.content_or_style:
             # reg batches sample from their own timestep skew

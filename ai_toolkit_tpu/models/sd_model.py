@@ -184,11 +184,33 @@ class SDXLModel(SDModel):
             config.name_or_path, "tokenizer", vocab_size=self.clip_config.vocab_size,
             eos_id=self.clip_config.eos_token_id, max_len=77,
         )
+        # second-stage refiner UNet (reference load_refiner,
+        # stable_diffusion_model.py:1088; predict split :1985-2030)
+        self.refiner = None
+        if config.refiner_name_or_path:
+            rcfg = ModelConfig(arch="sdxl_refiner",
+                               name_or_path=config.refiner_name_or_path,
+                               model_kwargs={"size": size})
+            self._refiner_model = SDXLRefinerModel(rcfg)
+            self.refiner_config = self._refiner_model.unet_config
+            self.refiner = self._refiner_model.unet
 
     def init_variables(self, rng: jax.Array) -> dict:
-        r1, r2 = jax.random.split(rng)
+        r1, r2, r3 = jax.random.split(rng, 3)
         out = super().init_variables(r1)
         out["clip2"] = self.clip2.init(r2, jnp.zeros((1, 77), jnp.int32))["params"]
+        if self.refiner is not None:
+            rc = self.refiner_config
+            added = {
+                "time_ids": jnp.zeros((1, 5), jnp.float32),
+                "text_embeds": jnp.zeros(
+                    (1, rc.projection_class_embeddings_dim - rc.addition_time_embed_dim * 5),
+                    rc.dtype),
+            }
+            out["refiner"] = self.refiner.init(
+                r3, jnp.zeros((1, 8, 8, rc.in_channels), rc.dtype), jnp.zeros((1,)),
+                jnp.zeros((1, 8, rc.cross_attention_dim), rc.dtype), added,
+            )["params"]
         return out
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
@@ -212,6 +234,62 @@ class SDXLModel(SDModel):
             jnp.asarray([height, width, 0, 0, height, width], jnp.float32)[None], (b, 1)
         )
         return {"time_ids": time_ids, "text_embeds": pooled}
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        out = super().load_variables(rng)
+        if self.refiner is not None:
+            if "refiner" not in out:
+                out["refiner"] = self.init_variables(jax.random.key(0))["refiner"]
+            rpath = self.config.refiner_name_or_path
+            ud = os.path.join(rpath, "unet")
+            if os.path.isdir(ud):
+                from ai_toolkit_tpu.io.flux_import import _merge_imported
+                from ai_toolkit_tpu.io.sd_import import unet_rules
+                from ai_toolkit_tpu.io.torch_import import load_safetensors_dir, torch_to_tree
+
+                flat = load_safetensors_dir(ud)
+                tree, _ = torch_to_tree(
+                    flat, unet_rules(len(self.refiner_config.block_out_channels)))
+                out["refiner"] = _merge_imported(out["refiner"], tree, "refiner unet")
+            elif os.path.exists(rpath):
+                raise NotImplementedError(
+                    f"refiner_name_or_path '{rpath}': single-file refiner "
+                    f"checkpoints are not import-mapped — pass an HF-layout "
+                    f"dir with unet/")
+            else:
+                print(f"refiner '{rpath}' not found locally — refiner stays random-init")
+        return out
+
+    # static routing flag set by the trainer before tracing:
+    #   None -> base unet only; 'all' -> every sample through the refiner
+    #   (train_unet false); 'split' -> first half base / second half refiner
+    #   (the reference's double-up, stable_diffusion_model.py:1985-2015)
+    refiner_mode: str | None = None
+
+    def predict(self, variables, noisy_latents, t, cond, unet=None):
+        if self.refiner is None or not self.refiner_mode:
+            return super().predict(variables, noisy_latents, t, cond, unet=unet)
+        rcolls = {"params": variables["refiner"]}
+        if "lora_refiner" in variables:
+            rcolls["lora"] = variables["lora_refiner"]
+        ctx = cond["context"][..., -self.refiner_config.cross_attention_dim:]
+        d = self.vae_config.downscale
+        hh, ww = noisy_latents.shape[1] * d, noisy_latents.shape[2] * d
+        added_r = self._refiner_model.added_cond(
+            cond["added_cond"]["text_embeds"], hh, ww)
+        if self.refiner_mode == "all":
+            return self.refiner.apply(rcolls, noisy_latents, t, ctx, added_r)
+        half = noisy_latents.shape[0] // 2
+        base_cond = {**cond,
+                     "context": cond["context"][:half],
+                     "added_cond": jax.tree.map(lambda x: x[:half], cond["added_cond"])}
+        base = super().predict(
+            {k: v for k, v in variables.items() if k != "lora_refiner"},
+            noisy_latents[:half], t[:half], base_cond, unet=unet)
+        ref = self.refiner.apply(
+            rcolls, noisy_latents[half:], t[half:], ctx[half:],
+            jax.tree.map(lambda x: x[half:], added_r))
+        return jnp.concatenate([base, ref], axis=0)
 
     def predict_train(self, variables, noisy_latents, t, cond):
         """SDXL in-graph dual-TE path (TE LoRA / textual inversion)."""

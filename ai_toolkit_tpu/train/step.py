@@ -59,6 +59,16 @@ class TrainStepConfig:
     # `switch_every` steps, sampling t from that expert's noise range
     stage_boundary: float | None = None
     switch_every: int = 0
+    # SDXL refiner double-up (BaseSDTrainProcess.py:1434-1450): first half of
+    # the batch samples base-range timesteps, second half refiner-range; the
+    # model wrapper routes the halves to unet/refiner (refiner_mode='split')
+    refiner_double: bool = False
+    refiner_start_at: float = 0.5
+    # turbo one-big-step training (SDTrainer.process_output_for_turbo:398-470):
+    # euler-ancestral step to a random later sigma, residual noise removed,
+    # decoded to pixels, pixel-space loss; DDPM (eps-pred) schedules only
+    train_turbo: bool = False
+    show_turbo_outputs: bool = False
     # learnable SNR gamma (reference train_tools.LearnableSNRGamma): four
     # scalars adapt online so |gamma / ((snr+o1)*scale+o2)| balances the
     # per-timestep loss against a rolling mean target. DDPM schedules only.
@@ -227,6 +237,8 @@ class TrainStepConfig:
                 getattr(tc, "signal_amplification_strength", 1.0)
             ),
             next_sample_timesteps=getattr(tc, "next_sample_timesteps", None),
+            train_turbo=bool(getattr(tc, "train_turbo", False)),
+            show_turbo_outputs=bool(getattr(tc, "show_turbo_outputs", False)),
         )
 
 
@@ -283,6 +295,7 @@ def make_train_step(
     schedule: Any,
     cfg: TrainStepConfig,
     aux_loss_fn: Callable[..., jax.Array] | None = None,
+    decode_fn: Callable[..., jax.Array] | None = None,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the train step.
 
@@ -309,6 +322,15 @@ def make_train_step(
         raise ValueError(
             f"loss_target='{cfg.loss_target_mode}' needs a flow-matching schedule"
         )
+    if cfg.train_turbo:
+        if is_flow:
+            raise ValueError(
+                "train_turbo is an eps-pred/DDPM feature (the reference "
+                "implements it for euler_a schedules) — not flow matching")
+        if decode_fn is None:
+            raise ValueError(
+                "train_turbo requires the VAE decode in-graph and raw pixels "
+                "in the batch — set cache_latents: false")
 
     def microbatch_loss(trainable, model_variables, batch, rng, seq_len, t_range=None):
         latents = batch["latents"]
@@ -342,11 +364,29 @@ def make_train_step(
             ) else None
             lo_t = cfg.min_denoising_steps
             hi_t = cfg.max_denoising_steps
-            t = schedule.sample_timesteps(
-                rng_t, b, min_t=lo_t, max_t=hi_t,
-                content_or_style=cfg.content_or_style, timestep_type=tt,
-                next_sample_timesteps=cfg.next_sample_timesteps,
-            )
+            if cfg.refiner_double:
+                # refiner double-up (BaseSDTrainProcess.py:1434-1450): base
+                # half below the split, refiner half above
+                n_train = int(getattr(schedule, "num_train_timesteps", 1000))
+                split = int(round((hi_t or n_train) * cfg.refiner_start_at))
+                half = b // 2
+                t1 = schedule.sample_timesteps(
+                    rng_t, half, min_t=lo_t, max_t=split,
+                    content_or_style=cfg.content_or_style, timestep_type=tt,
+                    next_sample_timesteps=cfg.next_sample_timesteps,
+                )
+                t2 = schedule.sample_timesteps(
+                    jax.random.fold_in(rng_t, 13), b - half, min_t=split, max_t=hi_t,
+                    content_or_style=cfg.content_or_style, timestep_type=tt,
+                    next_sample_timesteps=cfg.next_sample_timesteps,
+                )
+                t = jnp.concatenate([t1, t2])
+            else:
+                t = schedule.sample_timesteps(
+                    rng_t, b, min_t=lo_t, max_t=hi_t,
+                    content_or_style=cfg.content_or_style, timestep_type=tt,
+                    next_sample_timesteps=cfg.next_sample_timesteps,
+                )
             if cfg.content_or_style_reg != cfg.content_or_style:
                 t_reg = schedule.sample_timesteps(
                     rng_t, b, min_t=lo_t, max_t=hi_t,
@@ -505,13 +545,15 @@ def make_train_step(
             tw = schedule.loss_weights(
                 t, timestep_type=cfg.timestep_type, v2=cfg.timestep_weights_v2
             )
-        elif cfg.learnable_snr and not is_flow and "lsnr" in trainable:
+        elif cfg.learnable_snr and not is_flow and "lsnr" in trainable \
+                and not cfg.train_turbo:
             # learnable SNR takes priority over min_snr_gamma, matching the
-            # reference branch order (SDTrainer.py:970-979)
+            # reference branch order (SDTrainer.py:970-979); turbo skips SNR
+            # weighting entirely (SDTrainer.py:969)
             tw = jax.lax.stop_gradient(
                 _lsnr_weight(trainable["lsnr"]["params"], schedule.snr(t))
             )
-        elif cfg.min_snr_gamma and not is_flow:
+        elif cfg.min_snr_gamma and not is_flow and not cfg.train_turbo:
             tw = schedule.min_snr_weight(t, cfg.min_snr_gamma)
 
         if cfg.correct_pred_norm:
@@ -563,6 +605,42 @@ def make_train_step(
         # x0-space loss shaping (reference SDTrainer.py:836-870 + stepped_loss)
         loss_pred, loss_target, loss_kind = pred, target, cfg.loss_type
         fft_loss = None
+        loss_mask = batch.get("mask")
+        turbo_pixels = None
+        if cfg.train_turbo:
+            # one-big-step turbo (SDTrainer.process_output_for_turbo:398-470):
+            # euler-ancestral step from sigma(t) to a random later sigma,
+            # residual noise removed, decoded to pixels; pixel-space mse
+            # against the batch images with the mask nearest-resized
+            ac = jnp.asarray(schedule.alphas_cumprod, jnp.float32)
+            sig_tab = jnp.sqrt((1.0 - ac) / ac)
+            ti = t.astype(jnp.int32)
+            shape1 = t.shape + (1,) * (pred.ndim - 1)
+            s_from = sig_tab[ti].reshape(shape1)
+            u = jax.random.uniform(jax.random.fold_in(rng_o, 31), t.shape)
+            end_i = (u * ti.astype(jnp.float32)).astype(jnp.int32)
+            s_to = sig_tab[end_i].reshape(shape1)
+            a_t = ac[ti].reshape(shape1)
+            # our add_noise is alphas-space; euler schedulers live in
+            # sigma-space: x_sig = x / sqrt(acp) = x0 + sigma * eps
+            x_sig = noisy.astype(jnp.float32) / jnp.sqrt(a_t)
+            eps = pred.astype(jnp.float32)
+            var_up = s_to**2 * (s_from**2 - s_to**2) / jnp.maximum(s_from**2, 1e-8)
+            s_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+            s_down = jnp.sqrt(jnp.maximum(s_to**2 - s_up**2, 0.0))
+            z = jax.random.normal(jax.random.fold_in(rng_o, 32), noisy.shape)
+            x_end = x_sig + eps * (s_down - s_from) + z.astype(jnp.float32) * s_up
+            x_clean = x_end - noise.astype(jnp.float32) * s_to
+            turbo_pixels = decode_fn(variables, x_clean)
+            loss_pred = turbo_pixels.astype(jnp.float32)
+            loss_target = jax.lax.stop_gradient(
+                batch["pixel_values"].astype(jnp.float32))
+            loss_kind = "mse"
+            if loss_mask is not None:
+                loss_mask = jax.image.resize(
+                    loss_mask.astype(jnp.float32),
+                    loss_mask.shape[:1] + loss_pred.shape[1:-1] + loss_mask.shape[-1:],
+                    method="nearest")
         if cfg.loss_target_mode in ("source", "unaugmented"):
             # one-shot denoise + sigma^-2 weighting (reference SDTrainer.py:
             # 803-833, after the diffusers t2i-adapter recipe); 'unaugmented'
@@ -623,10 +701,12 @@ def make_train_step(
             huber_c=cfg.huber_c,
             timestep_weights=tw,
             loss_multiplier=batch.get("loss_multiplier"),
-            mask=batch.get("mask"),
-            prior_pred=prior_pred if cfg.inverted_mask_prior else None,
+            mask=loss_mask,
+            prior_pred=prior_pred if (cfg.inverted_mask_prior and not cfg.train_turbo) else None,
             inverted_mask_prior_multiplier=cfg.inverted_mask_prior_multiplier,
         )
+        if turbo_pixels is not None and cfg.show_turbo_outputs:
+            aux = {**aux, "turbo_pixels": jax.lax.stop_gradient(turbo_pixels)}
         if fft_loss is not None:
             loss = loss + fft_loss
             aux = {**aux, "fft_loss": fft_loss}
@@ -822,7 +902,8 @@ def _eval_loss(predict_fn, schedule, cfg, state, batch, rng, seq_len):
     return loss
 
 
-def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx, aux_loss_fn=None):
+def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx,
+                           aux_loss_fn=None, decode_fn=None):
     """Production jit wrapper: frozen model variables are an INPUT ONLY.
 
     Returning the (multi-GB) frozen params from a non-donated jit makes XLA
@@ -830,7 +911,8 @@ def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx, aux_l
     function returns only the small state (trainable/opt/ema/step), which is
     also donated; the caller-side stepper reassembles a TrainState.
     """
-    base = make_train_step(predict_fn, schedule, cfg, aux_loss_fn=aux_loss_fn)
+    base = make_train_step(predict_fn, schedule, cfg, aux_loss_fn=aux_loss_fn,
+                           decode_fn=decode_fn)
 
     # NOTE: donation of the small state is disabled — the axon PJRT backend
     # rejects aliased buffers (InvalidArgument); the small state is tiny anyway.

@@ -471,3 +471,82 @@ def test_per_group_learning_rates(tmp_path):
         "sample": {"sample_every": 0},
     }]}})
     assert out is not None  # runs through with the multi_transform optimizer
+
+
+def test_train_turbo_pixel_loss_and_outputs():
+    """train_turbo (SDTrainer.process_output_for_turbo): euler-ancestral one
+    big step + residual removal + in-graph decode; pixel-space loss, SNR
+    weighting skipped, show_turbo_outputs surfaces the decoded image."""
+    from ai_toolkit_tpu.samplers import DDPMSchedule
+
+    model = TinyDiT()
+    x = jnp.zeros((2, 4, 4, 2))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)), {})
+    lora = build_lora(variables["params"], LoRASpec(rank=4, alpha=4.0), jax.random.key(1))
+    tx = get_optimizer("adamw", 1e-2)
+    state = TrainState.create({"params": variables["params"]}, {"lora": lora}, tx)
+
+    def decode_fn(vars_, lats):
+        # stand-in vae decode: nearest-upsample 2x, 3 "pixel" channels
+        up = jnp.repeat(jnp.repeat(lats, 2, axis=1), 2, axis=2)
+        return jnp.tanh(up[..., :1].repeat(3, axis=-1))
+
+    cfg = TrainStepConfig(train_turbo=True, show_turbo_outputs=True,
+                          min_snr_gamma=5.0, ema_decay=None)
+    step = jax.jit(make_train_step(model.apply, DDPMSchedule(), cfg,
+                                   decode_fn=decode_fn))
+    rng = np.random.default_rng(3)
+    batch = {
+        "latents": jnp.asarray(rng.normal(size=(2, 4, 4, 2)), jnp.float32),
+        "pixel_values": jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)), jnp.float32),
+        "mask": jnp.ones((2, 4, 4, 1), jnp.float32),
+        "loss_multiplier": jnp.ones((2,), jnp.float32),
+    }
+    s2, m = step(state, batch, jax.random.key(5))
+    assert np.isfinite(float(m["loss"]))
+    assert m["turbo_pixels"].shape == (2, 8, 8, 3)
+    # grads actually flowed into the lora
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.trainable["lora"], s2.trainable["lora"])
+    assert max(jax.tree.leaves(diff)) > 0
+
+    # flow-matching schedules refuse turbo loudly
+    with pytest.raises(ValueError, match="eps-pred"):
+        make_train_step(model.apply, FlowMatchSchedule(),
+                        TrainStepConfig(train_turbo=True), decode_fn=decode_fn)
+    with pytest.raises(ValueError, match="decode"):
+        make_train_step(model.apply, DDPMSchedule(), TrainStepConfig(train_turbo=True))
+
+
+def test_sdxl_refiner_split_routing():
+    """refiner_name_or_path builds a second UNet; 'split' mode routes the
+    batch halves base/refiner (stable_diffusion_model.py:1985-2015), 'all'
+    sends everything through the refiner."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("sdxl")(ModelConfig(
+        arch="sdxl", model_kwargs={"size": "tiny"},
+        refiner_name_or_path="/nonexistent_refiner"))
+    assert model.refiner is not None
+    v = model.load_variables(jax.random.key(0))
+    assert "refiner" in v
+    lat = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([100.0, 800.0])
+    cond = {"context": jnp.zeros((2, 8, model.unet_config.cross_attention_dim)),
+            "added_cond": {"time_ids": jnp.zeros((2, 6)),
+                           "text_embeds": jnp.zeros((2, 64))}}
+    model.refiner_mode = None
+    base_out = model.predict(v, lat, t, cond)
+    model.refiner_mode = "split"
+    split_out = model.predict(v, lat, t, cond)
+    # first half comes from the base unet: identical to the no-refiner path
+    np.testing.assert_allclose(np.asarray(split_out[:1]), np.asarray(base_out[:1]),
+                               rtol=1e-5, atol=1e-5)
+    # second half routed elsewhere
+    assert float(jnp.abs(split_out[1:] - base_out[1:]).max()) > 1e-4
+    model.refiner_mode = "all"
+    all_out = model.predict(v, lat, t, cond)
+    np.testing.assert_allclose(np.asarray(all_out[1:]), np.asarray(split_out[1:]),
+                               rtol=1e-5, atol=1e-5)
+    model.refiner_mode = None
