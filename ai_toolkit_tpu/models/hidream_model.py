@@ -169,31 +169,36 @@ class HiDreamModel(BaseTpuModel):
         return {"txt": txt, "y": pooled}
 
     def rope_table(self, latent_h: int, latent_w: int, txt_len: int) -> jnp.ndarray:
-        ids = image_position_ids(latent_h // 2, latent_w // 2, text_len=txt_len)
-        table = multi_axis_rope(
+        # e1 conditions by WIDTH-concat of the source-image latents
+        # (pipeline_hidream_image_editing.py:1123: cat([input, image_latents],
+        # dim=-1)), so the edit grid is simply twice as wide
+        w2 = latent_w * 2 if self.is_edit else latent_w
+        ids = image_position_ids(latent_h // 2, w2 // 2, text_len=txt_len)
+        return multi_axis_rope(
             jnp.asarray(ids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
         )
-        if self.is_edit:
-            cids = np.asarray(image_position_ids(latent_h // 2, latent_w // 2, text_len=0)).copy()
-            cids[:, 0] = 1
-            ctable = multi_axis_rope(
-                jnp.asarray(cids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
-            )
-            table = jnp.concatenate([table, ctable], axis=1)
-        return table
 
     def predict(self, variables, noisy_latents, t, cond):
         b, h, w, c = noisy_latents.shape
+        full_w = w
+        if self.is_edit:
+            # side-by-side source image, prediction sliced back to the left
+            # half (pipeline_hidream_image_editing.py:1123,1147); the rope
+            # table is always built for the widened grid, so a missing
+            # control (shouldn't happen in e1 training) pads with zeros
+            ctrl = cond.get("control_latents")
+            if ctrl is None:
+                ctrl = jnp.zeros_like(noisy_latents)
+            noisy_latents = jnp.concatenate(
+                [noisy_latents, ctrl.astype(noisy_latents.dtype)], axis=2)
+            full_w = 2 * w
         img = pack_latents(noisy_latents)
-        n_img = img.shape[1]
-        if self.is_edit and cond.get("control_latents") is not None:
-            img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=1)
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None)
-        return unpack_latents(out[:, :n_img], h, w)
+        return unpack_latents(out, h, full_w)[:, :, :w]
 
     def encode_images(self, variables, images, rng=None):
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)

@@ -550,3 +550,27 @@ def test_sdxl_refiner_split_routing():
     np.testing.assert_allclose(np.asarray(all_out[1:]), np.asarray(split_out[1:]),
                                rtol=1e-5, atol=1e-5)
     model.refiner_mode = None
+
+
+def test_hidream_e1_width_concat_edit_conditioning():
+    """hidream_e1 conditions by WIDTH-concat of source latents with the
+    prediction sliced back (pipeline_hidream_image_editing.py:1123,1147) —
+    regression for the round-3 fix away from sequence-concat."""
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    m = get_model_class("hidream_e1")(
+        ModelConfig(arch="hidream_e1", model_kwargs={"size": "tiny"}))
+    v = m.init_variables(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(1, 8, 8, m.vae_config.latent_channels)), jnp.float32)
+    ctrl = jnp.asarray(rng.normal(size=(1, 8, 8, m.vae_config.latent_channels)), jnp.float32)
+    cond = m.encode_prompt(v, ["edit it"])
+    cond["pe"] = m.rope_table(8, 8, cond["txt"].shape[1])
+    # pe covers txt + the widened (2x wide) image grid
+    assert cond["pe"].shape[1] == cond["txt"].shape[1] + (8 // 2) * (16 // 2)
+    out = m.predict(v, lat, jnp.asarray([0.4]), {**cond, "control_latents": ctrl})
+    assert out.shape == lat.shape
+    # the control content must influence the prediction
+    out2 = m.predict(v, lat, jnp.asarray([0.4]), {**cond, "control_latents": ctrl * -1.0})
+    assert float(jnp.abs(out - out2).max()) > 1e-6
