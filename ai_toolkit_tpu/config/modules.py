@@ -365,6 +365,9 @@ class TrainConfig:
     # one-big-step turbo/LCM-style training (SDTrainer.py:398-478): euler-
     # ancestral step to a random later sigma, residual noise removed, decoded
     # to pixels, pixel-space loss (ddpm schedules only)
+    # blank-prompt samples train against zeroed latents
+    # (BaseSDTrainProcess.py:1397-1402)
+    do_blank_stabilization: bool = False
     train_turbo: bool = False
     show_turbo_outputs: bool = False
     # repeat short captions to saturate ~77 tokens with some probability

@@ -1085,6 +1085,12 @@ class SDTrainProcess:
         latents_np = raw["latents"]
         if self.cfg.train.latent_multiplier != 1.0:
             latents_np = latents_np * self.cfg.train.latent_multiplier
+        if getattr(self.cfg.train, "do_blank_stabilization", False):
+            # blank-prompt samples train against zeroed latents
+            # (BaseSDTrainProcess.py:1397-1402)
+            blank = np.asarray([1.0 if c.strip() else 0.0 for c in captions],
+                               latents_np.dtype if hasattr(latents_np, "dtype") else np.float32)
+            latents_np = latents_np * blank.reshape((-1,) + (1,) * (np.ndim(latents_np) - 1))
         batch: dict = {
             "latents": jnp.asarray(latents_np),
             "loss_multiplier": jnp.asarray(raw["loss_multiplier"]),
