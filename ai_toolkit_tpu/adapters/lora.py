@@ -188,6 +188,45 @@ def unmerge_lora(params: dict, lora: dict, multiplier: float = 1.0) -> dict:
     return _apply_delta(params, scale_lora(lora, multiplier), -1.0)
 
 
+def concat_loras(first: dict | None, second: dict | None) -> dict | None:
+    """Exact sum of two plain-LoRA overlays as ONE lora collection.
+
+    Per shared module the rank axes concatenate (each lora's scale folded into
+    its 'b' first, so the combined delta is a1@b1*s1 + a2@b2*s2 exactly);
+    modules present in only one tree pass through. Used by the
+    unconditional-pass LoRA (reference ideogram4 src/pipeline.py:381-395:
+    trained network AND uncond lora both active on the uncond CFG branch).
+    """
+    if first is None or not first:
+        return second
+    if second is None or not second:
+        return first
+
+    def fold(leaf):
+        s = jnp.asarray(leaf["scale"])
+        b = leaf["b"] * jnp.reshape(s, s.shape + (1,) * (leaf["b"].ndim - s.ndim))
+        return leaf["a"], b
+
+    def walk(x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        if _is_lora_leaf(x) and _is_lora_leaf(y):
+            ax, bx = fold(x)
+            ay, by = fold(y)
+            return {
+                "a": jnp.concatenate([ax, ay], axis=-1),
+                "b": jnp.concatenate([bx, by], axis=-2),
+                "scale": jnp.ones_like(jnp.asarray(x["scale"])),
+            }
+        if isinstance(x, dict) and isinstance(y, dict):
+            return {k: walk(x.get(k), y.get(k)) for k in set(x) | set(y)}
+        raise ValueError("concat_loras: incompatible lora trees")
+
+    return walk(first, second)
+
+
 def count_lora_params(lora: dict) -> int:
     return sum(
         x.size for x in jax.tree.leaves(lora)

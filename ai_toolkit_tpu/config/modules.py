@@ -373,6 +373,14 @@ class TrainConfig:
     # repeat short captions to saturate ~77 tokens with some probability
     # (BaseSDTrainProcess.py:1076-1082); non-reg batches only
     prompt_saturation_chance: float = 0.0
+    # dual-caption training (BaseSDTrainProcess.py:1037-1044 + 1433-1451):
+    # non-reg batches double up — every image trains against its long AND its
+    # short caption (same latents/noise/timesteps for both halves)
+    short_and_long_captions: bool = False
+    # SDXL only, alternative to the above (config_modules.py:470-471): the
+    # short caption feeds TE1 (CLIP-L) and the long caption TE2 (CLIP-G)
+    # (SDTrainer.py:1528-1532)
+    short_and_long_captions_encoder_split: bool = False
     # hold the adapter's blank-prompt output at the base model's
     blank_prompt_preservation: bool = False
     blank_prompt_preservation_multiplier: float = 1.0
@@ -544,6 +552,16 @@ class ModelConfig:
     extras_name_or_path: str | None = None
     assistant_lora_path: str | None = None
     inference_lora_path: str | None = None
+    # LoRA that is active ONLY on the unconditional (negative) CFG pass at
+    # sampling time, never trained (reference ideogram4.py:276-355 +
+    # src/pipeline.py:381-395)
+    unconditional_lora_path: str | None = None
+    # accepted for config compatibility, no behavior BY DESIGN: the reference
+    # parses these (config_modules.py:760-762) but contains zero consumers —
+    # not the trainer, not the model plugins, not the UI. supports_model_paths
+    # is set by three archs (ltx2/anima/minimax_h3) and never read.
+    model_paths: dict[str, Any] = field(default_factory=dict)
+    in_context: bool = False
     # full fine-tune param filters (reference model.only_if_contains,
     # train_full_fine_tune_flex.yaml:78)
     only_if_contains: list[str] | None = None
@@ -611,6 +629,9 @@ class DatasetConfig:
     folder_path: str = ""
     dataset_path: str | None = None
     caption_ext: str = "txt"
+    # json caption files: take 'caption_short' as THE caption
+    # (reference dataloader_mixins.py:333-337)
+    use_short_captions: bool = False
     caption_dropout_rate: float = 0.0
     caption_shuffle: bool = False
     shuffle_tokens: bool = False

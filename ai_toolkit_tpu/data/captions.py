@@ -12,22 +12,36 @@ import random
 
 
 def load_caption_for(path: str, caption_ext: str = "txt", default: str = "") -> str:
+    return load_caption_pair(path, caption_ext, default)[0]
+
+
+def load_caption_pair(
+    path: str, caption_ext: str = "txt", default: str = ""
+) -> tuple[str, str]:
+    """(caption, caption_short) for an image path.
+
+    The short caption comes from a json caption file's ``caption_short`` key
+    (reference dataloader_mixins.py:333-362); when absent it falls back to the
+    dataset default caption, exactly like the reference (line 359-360).
+    """
     import os
 
     base, _ = os.path.splitext(path)
     cap_path = f"{base}.{caption_ext}"
     if os.path.isfile(cap_path):
         text = open(cap_path, encoding="utf-8").read().strip()
+        short = default
         if caption_ext == "json":
             import json
 
             try:
                 data = json.loads(text)
                 text = data.get("caption", data.get("text", ""))
+                short = data.get("caption_short", default)
             except Exception:
                 pass
-        return text
-    return default
+        return text, short
+    return default, default
 
 
 def process_caption(

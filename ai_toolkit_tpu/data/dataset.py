@@ -17,7 +17,7 @@ import numpy as np
 
 from ai_toolkit_tpu.config.modules import DatasetConfig
 from ai_toolkit_tpu.data.buckets import get_bucket_for_image_size, resize_and_crop_size
-from ai_toolkit_tpu.data.captions import load_caption_for, process_caption
+from ai_toolkit_tpu.data.captions import load_caption_pair, process_caption
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 VIDEO_EXTS = (".mp4", ".webm", ".avi", ".mov")
@@ -28,6 +28,7 @@ AUDIO_EXTS = (".wav", ".flac", ".mp3", ".ogg")
 class FileItem:
     path: str
     caption: str
+    caption_short: str = ""
     width: int = 0
     height: int = 0
     bucket: tuple[int, int] = (0, 0)  # (w, h) pixel bucket
@@ -341,7 +342,12 @@ class FolderDataset:
                     cap.release()
                 except Exception:
                     continue
-            caption = load_caption_for(p, self.cfg.caption_ext, self.cfg.default_caption)
+            caption, caption_short = load_caption_pair(
+                p, self.cfg.caption_ext, self.cfg.default_caption
+            )
+            if getattr(self.cfg, "use_short_captions", False) and caption_short:
+                # 'caption_short' becomes THE caption (dataloader_mixins.py:335-337)
+                caption = caption_short
             mask_path = None
             if self.cfg.mask_path:
                 mask_path = os.path.join(self.cfg.mask_path, os.path.basename(p))
@@ -382,7 +388,8 @@ class FolderDataset:
                     flip_y = kind != "audio" and self.cfg.flip_y and self.rng.random() < 0.5
                     self.items.append(
                         FileItem(
-                            path=p, caption=caption, width=w, height=h, bucket=bucket,
+                            path=p, caption=caption, caption_short=caption_short,
+                            width=w, height=h, bucket=bucket,
                             resolution=res, is_reg=self.cfg.is_reg, mask_path=mask_path,
                             dataset_config=self.cfg, flip=flip, flip_y=flip_y, kind=kind,
                             control_paths=control_paths,
@@ -402,6 +409,12 @@ class FolderDataset:
             keep_tokens=self.cfg.keep_tokens,
             rng=self.rng,
         )
+
+    def processed_caption_short(self, item: FileItem) -> str:
+        """Short caption: trigger injection only — caption/token dropout are
+        skipped for short captions (reference get_caption(short_caption=True),
+        dataloader_mixins.py:389,400)."""
+        return process_caption(item.caption_short, trigger_word=self.trigger_word)
 
     def build_batches(self, batch_size: int, shuffle: bool = True) -> list[list[FileItem]]:
         """Group by bucket, batch within buckets, pad the last partial batch by

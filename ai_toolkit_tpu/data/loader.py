@@ -125,6 +125,7 @@ class DataLoader:
                 [w if w is not None else np.zeros((n, 2), np.float32) for w in wavs]
             )
         out["captions"] = [ds.processed_caption(it) for it in batch]
+        out["captions_short"] = [ds.processed_caption_short(it) for it in batch]
         uncond = [it.load_unconditional() for it in batch]
         if all(u is not None for u in uncond) and uncond:
             out["unconditional_pixels"] = np.stack(uncond)

@@ -26,8 +26,13 @@ def generate_flux(
     gen: GenerateImageConfig,
     lora: dict | None = None,
     schedule: FlowMatchSchedule | None = None,
+    uncond_lora: dict | None = None,
 ) -> np.ndarray:
-    """Returns a uint8 HWC image."""
+    """Returns a uint8 HWC image.
+
+    ``uncond_lora`` is a LoRA overlay active ONLY on the unconditional CFG
+    pass (reference ideogram4 src/pipeline.py:381-395) — on that branch it
+    stacks with any trained ``lora`` via an exact rank-concat."""
     schedule = schedule or FlowMatchSchedule()
     h, w, c = model.latent_shape(gen.height, gen.width)
     cond = model.encode_prompt(variables, [gen.prompt])
@@ -48,8 +53,16 @@ def generate_flux(
             cond["control_latents"] = model.encode_images(variables, px)
         else:
             cond["control_latents"] = jnp.zeros((1, h, w, c), jnp.float32)
+    base_variables = variables
     if lora:
         variables = merge_variables(variables, {"lora": lora})
+    variables_uncond = variables
+    if uncond_lora:
+        from ai_toolkit_tpu.adapters.lora import concat_loras
+
+        variables_uncond = merge_variables(
+            base_variables, {"lora": concat_loras(lora, uncond_lora)}
+        )
 
     # x-prediction archs (PRX pixel): the model outputs x0; CFG is applied on
     # x0 and the velocity the euler step consumes is (x_t - x0) / max(t, .05)
@@ -87,7 +100,7 @@ def generate_flux(
     def denoise(x, sigma, sigma_next):
         pred = model.predict(variables, x, jnp.full((1,), sigma), cond)
         if neg_cond is not None:
-            pred_n = model.predict(variables, x, jnp.full((1,), sigma), neg_cond)
+            pred_n = model.predict(variables_uncond, x, jnp.full((1,), sigma), neg_cond)
             pred = pred_n + gen.guidance_scale * (pred - pred_n)
         if x0_pred:
             v = (x - pred.astype(jnp.float32)) / jnp.maximum(sigma, 0.05)
@@ -108,6 +121,7 @@ def generate_sd(
     gen: GenerateImageConfig,
     lora: dict | None = None,
     schedule: DDPMSchedule | None = None,
+    uncond_lora: dict | None = None,
 ) -> np.ndarray:
     """DDIM with classifier-free guidance (uncond + cond batch of 2)."""
     schedule = schedule or DDPMSchedule()
@@ -122,21 +136,42 @@ def generate_sd(
             "context": cond["context"],
             "added_cond": model.added_cond(cond["pooled"], gen.height, gen.width),
         }
+    base_variables = variables
     if lora:
         variables = merge_variables(variables, {"lora": lora})
 
     rng = jax.random.key(gen.seed)
     x = jax.random.normal(rng, (1, h, w, c), jnp.float32)
 
-    @jax.jit
-    def predict_cfg(x_in, t):
-        xin = jnp.concatenate([x_in, x_in]) if do_cfg else x_in
-        tin = jnp.full((xin.shape[0],), t, jnp.float32)
-        pred = model.predict(variables, xin, tin, cond)
-        if do_cfg:
-            uncond, text = jnp.split(pred, 2)
-            pred = uncond + gen.guidance_scale * (text - uncond)
-        return pred
+    if do_cfg and uncond_lora:
+        # uncond-pass LoRA: the two CFG branches need different weights, so
+        # run them as separate calls instead of the batch-of-2 trick
+        # (reference ideogram4 src/pipeline.py:381-395)
+        from ai_toolkit_tpu.adapters.lora import concat_loras
+
+        variables_uncond = merge_variables(
+            base_variables, {"lora": concat_loras(lora, uncond_lora)}
+        )
+        cond_u = jax.tree.map(lambda a: a[:1], cond)
+        cond_c = jax.tree.map(lambda a: a[1:], cond)
+
+        @jax.jit
+        def predict_cfg(x_in, t):
+            tin = jnp.full((x_in.shape[0],), t, jnp.float32)
+            pu = model.predict(variables_uncond, x_in, tin, cond_u)
+            pc = model.predict(variables, x_in, tin, cond_c)
+            return pu + gen.guidance_scale * (pc - pu)
+    else:
+
+        @jax.jit
+        def predict_cfg(x_in, t):
+            xin = jnp.concatenate([x_in, x_in]) if do_cfg else x_in
+            tin = jnp.full((xin.shape[0],), t, jnp.float32)
+            pred = model.predict(variables, xin, tin, cond)
+            if do_cfg:
+                uncond, text = jnp.split(pred, 2)
+                pred = uncond + gen.guidance_scale * (text - uncond)
+            return pred
 
     sampler = (gen.sampler or "ddim").lower()
     if sampler in ("euler_a", "euler_ancestral", "dpm", "dpmpp", "dpm++", "dpmpp_2m", "dpmpp_2m_karras"):
@@ -399,14 +434,17 @@ def generate_audio(
     return np.asarray(model.decode_latents(variables, x)[0], np.float32)
 
 
-def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None):
+def generate(model, variables, gen: GenerateImageConfig, lora=None, schedule=None,
+             uncond_lora=None):
     if hasattr(model, "frame_count_snapper"):  # video family (wan/ltx2)
         return generate_video(model, variables, gen, lora, schedule)
     if hasattr(model, "latent_shape_audio"):  # audio family (ace_step)
         return generate_audio(model, variables, gen, lora, schedule)
     if model.is_flow_matching:
-        return generate_flux(model, variables, gen, lora, schedule)
-    return generate_sd(model, variables, gen, lora, schedule)
+        return generate_flux(model, variables, gen, lora, schedule,
+                             uncond_lora=uncond_lora)
+    return generate_sd(model, variables, gen, lora, schedule,
+                       uncond_lora=uncond_lora)
 
 
 def _to_uint8(img: jax.Array) -> np.ndarray:

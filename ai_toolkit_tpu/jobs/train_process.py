@@ -84,6 +84,7 @@ class SDTrainProcess:
         # unfused for sampling; an inference lora is the opposite.
         self._assistant_lora = None
         self._inference_lora = None
+        self._uncond_lora = None
         mpath = getattr(cfg.model, "lora_path", None)
         apath = cfg.model.assistant_lora_path or cfg.model.model_kwargs.get(
             "assistant_lora_path"
@@ -91,7 +92,10 @@ class SDTrainProcess:
         ipath = cfg.model.inference_lora_path or cfg.model.model_kwargs.get(
             "inference_lora_path"
         )
-        if apath or ipath or mpath:
+        upath = cfg.model.unconditional_lora_path or cfg.model.model_kwargs.get(
+            "unconditional_lora_path"
+        )
+        if apath or ipath or mpath or upath:
             from ai_toolkit_tpu.adapters.lora import merge_lora
             from ai_toolkit_tpu.io.lora_file import load_lora_file
 
@@ -121,6 +125,12 @@ class SDTrainProcess:
                 tree, _ = load_lora_file(ipath, inv0)
                 self._inference_lora = (main0, tree)
                 print(f"inference lora loaded (fused only for sampling): {ipath}")
+            if upath:
+                # active ONLY on the unconditional CFG pass at sampling time,
+                # never trained (reference ideogram4.py:276-355, pipeline:381)
+                tree, _ = load_lora_file(upath, inv0)
+                self._uncond_lora = tree
+                print(f"unconditional lora loaded (uncond CFG pass only): {upath}")
 
         # 1b. optional weight-only quantization of the frozen diffusion core
         # (backend by model.qtype: qfloat8 / qint8 / uint4 / ...)
@@ -1055,9 +1065,28 @@ class SDTrainProcess:
             ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
+        self._split_text_cache = None
+        if self.cfg.train.short_and_long_captions_encoder_split:
+            # SDXL dual-encoder split (SDTrainer.py:1528-1532): cache keyed by
+            # the (short, long) pair; short -> TE1, long -> TE2
+            if self.cfg.model.arch not in ("sdxl", "ssd", "vega"):
+                print("config warning: short_and_long_captions_encoder_split "
+                      "is SDXL-only (reference gates on sd.is_xl); ignored for "
+                      f"arch {self.cfg.model.arch}")
+            else:
+                def encode_split(keys: list[str]) -> dict:
+                    pairs = [k.split("\x1f", 1) for k in keys]
+                    return model.encode_prompt(
+                        variables, [p[1] for p in pairs],
+                        prompts_te1=[p[0] for p in pairs],
+                    )
+
+                self._split_text_cache = TextEmbedCache(encode_split)
         return loader, text_cache
 
     def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
+        if self.cfg.train.short_and_long_captions and not raw.get("is_reg"):
+            raw = double_short_long_batch(raw)
         captions = raw["captions"]
         p_drop = self.cfg.train.prompt_dropout_prob
         if p_drop > 0:
@@ -1079,6 +1108,17 @@ class SDTrainProcess:
             # (the text encoder runs in-graph so grads reach emb/lora_te)
             ids = np.stack([model.tokenizer.encode(c) for c in captions])
             cond = {"input_ids": jnp.asarray(ids)}
+        elif getattr(self, "_split_text_cache", None) is not None and not (
+            self.cfg.train.short_and_long_captions and not raw.get("is_reg")
+        ):
+            # encoder split: TE1 reads the short caption, TE2 the long one.
+            # Mutually exclusive with the doubling knob by the reference's own
+            # config comment (config_modules.py:470: "if above is NOT true").
+            shorts = raw.get("captions_short") or captions
+            cond = self._split_text_cache.get(
+                [f"{s}\x1f{l}" for s, l in zip(shorts, captions)]
+            )
+            cond = {k: jnp.asarray(v) for k, v in cond.items()}
         else:
             cond = text_cache.get(captions)
             cond = {k: jnp.asarray(v) for k, v in cond.items()}
@@ -1555,7 +1595,8 @@ class SDTrainProcess:
                 seed = cfg.sample.seed + (i if cfg.sample.walk_seed else 0)
                 gen = GenerateImageConfig.from_sample(cfg.sample, item, seed)
                 try:
-                    out = generate(self.model, variables, gen, lora=lora)
+                    out = generate(self.model, variables, gen, lora=lora,
+                                   uncond_lora=getattr(self, "_uncond_lora", None))
                 except Exception as e:
                     print(f"sampling failed: {e}")
                     return
@@ -1588,6 +1629,23 @@ class SDTrainProcess:
                     save_image_atomic(img, path)
                 if self.logger:
                     self.logger.log_image(img, f"sample_{i}", step)
+
+
+def double_short_long_batch(raw: dict) -> dict:
+    """Dual-caption doubling (reference BaseSDTrainProcess.py:1037-1044 +
+    1433-1451): the caption list becomes long + short, and every per-sample
+    array (latents, noise seeds, masks, pixels, ...) repeats so both halves
+    see the same image. Reg batches never reach here ("dont do this with
+    regs"), so the jitted step sees at most two static batch shapes."""
+    bs0 = len(raw["captions"])
+    out = dict(raw)
+    out["captions"] = list(raw["captions"]) + list(
+        raw.get("captions_short") or raw["captions"]
+    )
+    for k, v in raw.items():
+        if k != "captions" and isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == bs0:
+            out[k] = np.concatenate([v, v], axis=0)
+    return out
 
 
 def _filter_param_tree(tree, include, exclude):

@@ -213,17 +213,26 @@ class SDXLModel(SDModel):
             )["params"]
         return out
 
-    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
-        """SDXL: concat penultimate states of both TEs; pooled from TE2."""
-        ids = np.stack([self.tokenizer.encode(p) for p in prompts])
-        ids = jnp.asarray(ids)
+    def encode_prompt(
+        self, variables: dict, prompts: list[str], prompts_te1: list[str] | None = None
+    ) -> dict:
+        """SDXL: concat penultimate states of both TEs; pooled from TE2.
+
+        ``prompts_te1`` feeds TE1 (CLIP-L) a different prompt list — the
+        short_and_long_captions_encoder_split path where the short caption
+        goes to TE1 and the long one to TE2 (reference SDTrainer.py:1528-1532,
+        stable_diffusion_model prompt/prompt2)."""
+        ids = jnp.asarray(np.stack([self.tokenizer.encode(p) for p in prompts]))
+        ids1 = ids if prompts_te1 is None else jnp.asarray(
+            np.stack([self.tokenizer.encode(p) for p in prompts_te1])
+        )
         c1 = {"params": variables["clip"]}
         if "lora_te1" in variables:
             c1["lora"] = variables["lora_te1"]
         c2 = {"params": variables["clip2"]}
         if "lora_te2" in variables:
             c2["lora"] = variables["lora_te2"]
-        o1 = jax.jit(self.clip.apply, static_argnums=2)(c1, ids, 1)
+        o1 = jax.jit(self.clip.apply, static_argnums=2)(c1, ids1, 1)
         o2 = jax.jit(self.clip2.apply, static_argnums=2)(c2, ids, 1)
         context = jnp.concatenate([o1["last_hidden_state"], o2["last_hidden_state"]], axis=-1)
         return {"context": context, "pooled": o2["pooled_output"]}
