@@ -753,6 +753,45 @@ class SDTrainProcess:
             print(f"InstantLoRA: generating {ispec.total:,} lora weights/sample "
                   f"from {len(ispec.entries)} modules; {n:,} generator params")
             return {"adapter": params}, None, "custom_adapter", ""
+        if cfg.adapter and cfg.adapter.get("type") == "subpixel":
+            # subpixel adapter (reference toolkit/models/subpixel_adapter.py):
+            # the model trains directly in pixel-shuffle space — the VAE swaps
+            # for a parameterless pixel unshuffle, fresh in/out projections
+            # train (x_embedder/proj_out hijack, :18-125), and a control lora
+            # covers the rest of the DiT (img_in/proj excluded, :268-272)
+            from ai_toolkit_tpu.adapters.custom_adapter import CustomAdapterRuntime
+
+            if not hasattr(model, "enable_subpixel"):
+                raise ValueError(
+                    f"subpixel adapter needs a flux-family model, not {cfg.model.arch}"
+                )
+            if cfg.model.quantize:
+                raise ValueError("subpixel adapter is incompatible with a "
+                                 "quantized base (swaps img_in/final_proj)")
+            f = int(cfg.adapter.get("subpixel_downscale_factor",
+                                    cfg.adapter.get("downscale_factor", 8)))
+            io = model.enable_subpixel(jax.random.fold_in(rng, 31), f)
+
+            def subpixel_vars_apply(params, variables_, cond):
+                # shadow the frozen projections with the trainable ones
+                return (
+                    {**variables_, main_key: {**variables_[main_key], **params}},
+                    cond,
+                )
+
+            self.custom_adapter = CustomAdapterRuntime(
+                "subpixel", None, "txt", vars_apply=subpixel_vars_apply
+            )
+            trainable = {"adapter": io}
+            if net:
+                spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
+                spec.ignore_if_contains = list(spec.ignore_if_contains or []) + [
+                    "img_in", "final_proj",
+                ]
+                trainable["lora"] = build_lora(variables[main_key], spec, rng)
+            n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(trainable))
+            print(f"CustomAdapter[subpixel]: factor {f}, {n:,} trainable params")
+            return trainable, None, "custom_adapter", ""
         if cfg.adapter and cfg.adapter.get("type") in (
             "decorator",
             "redux", "te_augmenter", "vision_direct", "clip_fusion", "single_value",
@@ -1061,7 +1100,8 @@ class SDTrainProcess:
             want_pixels=self.ip_mode or self.cfg.train.train_turbo or (
                 self.custom_adapter is not None
                 and self.custom_adapter.adapter_type
-                not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter")
+                not in ("single_value", "mean_flow", "t2i", "decorator",
+                        "llm_adapter", "subpixel")
             ),
         )
         text_cache = TextEmbedCache(lambda prompts: model.encode_prompt(variables, prompts))
@@ -1572,6 +1612,17 @@ class SDTrainProcess:
         if lora is not None and state.ema is not None and "lora" in state.ema:
             lora = state.ema["lora"]
         variables = state.model_variables
+        if (getattr(self, "custom_adapter", None) is not None
+                and self.custom_adapter.adapter_type == "subpixel"
+                and "adapter" in state.trainable):
+            # subpixel: the trained projections MUST shadow the frozen ones at
+            # sample time too (the base img_in no longer matches the latent
+            # channel count)
+            main = self._main_component(variables)
+            variables = {
+                **variables,
+                main: {**variables[main], **state.trainable["adapter"]},
+            }
         if "lora" not in state.trainable:
             variables = {**variables, **state.trainable}
         else:

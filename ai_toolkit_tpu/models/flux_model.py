@@ -186,14 +186,64 @@ class FluxModel(BaseTpuModel):
         return unpack_latents_cmajor(out, h, w)
 
     def encode_images(self, variables: dict, images: jax.Array, rng=None) -> jax.Array:
+        if getattr(self, "subpixel_factor", 0):
+            # pixel-shuffle "VAE" (reference pixel_shuffle_encoder.py:
+            # AutoencoderPixelMixer + stable_diffusion_model.py:2552-2556:
+            # latents = scaling * (unshuffle(x) - shift))
+            x = _space_to_depth(images, self.subpixel_factor)
+            return (x - self._subpixel_shift) * self._subpixel_scale
         return self.vae.apply({"params": variables["vae"]}, images, rng, method=AutoencoderKL.encode)
 
     def decode_latents(self, variables: dict, latents: jax.Array) -> jax.Array:
+        if getattr(self, "subpixel_factor", 0):
+            x = latents / self._subpixel_scale + self._subpixel_shift
+            return _depth_to_space(x, self.subpixel_factor)
         return self.vae.apply({"params": variables["vae"]}, latents, method=AutoencoderKL.decode)
+
+    def enable_subpixel(self, rng: jax.Array, downscale_factor: int = 8) -> dict:
+        """Subpixel adapter mode (reference toolkit/models/subpixel_adapter.py
+        + pixel_shuffle_encoder.py): the VAE becomes a parameterless pixel
+        unshuffle with the reference's normalization constants, and the DiT's
+        img_in/final_proj swap for fresh projections sized for the new packed
+        channel count (768 for f=8, 3072 for f=16 — subpixel_adapter.py:223-231).
+        Returns the fresh trainable {img_in, final_proj} overlay for the frozen
+        'dit' tree (the reference hijacks x_embedder/proj_out forwards)."""
+        import dataclasses
+
+        f = int(downscale_factor)
+        if f not in (8, 16):
+            raise ValueError(f"subpixel downscale_factor {f} not supported (8 or 16)")
+        self.subpixel_factor = f
+        # reference AutoencoderPixelMixer Config (pixel_shuffle_encoder.py:45-46)
+        self._subpixel_shift = -0.123
+        self._subpixel_scale = 1.8
+        ch = 3 * f * f  # latent channels after unshuffle
+        packed = 4 * ch  # flux packs 2x2 patches channel-major
+        self.dit_config = dataclasses.replace(
+            self.dit_config, in_channels=packed, out_channels=packed
+        )
+        self.dit = type(self.dit)(self.dit_config)
+        h = self.dit_config.hidden_size
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        lim_in = 1.0 / float(np.sqrt(packed))
+        lim_out = 1.0 / float(np.sqrt(h))
+        return {
+            "img_in": {
+                "kernel": jax.random.uniform(k1, (packed, h), jnp.float32, -lim_in, lim_in),
+                "bias": jax.random.uniform(k2, (h,), jnp.float32, -lim_in, lim_in),
+            },
+            "final_proj": {
+                "kernel": jax.random.uniform(k3, (h, packed), jnp.float32, -lim_out, lim_out),
+                "bias": jax.random.uniform(k4, (packed,), jnp.float32, -lim_out, lim_out),
+            },
+        }
 
     # ---- geometry / wiring ----
 
     def latent_shape(self, height: int, width: int) -> tuple[int, int, int]:
+        f = getattr(self, "subpixel_factor", 0)
+        if f:
+            return height // f, width // f, 3 * f * f
         d = self.vae_config.downscale
         return height // d, width // d, self.vae_config.latent_channels
 
@@ -312,6 +362,23 @@ class FluxModel(BaseTpuModel):
                 px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
                 ctrl = self.encode_images(variables, px)
         return jnp.concatenate([inpaint, mask.astype(jnp.float32), ctrl], axis=-1)
+
+
+def _space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    """NHWC pixel unshuffle matching torch.nn.PixelUnshuffle channel order
+    (c_out = c*f*f + fi*f + fj): [B,H,W,C] -> [B,H/f,W/f,C*f*f]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, H/f, W/f, C, f, f]
+    return x.reshape(b, h // f, w // f, c * f * f)
+
+
+def _depth_to_space(x: jax.Array, f: int) -> jax.Array:
+    b, h, w, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(b, h, w, c, f, f)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # [B, h, f, w, f, C]
+    return x.reshape(b, h * f, w * f, c)
 
 
 def _random_blob_mask(b: int, h: int, w: int, rng) -> np.ndarray:
