@@ -33,7 +33,7 @@ from typing import Callable
 import numpy as np
 from PIL import Image, ImageFilter
 
-CONTROL_TYPES = ("depth", "line", "pose", "inpaint", "mask")
+CONTROL_TYPES = ("depth", "line", "pose", "inpaint", "mask", "sapiens2_mask")
 
 
 def _to_gray(arr: np.ndarray) -> np.ndarray:
@@ -84,7 +84,7 @@ class ControlGenerator:
         stem = os.path.splitext(os.path.basename(img_path))[0]
         # inpaint needs alpha; mask is near-binary -> lossless (reference
         # uses webp for these, control_generator.py:82-89)
-        ext = "png" if control_type in ("inpaint", "mask") else "jpg"
+        ext = "png" if control_type in ("inpaint", "mask", "sapiens2_mask") else "jpg"
         return os.path.join(d, f"{stem}_{control_type}.{ext}")
 
     def get_or_generate(self, img_path: str, control_type: str) -> str:
@@ -141,6 +141,31 @@ class ControlGenerator:
     def _gen_mask(self, img: Image.Image, arr: np.ndarray) -> Image.Image:
         m = self._foreground_mask(arr) * 255
         return Image.fromarray(m.astype(np.uint8), mode="L")
+
+    def _gen_sapiens2_mask(self, img: Image.Image, arr: np.ndarray) -> Image.Image:
+        """Sapiens2 human matting (reference control_generator.py:225-236).
+
+        Uses the exact flax Sapiens2Matting (models/sapiens2.py) when local
+        weights exist (AIT_SAPIENS2_PATH, or sapiens2_1b_matting.safetensors
+        under AIT_MODELS_DIR/sapiens2 — the file the reference hub-downloads);
+        otherwise falls back to the classical foreground mask, loudly."""
+        if not hasattr(self, "_sapiens"):
+            path = os.environ.get("AIT_SAPIENS2_PATH") or os.path.join(
+                os.environ.get("AIT_MODELS_DIR", "models"), "sapiens2",
+                "sapiens2_1b_matting.safetensors",
+            )
+            if os.path.isfile(path):
+                from ai_toolkit_tpu.models.sapiens2 import import_sapiens2_matting
+
+                self._sapiens = import_sapiens2_matting(path)
+            else:
+                print(f"sapiens2_mask: no local weights at {path!r} "
+                      "(set AIT_SAPIENS2_PATH) — using the classical "
+                      "foreground-mask fallback")
+                self._sapiens = None
+        if self._sapiens is None:
+            return self._gen_mask(img, arr)
+        return self._sapiens(img)
 
     def _gen_inpaint(self, img: Image.Image, arr: np.ndarray) -> Image.Image:
         m = self._foreground_mask(arr)

@@ -39,6 +39,9 @@ class Sapiens2Config:
     # between uses GQA with kv_heads = num_heads // 2 (reference :641-648)
     mhsa_early: int = 8
     mhsa_late: int = 8
+    # explicit per-layer kv-head override (shape-driven checkpoint import);
+    # None -> the early/late MHSA pattern above
+    kv_pattern: tuple | None = None
     rope_base: float = 100.0
     layer_scale_init: float = 1e-4
     head_channels: tuple = (768, 512, 256, 128)
@@ -50,6 +53,8 @@ class Sapiens2Config:
         return self.embed_dim // self.num_heads
 
     def kv_heads(self, layer: int) -> int:
+        if self.kv_pattern is not None:
+            return self.kv_pattern[layer]
         if layer < self.mhsa_early or layer >= self.num_layers - self.mhsa_late:
             return self.num_heads
         return self.num_heads // 2
@@ -331,12 +336,32 @@ def import_sapiens2_matting(path: str) -> MattingRunner:
     num_layers = 1 + max(
         int(k.split(".")[2]) for k in sd if k.startswith("backbone.blocks.")
     )
-    # head_dim from the per-head q_norm scale
+    # head_dim from the per-head q_norm scale; every other dim from shapes
     head_dim = sd["backbone.blocks.0.attn.q_norm.weight"].shape[0]
+    kv_pattern = tuple(
+        sd[f"backbone.blocks.{i}.attn.wk.weight"].shape[0] // head_dim
+        for i in range(num_layers)
+    )
+    n_up = sum(1 for k in sd if k.startswith("decode_head.upsample_blocks.")
+               and k.endswith(".0.weight"))
+    head_channels = tuple(
+        sd[f"decode_head.upsample_blocks.{i}.0.weight"].shape[0] // 4
+        for i in range(n_up)
+    )
+    conv_idx = sorted(
+        int(k.split(".")[2]) for k in sd
+        if k.startswith("decode_head.conv_layers.") and k.endswith(".weight")
+    )
+    head_conv_channels = tuple(
+        sd[f"decode_head.conv_layers.{i}.weight"].shape[0] for i in conv_idx
+    )
     cfg = Sapiens2Config(
         embed_dim=embed_dim, num_layers=num_layers,
-        num_heads=embed_dim // head_dim, ffn_dim=4 * embed_dim,
+        num_heads=embed_dim // head_dim,
+        ffn_dim=sd["backbone.blocks.0.ffn.w12.weight"].shape[0] // 2,
         n_storage_tokens=sd["backbone.storage_tokens"].shape[1],
+        kv_pattern=kv_pattern, head_channels=head_channels,
+        head_conv_channels=head_conv_channels,
     )
     bb = {
         "patch_embed": conv("backbone.patch_embed.projection"),
@@ -367,7 +392,7 @@ def import_sapiens2_matting(path: str) -> MattingRunner:
     }
     for i in range(len(cfg.head_channels)):
         head[f"up_{i}"] = conv(f"decode_head.upsample_blocks.{i}.0")
-    for i in range(len(cfg.head_conv_channels)):
-        head[f"conv_{i}"] = conv(f"decode_head.conv_layers.{i * 3}")
+    for i, idx in enumerate(conv_idx):
+        head[f"conv_{i}"] = conv(f"decode_head.conv_layers.{idx}")
     params = {"backbone": bb, "decode_head": head}
     return MattingRunner(cfg, jax.tree.map(jnp.asarray, params))
