@@ -150,6 +150,10 @@ class SampleItem:
     num_frames: int | None = None
     fps: int | None = None
     ctrl_img: str | None = None
+    # extra reference images for multi-control edit archs (reference
+    # gen_config.ctrl_img_1/2/3, qwen_image_edit_plus.py:105-122)
+    ctrl_img_2: str | None = None
+    ctrl_img_3: str | None = None
     extras: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -198,8 +202,12 @@ class SampleItem:
                 out.num_frames = int(val)
             elif key == "fps":
                 out.fps = int(val)
-            elif key == "ctrl_img":
+            elif key in ("ctrl_img", "ctrl_img_1"):
                 out.ctrl_img = val
+            elif key == "ctrl_img_2":
+                out.ctrl_img_2 = val
+            elif key == "ctrl_img_3":
+                out.ctrl_img_3 = val
             else:
                 out.extras[key] = val
         return out
@@ -722,6 +730,8 @@ class GenerateImageConfig:
     output_ext: str = "png"
     sampler: str | None = None  # ddim | euler_a | dpmpp_2m | flowmatch ...
     ctrl_img: str | None = None  # control/edit image for control archs
+    ctrl_img_2: str | None = None
+    ctrl_img_3: str | None = None
     extras: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -747,6 +757,8 @@ class GenerateImageConfig:
             output_ext=sample.format,
             sampler=sample.sampler,
             ctrl_img=item.ctrl_img if hasattr(item, "ctrl_img") else None,
+            ctrl_img_2=getattr(item, "ctrl_img_2", None),
+            ctrl_img_3=getattr(item, "ctrl_img_3", None),
             extras={**sample.extras, **getattr(item, "extras", {})},
         )
 

@@ -191,13 +191,13 @@ class FileItem:
             arr = arr[::-1]
         return arr
 
-    def load_control(self) -> np.ndarray | None:
-        """First control image resized to the bucket, [-1,1] float32 HWC."""
-        if not self.control_paths:
+    def load_control(self, index: int = 0) -> np.ndarray | None:
+        """Control image #index resized to the bucket, [-1,1] float32 HWC."""
+        if index >= len(self.control_paths):
             return None
         from PIL import Image
 
-        img = Image.open(self.control_paths[0]).convert("RGB")
+        img = Image.open(self.control_paths[index]).convert("RGB")
         bw, bh = self.bucket
         rw, rh, x0, y0 = resize_and_crop_size(img.width, img.height, bw, bh)
         img = img.resize((rw, rh), Image.BICUBIC).crop((x0, y0, x0 + bw, y0 + bh))
@@ -211,6 +211,11 @@ class FileItem:
 
             arr = replay_spatial(arr, self.aug_replay)
         return arr
+
+    def load_controls(self) -> list[np.ndarray]:
+        """All paired control images (multi-reference edit archs — reference
+        batch.control_tensor_list, qwen_image_edit_plus.py:270-280)."""
+        return [self.load_control(i) for i in range(len(self.control_paths))]
 
     def load_inpaint_mask(self) -> np.ndarray | None:
         """Keep-area mask [H, W, 1] in [0,1] (1 = keep) from the paired

@@ -134,6 +134,16 @@ class DataLoader:
             bw, bh = batch[0].bucket
             blank = np.zeros((bh, bw, 3), np.float32)
             out["control_pixels"] = np.stack([c if c is not None else blank for c in controls])
+            n_ctrl = max(len(it.control_paths) for it in batch)
+            if n_ctrl > 1:
+                # multi-reference edit conditioning (qwen_image_edit_plus):
+                # [B, N, H, W, 3], short items zero-padded (static N per batch)
+                multi = []
+                for it in batch:
+                    cs = it.load_controls()
+                    cs += [blank] * (n_ctrl - len(cs))
+                    multi.append(np.stack([c if c is not None else blank for c in cs]))
+                out["control_pixels_multi"] = np.stack(multi)
         inp = [it.load_inpaint_mask() for it in batch]
         if any(m is not None for m in inp):
             bw, bh = batch[0].bucket

@@ -36,6 +36,11 @@ def generate_flux(
     schedule = schedule or FlowMatchSchedule()
     h, w, c = model.latent_shape(gen.height, gen.width)
     cond = model.encode_prompt(variables, [gen.prompt])
+    ctrl_paths = [p for p in (gen.ctrl_img, getattr(gen, "ctrl_img_2", None),
+                              getattr(gen, "ctrl_img_3", None)) if p]
+    if getattr(model, "multi_control", False):
+        # multi-reference edit: the rope table sizes to the reference count
+        model._n_ctrl = max(1, len(ctrl_paths))
     pe = model.rope_table(h, w, cond["txt"].shape[1])
     cond = {**cond, "pe": pe, "guidance": jnp.full((1,), gen.guidance_scale)}
     if getattr(getattr(model, "dit_config", None), "control_channels", 0):
@@ -53,6 +58,26 @@ def generate_flux(
             cond["control_latents"] = model.encode_images(variables, px)
         else:
             cond["control_latents"] = jnp.zeros((1, h, w, c), jnp.float32)
+    elif getattr(model, "is_edit", False):
+        # sequence/width-concat edit conditioning (qwen_image_edit(+plus),
+        # hidream_e1, kontext-class extra archs): the rope table already
+        # reserves slots for the reference tokens, so the control latents must
+        # ALWAYS be present — zeros when no --ctrl_img is given (matches the
+        # reference pipelines' blank-reference behavior)
+        if ctrl_paths:
+            from PIL import Image
+
+            lats = []
+            for p in ctrl_paths:
+                im = Image.open(p).convert("RGB").resize((gen.width, gen.height))
+                px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
+                lats.append(model.encode_images(variables, px))
+        else:
+            lats = [jnp.zeros((1, h, w, c), jnp.float32)]
+        if getattr(model, "multi_control", False):
+            cond["control_latents"] = jnp.stack(lats, axis=1)  # [1, N, h, w, C]
+        else:
+            cond["control_latents"] = lats[0]
     base_variables = variables
     if lora:
         variables = merge_variables(variables, {"lora": lora})

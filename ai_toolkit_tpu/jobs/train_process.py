@@ -1127,6 +1127,11 @@ class SDTrainProcess:
     def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
         if self.cfg.train.short_and_long_captions and not raw.get("is_reg"):
             raw = double_short_long_batch(raw)
+        if getattr(model, "multi_control", False):
+            # multi-reference edit (qwen_image_edit_plus): the rope table needs
+            # the per-batch reference count before it is built below
+            model._n_ctrl = int(raw["control_pixels_multi"].shape[1]) if (
+                "control_pixels_multi" in raw) else 1
         captions = raw["captions"]
         p_drop = self.cfg.train.prompt_dropout_prob
         if p_drop > 0:
@@ -1356,6 +1361,14 @@ class SDTrainProcess:
             if self.custom_adapter is not None and self.custom_adapter.adapter_type == "t2i":
                 # trainable t2i adapter consumes raw control pixels in-graph
                 cond["control_pixels"] = jnp.asarray(raw["control_pixels"])
+            elif getattr(model, "multi_control", False) and "control_pixels_multi" in raw:
+                # [B, N, H, W, 3] -> encode flat -> [B, N, h, w, C]
+                cm = raw["control_pixels_multi"]
+                bsz, n = cm.shape[:2]
+                flat = np.asarray(self._encode_control(cm.reshape((-1,) + cm.shape[2:])))
+                cond["control_latents"] = jnp.asarray(
+                    flat.reshape((bsz, n) + flat.shape[1:])
+                )
             else:
                 cond["control_latents"] = jnp.asarray(self._encode_control(raw["control_pixels"]))
         if getattr(self, "_assist_net", None) is not None and "control_pixels" in raw:

@@ -57,6 +57,11 @@ class QwenImageModel(BaseTpuModel):
         self.is_edit = config.arch in (
             "qwen_image_edit", "qwen_image_edit_plus", "mageflow_edit"
         )
+        # edit_plus: a LIST of reference images per item, each sequence-
+        # concatenated with its own frame index (reference
+        # qwen_image_edit_plus.py:68 has_multiple_control_images +
+        # get_noise_prediction img_shapes accumulation :262-338)
+        self.multi_control = config.arch == "qwen_image_edit_plus"
         self.is_mageflow = (config.arch or "").startswith("mageflow")
         size = config.model_kwargs.get("size", "full")
         self._vae_3d = False
@@ -220,14 +225,18 @@ class QwenImageModel(BaseTpuModel):
         )
         if self.is_edit:
             # control tokens reuse the image grid shifted on the frame axis
-            # (edit image is "frame 1" in the qwen edit convention)
-            cids = np.asarray(image_position_ids(gh, gw, text_len=0))
-            cids = cids.copy()
-            cids[:, 0] = 1  # frame index axis
-            ctable = multi_axis_rope(
-                jnp.asarray(cids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
-            )
-            table = jnp.concatenate([table, ctable], axis=1)
+            # (edit image is "frame 1"; edit_plus gives each reference image
+            # its own frame index — img_shapes entry i -> frame i)
+            n_ctrl = int(getattr(self, "_n_ctrl", 1)) if self.multi_control else 1
+            tables = [table]
+            for i in range(n_ctrl):
+                cids = np.asarray(image_position_ids(gh, gw, text_len=0)).copy()
+                cids[:, 0] = i + 1  # frame index axis
+                tables.append(multi_axis_rope(
+                    jnp.asarray(cids)[None], list(self.dit_config.axes_dim),
+                    self.dit_config.theta,
+                ))
+            table = jnp.concatenate(tables, axis=1)
         return table
 
     def predict(self, variables, noisy_latents, t, cond):
@@ -242,8 +251,14 @@ class QwenImageModel(BaseTpuModel):
         n_img = img.shape[1]
         if self.is_edit and cond.get("control_latents") is not None:
             ctrl = cond["control_latents"]
-            ctrl = (ctrl.reshape(b, -1, c) if self.is_mageflow else pack_latents_cmajor(ctrl))
-            img = jnp.concatenate([img, ctrl], axis=1)
+            ctrls = (
+                [ctrl[:, i] for i in range(ctrl.shape[1])] if ctrl.ndim == 5
+                else [ctrl]
+            )  # edit_plus: [B, N, h, w, C] — one packed block per reference
+            for ct in ctrls:
+                ct = (ct.reshape(b, -1, c) if self.is_mageflow
+                      else pack_latents_cmajor(ct))
+                img = jnp.concatenate([img, ct], axis=1)
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant"):
             if k in variables:

@@ -29,10 +29,16 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sqlite3
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# flat script names only — no separators, no traversal (reference
+# ui/src/app/api/scripts/route.ts SCRIPT_NAME_RE)
+_SCRIPT_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*\.py$")
+_SCRIPT_ARG_KEY_RE = re.compile(r"^[A-Za-z0-9_-]+$")
 
 _JOB_SCHEMA = """CREATE TABLE IF NOT EXISTS Job (
     id TEXT PRIMARY KEY,
@@ -202,6 +208,36 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(out)
         if self.path == "/api/gpu":
             return self._json(accelerator_stats())
+        if self.path == "/api/cpu":
+            # host stats (reference ui/src/app/api/cpu)
+            try:
+                load1, load5, load15 = os.getloadavg()
+            except OSError:
+                load1 = load5 = load15 = 0.0
+            mem = {}
+            try:
+                for line in open("/proc/meminfo"):
+                    k, _, v = line.partition(":")
+                    if k in ("MemTotal", "MemAvailable"):
+                        mem[k] = int(v.strip().split()[0]) * 1024
+            except OSError:
+                pass
+            return self._json({
+                "cores": os.cpu_count(), "load1": load1, "load5": load5,
+                "load15": load15, "mem_total": mem.get("MemTotal", 0),
+                "mem_available": mem.get("MemAvailable", 0),
+            })
+        if self.path == "/api/scripts":
+            # list runnable ui_scripts/*.py (reference api/scripts GET)
+            root = self._scripts_root()
+            names = []
+            if os.path.isdir(root):
+                names = sorted(
+                    f for f in os.listdir(root)
+                    if _SCRIPT_NAME_RE.match(f)
+                    and os.path.isfile(os.path.join(root, f))
+                )
+            return self._json({"scripts": names})
         if self.path == "/api/settings":
             # reference ui/src/app/api/settings: key/value store with
             # TRAINING_FOLDER / DATASETS_FOLDER / HF_TOKEN semantics
@@ -375,6 +411,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json({"updated": len(body)})
             except sqlite3.Error as e:
                 return self._json({"error": str(e)}, 500)
+        if self.path == "/api/scripts":
+            if ctype != "application/json":
+                return self._json({"error": "Content-Type must be application/json"}, 415)
+            return self._run_script(self._json_body())
         if len(parts) >= 3 and parts[:2] == ["api", "datasets"]:
             return self._datasets_post(parts[2:], ctype)
         if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] in ("stop", "save", "sample"):
@@ -388,6 +428,87 @@ class _Handler(BaseHTTPRequestHandler):
             except sqlite3.Error as e:
                 return self._json({"error": str(e)}, 500)
         return self._json({"error": "unknown route"}, 404)
+
+    # ---- ui_scripts runner (reference ui/src/app/api/scripts/route.ts) ----
+
+    def _scripts_root(self) -> str:
+        return getattr(self.server, "scripts_root", None) or os.path.join(
+            os.getcwd(), "ui_scripts")
+
+    def _run_script(self, body):
+        """POST {name, args}: run ui_scripts/<name> buffered, no shell.
+
+        Mirrors the reference route: flat-name allowlist regex, resolved path
+        must stay under ui_scripts/, args as a positional list or an object
+        that becomes --key value flags, last JSON stdout line parsed as the
+        structured result, hard timeout."""
+        import subprocess
+        import sys
+
+        if not isinstance(body, dict):
+            return self._json({"error": "bad json"}, 400)
+        name = str(body.get("name", "")).strip()
+        if not _SCRIPT_NAME_RE.match(name):
+            return self._json({"error": "invalid script name"}, 400)
+        root = os.path.realpath(self._scripts_root())
+        target = os.path.realpath(os.path.join(root, name))
+        if not target.startswith(root + os.sep) or not os.path.isfile(target):
+            return self._json({"error": "script not found"}, 404)
+        raw = body.get("args")
+        args: list[str] = []
+        if isinstance(raw, list):
+            for v in raw:
+                if v is None:
+                    continue
+                if not isinstance(v, (str, int, float, bool)):
+                    return self._json(
+                        {"error": "args entries must be string|number|boolean"}, 400)
+                args.append(str(v))
+        elif isinstance(raw, dict):
+            for k, v in raw.items():
+                if not _SCRIPT_ARG_KEY_RE.match(str(k)):
+                    return self._json({"error": f"invalid arg key: {k}"}, 400)
+                if v is True:
+                    args.append(f"--{k}")
+                elif v is False or v is None:
+                    continue
+                elif isinstance(v, (str, int, float)):
+                    args += [f"--{k}", str(v)]
+                else:
+                    return self._json(
+                        {"error": f"args.{k} must be string|number|boolean"}, 400)
+        elif raw is not None:
+            return self._json({"error": "args must be an array or object"}, 400)
+        timeout = float(os.environ.get("AIT_UI_SCRIPT_TIMEOUT", 1200))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", target, *args],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.getcwd(),
+                env={**os.environ, "PYTHONUNBUFFERED": "1"},
+            )
+            timed_out = False
+            code, out_s, err_s = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            timed_out = True
+            code = None
+            out_s = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err_s = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        result = None
+        for line in reversed(out_s.strip().splitlines()):
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(("{", "[")):
+                try:
+                    result = json.loads(line)
+                except ValueError:
+                    result = None
+            break
+        return self._json({
+            "ok": code == 0, "exitCode": code, "stdout": out_s[-65536:],
+            "stderr": err_s[-65536:], "result": result, "timedOut": timed_out,
+        })
 
     # ---- datasets (reference ui/src/app/api/datasets + api/img routes) ----
 
@@ -676,11 +797,13 @@ class UIServer:
 
     def __init__(self, db_path: str = "aitk_db.db", host: str = "127.0.0.1", port: int = 8676,
                  runs_root: str = "output", datasets_root: str = "datasets",
-                 queue_worker: bool = False, poll_s: float = 1.0):
+                 queue_worker: bool = False, poll_s: float = 1.0,
+                 scripts_root: str | None = None):
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.db_path = db_path
         self.httpd.runs_root = runs_root
         self.httpd.datasets_root = datasets_root
+        self.httpd.scripts_root = scripts_root
         self._thread: threading.Thread | None = None
         self.worker = (
             QueueWorker(db_path, runs_root, poll_s=poll_s) if queue_worker else None

@@ -499,3 +499,72 @@ def test_launch_builder_video_and_network_fields(tmp_path):
             urllib.request.urlopen(req, timeout=5)
     finally:
         srv.stop()
+
+
+def test_scripts_and_cpu_routes(tmp_path):
+    """Round-3 UI surface (reference api/scripts + api/cpu): list ui_scripts,
+    run one buffered with arg normalization + JSON result parsing; reject
+    traversal names; host stats route."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    scripts = tmp_path / "ui_scripts"
+    scripts.mkdir()
+    (scripts / "echo_it.py").write_text(
+        "import argparse, json\n"
+        "ap = argparse.ArgumentParser()\n"
+        "ap.add_argument('--message', default='')\n"
+        "ap.add_argument('--loud', action='store_true')\n"
+        "a = ap.parse_args()\n"
+        "print('log line')\n"
+        "print(json.dumps({'echo': a.message, 'loud': a.loud}))\n"
+    )
+    srv = UIServer(db_path=str(tmp_path / "db.db"), port=0,
+                   scripts_root=str(scripts)).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        listing = json.load(urllib.request.urlopen(base + "/api/scripts", timeout=5))
+        assert listing["scripts"] == ["echo_it.py"]
+
+        def post(body, expect_err=None):
+            req = urllib.request.Request(
+                base + "/api/scripts", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            try:
+                return json.load(urllib.request.urlopen(req, timeout=30))
+            except urllib.error.HTTPError as e:
+                assert expect_err and e.code == expect_err
+                return None
+
+        out = post({"name": "echo_it.py",
+                    "args": {"message": "hi", "loud": True, "skip": False}})
+        assert out["ok"] and out["exitCode"] == 0
+        assert "log line" in out["stdout"]
+        assert out["result"] == {"echo": "hi", "loud": True}
+        post({"name": "../evil.py"}, expect_err=400)
+        post({"name": "missing.py"}, expect_err=404)
+        post({"name": "echo_it.py", "args": {"bad key!": 1}}, expect_err=400)
+
+        cpu = json.load(urllib.request.urlopen(base + "/api/cpu", timeout=5))
+        assert cpu["cores"] >= 1 and "mem_total" in cpu
+    finally:
+        srv.stop()
+
+
+def test_repo_ui_scripts_run():
+    """The shipped ui_scripts work through the runner contract."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "ui_scripts/test_script.py", "--message", "yo",
+         "--count", "2"],
+        capture_output=True, text=True, timeout=60)
+    assert p.returncode == 0
+    last = p.stdout.strip().splitlines()[-1]
+    import json
+
+    assert json.loads(last) == {"ok": True, "message": "yo", "lines": 2}
