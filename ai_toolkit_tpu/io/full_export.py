@@ -422,7 +422,7 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
     raise NotImplementedError(
         f"full-model export is not implemented for arch '{model.config.arch}' — "
         f"supported: sd1/sd2/sdxl family, sd3/sd3.5, flux family, wan family, "
-        f"qwen_image/mageflow, hidream, flux2 family, ltx2"
+        f"qwen_image/mageflow, hidream, flux2 family, ltx2, lumina2"
     )
 
 

@@ -381,18 +381,15 @@ class SDTrainProcess:
                 switch_every=int(tc.switch_boundary_every),
             )
         if getattr(model, "refiner", None) is not None:
-            # reference refiner routing (BaseSDTrainProcess.py:1168-1175):
-            # with train_unet the batch doubles across the split; without,
-            # all timesteps land in the refiner range and only it runs
+            # reference refiner routing (BaseSDTrainProcess.py:1168-1175 +
+            # 1428-1459): with train_unet the prepared batch DOUBLES so every
+            # sample trains through both ranges (base half below the split,
+            # refiner half above — double_refiner_batch); without, all
+            # timesteps land in the refiner range and only it runs
             from dataclasses import replace as _dc_replace
 
             start_at = float(getattr(cfg.model, "refiner_start_at", 0.5))
             if tc.train_unet:
-                if tc.batch_size < 2:
-                    raise ValueError(
-                        "refiner training alongside the base unet needs "
-                        "batch_size >= 2 (the batch halves are routed "
-                        "base/refiner; reference BaseSDTrainProcess.py:1537)")
                 model.refiner_mode = "split"
                 step_cfg = _dc_replace(step_cfg, refiner_double=True,
                                        refiner_start_at=start_at)
@@ -1127,6 +1124,8 @@ class SDTrainProcess:
     def _prepare_batch(self, model, raw: dict, text_cache: TextEmbedCache, step_cfg) -> dict:
         if self.cfg.train.short_and_long_captions and not raw.get("is_reg"):
             raw = double_short_long_batch(raw)
+        if getattr(model, "refiner_mode", None) == "split":
+            raw = double_refiner_batch(raw)
         if getattr(model, "multi_control", False):
             # multi-reference edit (qwen_image_edit_plus): the rope table needs
             # the per-batch reference count before it is built below
@@ -1135,9 +1134,14 @@ class SDTrainProcess:
         captions = raw["captions"]
         p_drop = self.cfg.train.prompt_dropout_prob
         if p_drop > 0:
-            # unconditional-training dropout (reference prompt_dropout_prob)
+            # unconditional-training dropout (reference prompt_dropout_prob);
+            # the short-caption half of a doubled batch is exempt
+            n_droppable = raw.get("_n_long", len(captions))
             r = np.random.default_rng(None)
-            captions = ["" if r.random() < p_drop else c for c in captions]
+            captions = [
+                "" if (i < n_droppable and r.random() < p_drop) else c
+                for i, c in enumerate(captions)
+            ]
         p_sat = self.cfg.train.prompt_saturation_chance
         if p_sat > 0 and not raw.get("is_reg"):
             # repeat short captions to ~77 tokens (BaseSDTrainProcess.py:1076)
@@ -1695,20 +1699,44 @@ class SDTrainProcess:
                     self.logger.log_image(img, f"sample_{i}", step)
 
 
+def _double_batch_arrays(raw: dict, bs0: int) -> dict:
+    """Repeat every per-sample ndarray (latents, noise seeds, masks, pixels,
+    ...) along the batch axis so both halves see the same image."""
+    out = dict(raw)
+    for k, v in raw.items():
+        if k not in ("captions", "captions_short") and isinstance(v, np.ndarray) \
+                and v.ndim >= 1 and v.shape[0] == bs0:
+            out[k] = np.concatenate([v, v], axis=0)
+    return out
+
+
 def double_short_long_batch(raw: dict) -> dict:
     """Dual-caption doubling (reference BaseSDTrainProcess.py:1037-1044 +
     1433-1451): the caption list becomes long + short, and every per-sample
-    array (latents, noise seeds, masks, pixels, ...) repeats so both halves
-    see the same image. Reg batches never reach here ("dont do this with
-    regs"), so the jitted step sees at most two static batch shapes."""
+    array repeats so both halves see the same image. Reg batches never reach
+    here ("dont do this with regs"), so the jitted step sees at most two
+    static batch shapes. ``_n_long`` marks how many leading captions are the
+    long half — the short half is exempt from prompt dropout (reference
+    get_caption(short_caption=True) never passes through the dropout path)."""
     bs0 = len(raw["captions"])
-    out = dict(raw)
-    out["captions"] = list(raw["captions"]) + list(
-        raw.get("captions_short") or raw["captions"]
-    )
-    for k, v in raw.items():
-        if k != "captions" and isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == bs0:
-            out[k] = np.concatenate([v, v], axis=0)
+    out = _double_batch_arrays(raw, bs0)
+    shorts = list(raw.get("captions_short") or raw["captions"])
+    out["captions"] = list(raw["captions"]) + shorts
+    out["captions_short"] = shorts + shorts
+    out["_n_long"] = bs0
+    return out
+
+
+def double_refiner_batch(raw: dict) -> dict:
+    """Refiner double-up (reference BaseSDTrainProcess.py:1428-1459): every
+    sample trains through BOTH timestep ranges — the batch duplicates, the
+    jitted step gives the first half base-range timesteps and the second half
+    refiner-range (train/step.py refiner_double branch)."""
+    bs0 = len(raw["captions"])
+    out = _double_batch_arrays(raw, bs0)
+    out["captions"] = list(raw["captions"]) * 2
+    if raw.get("captions_short"):
+        out["captions_short"] = list(raw["captions_short"]) * 2
     return out
 
 

@@ -58,6 +58,17 @@ class BaseTpuModel:
             )
         return self.init_variables(rng)
 
+    def refuse_bad_layout(self, expected: str):
+        """Raise when ``name_or_path`` is non-empty but matches no importable
+        local layout — a non-local repo id or an unexpected directory shape
+        must never silently fall through to random init."""
+        raise FileNotFoundError(
+            f"arch '{self.config.arch}': name_or_path "
+            f"'{self.config.name_or_path}' is not an importable local layout "
+            f"(expected {expected}). Refusing to silently random-init. Set "
+            f"name_or_path: '' to train from scratch."
+        )
+
     # ---- pure functions ----
 
     def predict(self, variables: dict, noisy_latents: jax.Array, t: jax.Array, cond: dict) -> jax.Array:

@@ -91,6 +91,8 @@ class Lumina2Model(BaseTpuModel):
             from ai_toolkit_tpu.io.dit_importers import load_lumina2_checkpoint
 
             return load_lumina2_checkpoint(path, self)
+        if path:
+            self.refuse_bad_layout("an HF dir with a transformer/ subdir, or a single .safetensors file")
         return self.init_variables(rng)
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:

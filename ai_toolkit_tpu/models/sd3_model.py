@@ -132,6 +132,8 @@ class SD3Model(BaseTpuModel):
             from ai_toolkit_tpu.io.sd3_import import load_sd3_checkpoint
 
             return load_sd3_checkpoint(path, self)
+        if path:
+            self.refuse_bad_layout("an HF dir with a transformer/ subdir, or a single .safetensors file")
         return self.init_variables(rng)
 
     def _pos_ids(self, latent_h: int, latent_w: int) -> jnp.ndarray:
