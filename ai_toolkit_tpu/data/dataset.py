@@ -426,7 +426,16 @@ class FolderDataset:
         repeating items (reference pads the last batch too)."""
         by_bucket: dict[tuple, list[FileItem]] = {}
         for it in self.items:
-            by_bucket.setdefault((it.bucket, it.kind, it.num_frames), []).append(it)
+            # Multi-reference items (qwen_image_edit_plus etc.) must batch with
+            # same-count peers: mixed counts would pad short items with blank
+            # frames that the model then attends to as real reference latents
+            # (the reference varies img_shapes per item instead). 0/1-control
+            # items keep sharing batches (blank there means "no control").
+            n_ctrl = len(it.control_paths)
+            ctrl_key = n_ctrl if n_ctrl > 1 else 0
+            by_bucket.setdefault(
+                (it.bucket, it.kind, it.num_frames, ctrl_key), []
+            ).append(it)
         batches = []
         for bucket, items in sorted(by_bucket.items()):
             if shuffle:

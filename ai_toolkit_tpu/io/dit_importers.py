@@ -719,6 +719,79 @@ def load_lumina2_checkpoint(path: str, model) -> dict:
     return variables
 
 
+def omnigen2_rules(scan_blocks: bool = True) -> list[Rule]:
+    """diffusers OmniGen2Transformer2DModel -> models/omnigen2_dit.OmniGen2DiT.
+
+    The block layout is the vendored Lumina2 block (transformer_omnigen2.py:
+    32-177 builds OmniGen2TransformerBlock from the same block_lumina2
+    modules), so the lumina2 rules apply verbatim; OmniGen2 adds the
+    reference-image patch embedder + per-image index embedding
+    (transformer_omnigen2.py:258-261,339) and a third modulated refiner stack
+    ``ref_image_refiner`` (:284-295)."""
+    rules = lumina2_rules(scan_blocks)
+    pre = r"ref_image_refiner\.(\d+)\."
+    dst = "ref_refiner_{0}/"
+    rules += [(pre + r"norm1\.linear\.weight", dst + "norm1_lin/kernel", "linear"),
+              (pre + r"norm1\.linear\.bias", dst + "norm1_lin/bias", "direct"),
+              (pre + r"norm1\.norm\.weight", dst + "norm1_norm/scale", "direct")]
+    for w in ("q", "k", "v"):
+        rules.append((pre + rf"attn\.to_{w}\.weight", dst + f"attn/to_{w}/kernel", "linear"))
+    rules += [(pre + r"attn\.to_out\.0\.weight", dst + "attn/to_out/kernel", "linear"),
+              (pre + r"attn\.norm_q\.weight", dst + "attn/q_norm/scale", "direct"),
+              (pre + r"attn\.norm_k\.weight", dst + "attn/k_norm/scale", "direct")]
+    for i in (1, 2, 3):
+        rules.append((pre + rf"feed_forward\.linear_{i}\.weight",
+                      dst + f"ffn_w{i}/kernel", "linear"))
+    for nm in ("norm2", "ffn_norm1", "ffn_norm2"):
+        rules.append((pre + nm + r"\.weight", dst + nm + "/scale", "direct"))
+    rules += [
+        (r"ref_image_patch_embedder\.weight", "ref_embedder/kernel", "linear"),
+        (r"ref_image_patch_embedder\.bias", "ref_embedder/bias", "direct"),
+        (r"image_index_embedding", "image_index_emb", "direct"),
+    ]
+    return rules
+
+
+def load_omnigen2_checkpoint(path: str, model) -> dict:
+    """HF-layout dir (transformer/ + vae/ + mllm/) or a single transformer file.
+
+    Layout per the reference loader (omnigen2/__init__.py:77-121: transformer
+    under ``transformer/``, FLUX VAE under ``vae/``, Qwen2.5-VL under
+    ``mllm/``)."""
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import llm_rules, vae_rules
+    from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+    variables = model.init_variables(jax.random.key(0))
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        flat = {k.removeprefix("model.diffusion_model."): v for k, v in flat.items()}
+        tree, unmatched = torch_to_tree(flat, omnigen2_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"omnigen2 import: {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "omnigen2 dit")
+    vdir = os.path.join(path, "vae")
+    if os.path.isdir(vdir):
+        flat = load_safetensors_dir(path, "vae")
+        tree, _ = torch_to_tree(flat, vae_rules(len(model.vae_config.channel_multipliers),
+                                                model.vae_config.layers_per_block))
+        if tree:
+            variables["vae"] = _merge_imported(variables["vae"], tree, "omnigen2 vae")
+    mdir = os.path.join(path, "mllm")
+    if os.path.isdir(mdir):
+        flat = load_safetensors_dir(path, "mllm")
+        # Qwen2.5-VL composite: text tower under model.language_model.*
+        flat = {k.replace("model.language_model.", "model."): v for k, v in flat.items()}
+        tree, _ = torch_to_tree(flat, llm_rules())
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "omnigen2 mllm")
+    return variables
+
+
 def flite_rules(scan_blocks: bool = True) -> list[Rule]:
     """F-Lite DiT checkpoint keys (vendored f_light/src/model.py layout)."""
     b = "blocks/block/" if scan_blocks else "block_{0}/"

@@ -398,6 +398,17 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         ), None))
         return plan
 
+    if arch == "omnigen2":
+        from ai_toolkit_tpu.io.dit_importers import omnigen2_rules
+
+        # mllm (qwen2.5-vl) stays with its own import path, like lumina2's TE
+        plan.append(("dit", "transformer", W,
+                     omnigen2_rules(model.dit_config.scan_blocks), None))
+        plan.append(("vae", "vae", W, vae_rules(
+            len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
+        ), None))
+        return plan
+
     if arch.startswith("hidream"):
         cfg = model.dit_config
         plan.append(("dit", "transformer", W, None,
@@ -422,7 +433,7 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
     raise NotImplementedError(
         f"full-model export is not implemented for arch '{model.config.arch}' — "
         f"supported: sd1/sd2/sdxl family, sd3/sd3.5, flux family, wan family, "
-        f"qwen_image/mageflow, hidream, flux2 family, ltx2, lumina2"
+        f"qwen_image/mageflow, hidream, flux2 family, ltx2, lumina2, omnigen2"
     )
 
 

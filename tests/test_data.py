@@ -270,3 +270,33 @@ def test_clip_vision_cache_roundtrip(tmp_path):
     assert tokens.shape == (5, 8) and pooled.shape == (8,)
     # second run: everything cached
     assert cache_clip_vision(ds.items, fake_encode, cache_dir) == 0
+
+
+def test_multi_ref_control_counts_never_mix(tmp_path):
+    # Items with different multi-reference control counts must not share a
+    # batch: a mixed batch would pad short items with blank frames that get
+    # encoded and attended to as real reference latents (ADVICE r3, medium).
+    folder = make_image_folder(tmp_path, [(512, 512)] * 6)
+    ctrl1 = tmp_path / "ctrl1"
+    ctrl2 = tmp_path / "ctrl2"
+    ctrl1.mkdir()
+    ctrl2.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(ctrl1 / f"img_{i}.png")
+        if i < 3:  # only half the items have a second reference
+            Image.fromarray(arr).save(ctrl2 / f"img_{i}.png")
+    cfg = DatasetConfig.from_dict(
+        {
+            "folder_path": folder,
+            "resolution": 256,
+            "control_path": [str(ctrl1), str(ctrl2)],
+        }
+    )
+    ds = FolderDataset(cfg, bucket_divisibility=16)
+    counts = {len(it.control_paths) for it in ds.items}
+    assert counts == {1, 2}
+    for b in ds.build_batches(batch_size=2):
+        ns = {len(it.control_paths) for it in b}
+        assert len(ns) == 1, f"mixed control counts in one batch: {ns}"

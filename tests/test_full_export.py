@@ -218,3 +218,22 @@ def test_lumina2_full_export_roundtrip(tmp_path):
     _assert_trees_close(
         jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
     )
+
+
+def test_omnigen2_full_export_roundtrip(tmp_path):
+    from ai_toolkit_tpu.io.dit_importers import load_omnigen2_checkpoint
+
+    model = get_model_class("omnigen2")(
+        ModelConfig(arch="omnigen2", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    written = export_full_model(model, variables, str(tmp_path))
+    assert any("transformer" in p for p in written)
+    import safetensors.numpy as stnp
+    flat = stnp.load_file([p for p in written if "transformer" in p][0])
+    assert "ref_image_patch_embedder.weight" in flat
+    assert "image_index_embedding" in flat
+    assert "ref_image_refiner.0.attn.to_q.weight" in flat
+    re = load_omnigen2_checkpoint(str(tmp_path), model)
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
+    )
