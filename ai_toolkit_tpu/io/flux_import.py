@@ -33,6 +33,67 @@ def chroma_approximator_rules() -> list[Rule]:
     return rules
 
 
+def radiance_rules(in_ch: int = 3, pixel_patch: int = 16) -> list[Rule]:
+    """chroma_radiance extras over the chroma trunk (reference
+    chroma/src/radiance.py:130-205): the pixel patchify conv (imported as a
+    Linear over c-major flattened patches) and the NeRF decoder head."""
+    cf = f"conv_flatten:{in_ch}:{pixel_patch}:{pixel_patch}"
+    return [
+        (r"img_in_patch\.weight", "img_in/kernel", cf),
+        (r"img_in_patch\.bias", "img_in/bias", "direct"),
+        (r"nerf_image_embedder\.embedder\.0\.weight", "nerf_embedder/kernel", "linear"),
+        (r"nerf_image_embedder\.embedder\.0\.bias", "nerf_embedder/bias", "direct"),
+        (r"nerf_blocks\.(\d+)\.param_generator\.weight", "nerf_{0}/param_generator/kernel", "linear"),
+        (r"nerf_blocks\.(\d+)\.param_generator\.bias", "nerf_{0}/param_generator/bias", "direct"),
+        (r"nerf_blocks\.(\d+)\.norm\.scale", "nerf_{0}/norm/scale", "direct"),
+        (r"nerf_final_layer_conv\.norm\.scale", "nerf_final_norm/scale", "direct"),
+        (r"nerf_final_layer_conv\.conv\.weight", "nerf_final_conv/kernel", "conv2d"),
+        (r"nerf_final_layer_conv\.conv\.bias", "nerf_final_conv/bias", "direct"),
+    ]
+
+
+def load_radiance_checkpoint(path: str, model) -> dict:
+    """chroma_radiance single-file (lodestones Chroma1-Radiance layout,
+    reference chroma_radiance_model.py:153-180) or a dir containing one,
+    plus optional HF-layout text_encoder_2/ (t5) companion."""
+    import jax
+
+    from safetensors import safe_open
+
+    variables = model.init_variables(jax.random.key(0))
+    f = path
+    if os.path.isdir(path):
+        cands = [os.path.join(path, n) for n in sorted(os.listdir(path))
+                 if n.endswith(".safetensors")]
+        f = cands[0] if cands else None
+    flat = {}
+    if f and os.path.isfile(f):
+        with safe_open(f, "np") as sf:
+            flat = {k: sf.get_tensor(k) for k in sf.keys()}
+        flat = {k.removeprefix("model.diffusion_model."): v for k, v in flat.items()}
+    if not any(k.startswith("double_blocks.") for k in flat):
+        raise ValueError(
+            f"chroma_radiance: no importable checkpoint at {path!r} "
+            "(expected a single safetensors file with double_blocks.* keys)")
+    cfg = model.dit_config
+    rules = (radiance_rules(cfg.in_channels // cfg.pixel_patch ** 2, cfg.pixel_patch)
+             + chroma_approximator_rules() + flux_dit_rules(cfg.scan_blocks))
+    tree, unmatched = torch_to_tree(flat, rules)
+    if unmatched:
+        print(f"radiance import: {len(unmatched)} unmatched (e.g. {unmatched[:3]})")
+    variables["dit"] = _merge_imported(variables["dit"], tree, "radiance dit")
+    if os.path.isdir(path):
+        from ai_toolkit_tpu.io.sd_import import t5_rules
+
+        d = os.path.join(path, "text_encoder_2")
+        if "t5" in variables and os.path.isdir(d):
+            t5_flat = load_safetensors_dir(path, "text_encoder_2")
+            t, _ = torch_to_tree(t5_flat, t5_rules())
+            if t:
+                variables["t5"] = _merge_imported(variables["t5"], t, "t5")
+    return variables
+
+
 def flux_dit_rules(scan_blocks: bool = True) -> list[Rule]:
     if scan_blocks:
         blk = [

@@ -343,6 +343,17 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         rules = flux_dit_rules(model.dit_config.scan_blocks)
         if getattr(model.dit_config, "chroma_mod", False):
             rules = chroma_approximator_rules() + rules
+        if getattr(model.dit_config, "nerf_head", False):
+            from ai_toolkit_tpu.io.flux_import import radiance_rules
+
+            cfg = model.dit_config
+            pp = cfg.pixel_patch
+            # radiance's img_in is the patchify conv (img_in_patch.* in the
+            # checkpoint) — drop the plain-linear flux rule so export doesn't
+            # also emit a mistransposed img_in.weight for the same leaf
+            rules = radiance_rules(cfg.in_channels // pp**2, pp) + [
+                r for r in rules if not r[0].startswith("img_in")
+            ]
         plan.append(("dit", "transformer", W, rules, None))
         if hasattr(model, "vae_config") and hasattr(model.vae_config, "channel_multipliers"):
             plan.append(("vae", "vae", W, vae_rules(

@@ -40,6 +40,11 @@ def convert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(v.transpose(2, 1, 0))
     if kind == "convtranspose1d":  # torch [i, o, k] -> [k, i, o]
         return np.ascontiguousarray(v.transpose(2, 0, 1))
+    if kind.startswith("conv_flatten"):
+        # strided patchify conv == Linear over c-major flattened patches:
+        # torch [O, I, kh, kw] -> kernel [I*kh*kw, O] (chroma radiance
+        # img_in_patch; kind carries ':I:kh:kw' for the inverse direction)
+        return np.ascontiguousarray(v.reshape(v.shape[0], -1).T)
     if kind == "plus_one":  # gemma RMSNorm stores w, applies (1 + w)
         return np.ascontiguousarray(v + 1.0)
     if kind == "flatten_c":  # broadcast-shaped norm gains (C,1,1[,1]) -> (C,)
@@ -111,6 +116,9 @@ def tree_to_torch(tree: dict, rules: list[Rule], depth_hints: dict[str, int] | N
             return np.ascontiguousarray(v.transpose(2, 1, 0))
         if kind == "plus_one":
             return np.ascontiguousarray(v - 1.0)
+        if kind.startswith("conv_flatten"):
+            _, i, kh, kw = kind.split(":")
+            return np.ascontiguousarray(v.T.reshape(-1, int(i), int(kh), int(kw)))
         return np.ascontiguousarray(v)
 
     for pat, tmpl, kind in rules:

@@ -14,7 +14,6 @@ the real checkpoint config can set exact dims without code changes.
 | mageflow(+edit) | mageflow        | flux-style double+single, Qwen3-VL TE, 128ch/16x MageVAE (mageflow.py:11-14) |
 | anima         | anima             | Qwen3-VL-conditioned DiT (anima.py:220)   |
 | nucleus_image | nucleus_image     | Qwen3-VL TE (nucleus_image_model.py:132)  |
-| chroma_radiance | chroma          | chroma family, pixel-space radiance head  |
 | flex2         | flex2             | flux control family (inpaint/control inputs) |
 | hidream_o1    | hidream           | hidream family                            |
 """
@@ -47,8 +46,6 @@ _SPECS: dict[str, dict] = {
                   vae="flux", te="llm", llm_d=2048),
     "nucleus_image": dict(hidden=2560, heads=20, head_dim=128, dd=0, ds=28, ctx=2048,
                           vae="flux", te="llm", llm_d=2048),
-    "chroma_radiance": dict(hidden=3072, heads=24, head_dim=128, dd=19, ds=38, ctx=4096,
-                            vae="flux", te="t5", chroma=True),
 }
 
 _VAES = {

@@ -83,6 +83,18 @@ class FluxConfig:
     chroma_mod: bool = False
     approximator_hidden: int = 5120
     approximator_depth: int = 5
+    # chroma_radiance (reference chroma/src/radiance.py): pixel-space chroma.
+    # Image tokens are raw pixel_patch x pixel_patch pixel patches (c-major
+    # packed, == torch unfold) through a patchify projection, and the final
+    # layer is replaced by a NeRF-style decoder: per-pixel DCT positional
+    # features + hyper-GLU MLPs whose weights are generated per token from
+    # the trunk output, then an RMSNorm + 3x3 conv over the full image.
+    nerf_head: bool = False
+    pixel_patch: int = 16
+    nerf_hidden: int = 64
+    nerf_mlp_ratio: int = 4
+    nerf_depth: int = 4
+    nerf_max_freqs: int = 8
     # --- SD3/MMDiT semantics (diffusers SD3Transformer2DModel) ---
     # qk_norm=False: sd3-medium attention has no q/k RMSNorm (sd3.5 has it)
     qk_norm: bool = True
@@ -151,6 +163,40 @@ class Approximator(nn.Module):
             xn = RMSNorm(hh, dtype=dt, name=f"norm_{i}")(x)
             x = x + MLPEmbedder(hh, dt, pdt, name=f"layer_{i}")(xn)
         return Linear(cfg.hidden_size, dtype=dt, param_dtype=pdt, name="out_proj")(x)
+
+
+def _l2_normalize(x: jax.Array, axis: int) -> jax.Array:
+    """torch.nn.functional.normalize semantics: v / max(||v||_2, 1e-12)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+
+
+class NerfGLUBlock(nn.Module):
+    """Radiance hyper-MLP block (reference chroma/src/layers.py:300-341):
+    a per-token GLU MLP over per-pixel features whose three weight matrices
+    are generated from the trunk token and column (dim=-2) L2-normalized."""
+
+    cfg: "FluxConfig"
+
+    @nn.compact
+    def __call__(self, x, s):
+        # x: [B, N, P^2, nh] per-pixel features; s: [B, N, hidden] trunk tokens
+        cfg = self.cfg
+        nh = cfg.nerf_hidden
+        mw = nh * cfg.nerf_mlp_ratio
+        dt = cfg.dtype
+        p = Linear(3 * nh * mw, dtype=dt, param_dtype=cfg.param_dtype,
+                   name="param_generator")(s)
+        g, v, o = jnp.split(p, 3, axis=-1)
+        b, n = x.shape[:2]
+        fc1_gate = _l2_normalize(g.reshape(b, n, nh, mw), axis=-2)
+        fc1_value = _l2_normalize(v.reshape(b, n, nh, mw), axis=-2)
+        fc2 = _l2_normalize(o.reshape(b, n, mw, nh), axis=-2)
+        xn = RMSNorm(nh, dtype=dt, name="norm")(x)
+        h = jax.nn.silu(jnp.einsum("bnpc,bncm->bnpm", xn, fc1_gate)) * jnp.einsum(
+            "bnpc,bncm->bnpm", xn, fc1_value
+        )
+        return x + jnp.einsum("bnpm,bnmc->bnpc", h, fc2).astype(x.dtype)
 
 
 class QKNorm(nn.Module):
@@ -556,11 +602,13 @@ class FluxDiT(nn.Module):
         guidance: jax.Array | None = None,  # [B]
         txt_mask: jax.Array | None = None,  # [B, N_txt] bool (attn_masking)
         pos_ids: jax.Array | None = None,  # [N_img] int32 rows into pos_embed
+        grid_hw: tuple[int, int] | None = None,  # (gh, gw) patch grid, nerf head
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         h = cfg.hidden_size
 
+        raw_img = img  # nerf head re-reads the raw pixel patches
         img = Linear(h, dtype=dt, param_dtype=pdt, name="img_in")(img)
         if cfg.pos_embed_max_size:
             # sd3: learned absolute positions, center-cropped per resolution
@@ -692,6 +740,12 @@ class FluxDiT(nn.Module):
                 x = SBlock(cfg, name=f"single_{i}")(x, vec, pe, mask, mod=sm)
         x = x[:, txt.shape[1] :]
 
+        if cfg.nerf_head:
+            # radiance decoder (reference chroma/src/radiance.py:346-379):
+            # fin_mod is computed by the approximator but unused (the
+            # reference's final_layer is replaced by the NeRF head).
+            return self._nerf_decode(x, raw_img, grid_hw)
+
         if cfg.chroma_mod:
             shift, scale = fin_mod[:, 0], fin_mod[:, 1]
         else:
@@ -701,6 +755,39 @@ class FluxDiT(nn.Module):
         x = modulate(LayerNorm(use_scale=False, use_bias=False, dtype=dt, name="final_norm")(x), shift, scale)
         out_ch = cfg.out_channels or cfg.in_channels
         return Linear(out_ch, dtype=dt, param_dtype=pdt, name="final_proj")(x)
+
+    def _nerf_decode(self, x, raw_img, grid_hw):
+        """Radiance NeRF decoder (reference chroma/src/radiance.py:346-379).
+
+        x: [B, N, hidden] trunk tokens; raw_img: [B, N, C*P^2] c-major packed
+        pixel patches (== torch unfold layout); returns [B, H, W, C] pixels.
+        """
+        cfg = self.cfg
+        pp = cfg.pixel_patch
+        c_in = cfg.in_channels // (pp * pp)
+        b, n, _ = x.shape
+        # per-patch pixels, pixel-major channel-last (unfold -> [.., P^2, C])
+        pix = raw_img.reshape(b, n, c_in, pp * pp).transpose(0, 1, 3, 2)
+        # NerfEmbedder (layers.py:178-296): f32 math, DCT grid features
+        from ai_toolkit_tpu.models.zimage_dit import _nerf_dct_features
+
+        dct = jnp.asarray(_nerf_dct_features(pp, cfg.nerf_max_freqs))
+        emb_in = jnp.concatenate(
+            [pix.astype(jnp.float32),
+             jnp.broadcast_to(dct[None, None], (b, n, *dct.shape))], axis=-1)
+        hid = Linear(cfg.nerf_hidden, dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                     name="nerf_embedder")(emb_in).astype(cfg.dtype)
+        Blk = nn.remat(NerfGLUBlock, prevent_cse=False) if cfg.remat else NerfGLUBlock
+        for i in range(cfg.nerf_depth):
+            hid = Blk(cfg, name=f"nerf_{i}")(hid, x)
+        # NerfFinalLayerConv (layers.py:358-391): channel RMSNorm, fold back
+        # to the pixel grid, 3x3 conv across patch boundaries
+        hid = RMSNorm(cfg.nerf_hidden, dtype=cfg.dtype, name="nerf_final_norm")(hid)
+        gh, gw = grid_hw if grid_hw is not None else (int(n ** 0.5),) * 2
+        img = hid.reshape(b, gh, gw, pp, pp, cfg.nerf_hidden)
+        img = img.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * pp, gw * pp, cfg.nerf_hidden)
+        return nn.Conv(c_in, (3, 3), padding=1, dtype=cfg.dtype,
+                       param_dtype=cfg.param_dtype, name="nerf_final_conv")(img)
 
 
 # ---- sharding rules ----
@@ -889,3 +976,12 @@ def unpack_latents_cmajor(tokens: jax.Array, h: int, w: int) -> jax.Array:
     x = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
     x = x.transpose(0, 1, 4, 2, 5, 3)  # [b, h2, ph, w2, pw, c]
     return x.reshape(b, h, w, c)
+
+
+def pack_pixels_cmajor(x: jax.Array, p: int) -> jax.Array:
+    """[B, H, W, C] -> [B, (H/p)(W/p), C*p*p] c-major patch tokens — the
+    torch ``unfold(kernel=p, stride=p)`` layout the radiance patchify conv
+    (reference chroma/src/radiance.py:249-256) and its checkpoint expect."""
+    b, h, w, c = x.shape
+    t = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 5, 2, 4)
+    return t.reshape(b, (h // p) * (w // p), c * p * p)

@@ -394,3 +394,132 @@ def _random_blob_mask(b: int, h: int, w: int, rng) -> np.ndarray:
             blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
             out[i, ..., 0] = np.maximum(out[i, ..., 0], blob.astype(np.float32))
     return out
+
+
+@register_model
+class ChromaRadianceModel(FluxModel):
+    """chroma_radiance: pixel-space chroma (reference
+    ``extensions_built_in/diffusion_models/chroma/chroma_radiance_model.py`` +
+    ``src/radiance.py``). The chroma trunk runs on 16x16 raw pixel patches
+    (no VAE — the reference wires a FakeVAE with scaling 1.0) and a NeRF/DCT
+    decoder head produces pixels; T5 is the only text encoder (FakeCLIP), the
+    trainer's guidance input is pinned to 0 (:337) and LoRA saves use the
+    ComfyUI ``diffusion_model.*`` layout (:428-434)."""
+
+    arch = "chroma_radiance"
+    archs = ["chroma_radiance"]
+    bucket_divisibility = 32  # chroma_radiance_model.py:95-97
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        size = config.model_kwargs.get("size", "full")
+        if size == "tiny":
+            base = FluxConfig.tiny()
+            pp, nh, nd, nf = 4, 8, 2, 4
+            appr_h, appr_d = 64, 2
+        else:
+            base = FluxConfig.dev()
+            # chroma_params (radiance.py:46-67)
+            pp, nh, nd, nf = 16, 64, 4, 8
+            appr_h, appr_d = 5120, 5
+        self.dit_config = FluxConfig(**{
+            **base.__dict__,
+            "in_channels": 3 * pp * pp, "out_channels": 3,
+            "guidance_embed": False, "chroma_mod": True,
+            "approximator_hidden": appr_h, "approximator_depth": appr_d,
+            "nerf_head": True, "pixel_patch": pp,
+            "nerf_hidden": nh, "nerf_depth": nd, "nerf_max_freqs": nf,
+        })
+        self.dit = FluxDiT(self.dit_config)
+        self.latent_patch = pp  # trainer image_seq_len hook
+
+    # ---- construction: dit + t5 only (FakeCLIP / FakeVAE in the reference)
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        r_dit, r_t5 = jax.random.split(rng)
+        cfg = self.dit_config
+        pp = cfg.pixel_patch
+        pe = jnp.zeros((1, 8 + 16, cfg.head_dim // 2, 2, 2))
+        dit_vars = self.dit.init(
+            r_dit,
+            jnp.zeros((1, 16, cfg.in_channels), cfg.dtype),
+            jnp.zeros((1, 8, cfg.context_dim), cfg.dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, cfg.vec_dim)),
+            pe,
+            jnp.zeros((1,)),
+            grid_hw=(4, 4),
+        )
+        t5_vars = self.t5.init(r_t5, jnp.zeros((1, self.max_txt_len), jnp.int32))
+        return {"dit": dit_vars["params"], "t5": t5_vars["params"]}
+
+    def load_variables(self, rng: jax.Array) -> dict:
+        path = self.config.name_or_path
+        if path:
+            from ai_toolkit_tpu.io.flux_import import load_radiance_checkpoint
+
+            return load_radiance_checkpoint(path, self)
+        return self.init_variables(rng)
+
+    # ---- conditioning: T5 only, +1 attendable padding token ----
+
+    def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        t5_ids = np.stack([self.tokenizer_t5.encode(p) for p in prompts])
+        txt = jax.jit(self.t5.apply)({"params": variables["t5"]}, jnp.asarray(t5_ids))
+        y = jnp.zeros((len(prompts), self.dit_config.vec_dim))
+        # mask through eos, then modify_mask_to_attend_padding(attn_padding=1)
+        # (radiance.py:70-100,294-297): one extra padding token stays visible
+        ids = np.asarray(t5_ids)
+        is_eos = ids == 1
+        mask = np.cumsum(is_eos, axis=1) - is_eos <= 0
+        lens = mask.sum(axis=1)
+        for i, ln in enumerate(lens):
+            if ln < mask.shape[1]:
+                mask[i, ln] = True
+        return {"txt": txt, "y": y, "txt_mask": jnp.asarray(mask)}
+
+    # ---- geometry: latents ARE pixels ----
+
+    def latent_shape(self, height: int, width: int) -> tuple[int, int, int]:
+        return height, width, 3
+
+    def image_seq_len(self, height: int, width: int) -> int:
+        pp = self.dit_config.pixel_patch
+        return (height // pp) * (width // pp)
+
+    def rope_table(self, latent_h: int, latent_w: int, txt_len: int) -> jnp.ndarray:
+        pp = self.dit_config.pixel_patch
+        ids = image_position_ids(latent_h // pp, latent_w // pp, text_len=txt_len)
+        return multi_axis_rope(
+            jnp.asarray(ids)[None], list(self.dit_config.axes_dim), self.dit_config.theta
+        )
+
+    # ---- forward ----
+
+    def predict(self, variables: dict, noisy_latents: jax.Array, t: jax.Array, cond: dict) -> jax.Array:
+        from ai_toolkit_tpu.models.flux_dit import pack_pixels_cmajor
+
+        b, h, w, c = noisy_latents.shape
+        pp = self.dit_config.pixel_patch
+        img = pack_pixels_cmajor(noisy_latents, pp)
+        return self.dit.apply(
+            {"params": variables["dit"],
+             **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant")}},
+            img,
+            cond["txt"],
+            t,
+            cond["y"],
+            cond["pe"],
+            jnp.zeros(t.shape, t.dtype),  # guidance pinned to 0 (:337-338)
+            cond.get("txt_mask"),
+            grid_hw=(h // pp, w // pp),
+        )
+
+    def encode_images(self, variables: dict, images: jax.Array, rng=None) -> jax.Array:
+        return images  # FakeVAE, scaling_factor 1.0
+
+    def decode_latents(self, variables: dict, latents: jax.Array) -> jax.Array:
+        return latents
+
+    def lora_key_layout(self) -> str:
+        return "comfy"  # diffusion_model.* (chroma_radiance_model.py:428-434)

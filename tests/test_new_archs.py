@@ -212,10 +212,10 @@ def test_flux2_forward_and_conditioning():
 
 @pytest.mark.parametrize("arch", ["chroma_radiance", "boogu_image", "mageflow"])
 def test_long_tail_arch_forward(arch):
-    """Table-driven long-tail archs (models/extra_archs.py) run end-to-end;
-    the chroma-family entries use the Approximator modulation path.
-    (zeta_chroma/zimage left this table in r3 — exact in zimage_dit.py,
-    covered by tests/test_zimage_golden.py.)"""
+    """Long-tail archs run end-to-end; the chroma-family entries use the
+    Approximator modulation path. (zeta_chroma/zimage left the extra_archs
+    table in r3 — exact in zimage_dit.py; chroma_radiance left it in r4 —
+    exact in flux_model.ChromaRadianceModel, tests/test_radiance_golden.py.)"""
     from ai_toolkit_tpu.config.modules import ModelConfig
     from ai_toolkit_tpu.models.registry import get_model_class
 
