@@ -1619,6 +1619,15 @@ class SDTrainProcess:
             return
         for p in written:
             print(f"exported: {p}")
+        if hasattr(self.model, "unet_config"):
+            # sd family: also write the A1111/Comfy-loadable LDM single file
+            # (the reference's primary sd-family save format, saving.py:22-139)
+            from ai_toolkit_tpu.io.ldm_single_file import export_ldm_checkpoint
+
+            p = export_ldm_checkpoint(
+                self.model, variables,
+                os.path.join(self.save_root, f"{self.job_name}_ldm.safetensors"))
+            print(f"exported: {p}")
 
     def _sample(self, state: TrainState, step: int):
         cfg = self.cfg

@@ -81,6 +81,13 @@ class SDModel(BaseTpuModel):
 
     def load_variables(self, rng: jax.Array) -> dict:
         path = self.config.name_or_path
+        if path and os.path.isfile(path):
+            # LDM/SGM single file (v1-5-pruned.safetensors, sd_xl_base_1.0,
+            # .ckpt) — the dominant sd-family distribution format (reference
+            # kohya_model_util.py + keymaps/)
+            from ai_toolkit_tpu.io.ldm_single_file import load_ldm_checkpoint
+
+            return load_ldm_checkpoint(path, self)
         if path and os.path.isdir(path):
             from ai_toolkit_tpu.io.sd_import import load_sd_checkpoint
 
@@ -260,11 +267,26 @@ class SDXLModel(SDModel):
                 tree, _ = torch_to_tree(
                     flat, unet_rules(len(self.refiner_config.block_out_channels)))
                 out["refiner"] = _merge_imported(out["refiner"], tree, "refiner unet")
-            elif os.path.exists(rpath):
-                raise NotImplementedError(
-                    f"refiner_name_or_path '{rpath}': single-file refiner "
-                    f"checkpoints are not import-mapped — pass an HF-layout "
-                    f"dir with unet/")
+            elif os.path.isfile(rpath):
+                # LDM single-file refiner (sd_xl_refiner_1.0.safetensors):
+                # take just the UNet component
+                from ai_toolkit_tpu.io.flux_import import _merge_imported
+                from ai_toolkit_tpu.io.ldm_single_file import (
+                    _load_single_file, is_ldm_checkpoint, split_ldm_checkpoint)
+                from ai_toolkit_tpu.io.sd_import import unet_rules
+                from ai_toolkit_tpu.io.torch_import import torch_to_tree
+
+                flat = _load_single_file(rpath)
+                if not is_ldm_checkpoint(flat):
+                    raise ValueError(
+                        f"refiner_name_or_path '{rpath}': not an LDM "
+                        f"single-file checkpoint and not an HF-layout dir")
+                comps = split_ldm_checkpoint(
+                    flat, self.refiner_config.layers_per_block)
+                tree, _ = torch_to_tree(
+                    comps.get("unet", {}),
+                    unet_rules(len(self.refiner_config.block_out_channels)))
+                out["refiner"] = _merge_imported(out["refiner"], tree, "refiner unet")
             else:
                 print(f"refiner '{rpath}' not found locally — refiner stays random-init")
         return out
