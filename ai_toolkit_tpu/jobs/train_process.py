@@ -347,6 +347,29 @@ class SDTrainProcess:
                         print(f"resumed {k} (TE LoRA)")
                     else:
                         new_trainable[k] = trainable[k]  # shape drift: fresh TE lora
+                if "ctrl" in trainable:
+                    # control_lora: restore the x_embedder expansion from the
+                    # same file (saved as transformer.x_embedder.weight)
+                    from ai_toolkit_tpu.adapters.control_lora import (
+                        load_control_lora_expansion,
+                        upgrade_expansion,
+                    )
+
+                    img_in_key = next(iter(trainable["ctrl"]))
+                    got = load_control_lora_expansion(
+                        ckpt.latest_save_path(), img_in_key
+                    )
+                    if got is not None:
+                        want = trainable["ctrl"][img_in_key]["w"].shape[0]
+                        got[img_in_key]["w"] = jnp.asarray(
+                            upgrade_expansion(got[img_in_key]["w"], want)
+                        )
+                        new_trainable["ctrl"] = got
+                        print("resumed control_lora x_embedder expansion")
+                for k in trainable:
+                    # carry any remaining trainable collections (fresh values
+                    # when the save file has no entry for them)
+                    new_trainable.setdefault(k, trainable[k])
                 state = state.replace(trainable=new_trainable)
                 start_step = resume_step
                 opt_state, ema, _ = ckpt.load_opt_state(
@@ -653,6 +676,14 @@ class SDTrainProcess:
     def _build_trainable(self, model, variables, rng):
         cfg = self.cfg
         net = cfg.network
+        if (net is None and cfg.adapter
+                and cfg.adapter.get("type") in ("control_lora", "i2v")
+                and cfg.adapter.get("lora_config")):
+            # reference control_lora/i2v configs nest the network under
+            # adapter.lora_config (config_modules.py:321-325)
+            from ai_toolkit_tpu.config.modules import NetworkConfig
+
+            net = NetworkConfig.from_dict(dict(cfg.adapter["lora_config"]))
         main_key = self._main_component(variables)
         if cfg.adapter and cfg.adapter.get("type") in ("ip_adapter", "ip_adapter_plus"):
             from ai_toolkit_tpu.adapters.ip_adapter import init_ip_adapter
@@ -919,6 +950,13 @@ class SDTrainProcess:
             self.ti_trigger = trigger
             print(f"textual inversion: trigger '{trigger}' -> {n_vec} vectors")
             return {"emb": {"bank": jnp.asarray(bank)}}, None, "embedding", ""
+        if net is None and cfg.adapter and cfg.adapter.get("type") in (
+            "control_lora", "i2v",
+        ):
+            raise ValueError(
+                f"{cfg.adapter['type']} requires network: {{type: lora, ...}} "
+                "(or adapter.lora_config, the reference's layout)"
+            )
         if net is None or net.type in ("full", "fine_tune"):
             # full fine-tune: train the diffusion component itself; optional
             # module filters (reference model.only_if_contains)
@@ -930,7 +968,148 @@ class SDTrainProcess:
                 n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
                 print(f"full fine-tune (filtered to {n:,} params)")
             return {main_key: tree}, None, "kohya", "lora_transformer"
+        ctrl_extra: dict = {}
+        if cfg.adapter and cfg.adapter.get("type") == "control_lora":
+            # control-lora (reference toolkit/models/control_lora_adapter.py +
+            # custom_adapter.py:258,624-700): full-rank img_in input expansion
+            # over packed control channels ('ctrl' collection, ops/layers.py)
+            # + a LoRA over the rest of the DiT (img_in excluded)
+            from dataclasses import replace as _dc_replace
+
+            from ai_toolkit_tpu.adapters.control_lora import (
+                init_control_lora,
+                load_control_lora_expansion,
+                upgrade_expansion,
+            )
+
+            dc = getattr(model, "dit_config", None)
+            if dc is None or not hasattr(dc, "control_channels"):
+                raise ValueError(
+                    f"control_lora needs a flux-family DiT arch, not {cfg.model.arch}"
+                )
+            if dc.control_channels:
+                raise ValueError(
+                    f"control_lora needs a base arch; {cfg.model.arch} already "
+                    "consumes control channels (kontext/flex2-style)"
+                )
+            nc = int(cfg.adapter.get("num_control_images", 1))
+            inpaint = bool(cfg.adapter.get("has_inpainting_input", False))
+            ctrl = init_control_lora(
+                dc.hidden_size, dc.in_channels, jax.random.fold_in(rng, 41),
+                num_control_images=nc, has_inpainting_input=inpaint,
+            )
+            img_in_key = next(iter(ctrl))
+            lp = cfg.adapter.get("name_or_path")
+            if lp and os.path.isfile(str(lp)):
+                got = load_control_lora_expansion(str(lp), img_in_key)
+                if got is not None:
+                    ctrl[img_in_key]["w"] = jnp.asarray(upgrade_expansion(
+                        got[img_in_key]["w"], ctrl[img_in_key]["w"].shape[0]
+                    ))
+                    print(f"control_lora: restored x_embedder expansion from {lp}")
+            extra_packed = int(ctrl[img_in_key]["w"].shape[0])
+            model.dit_config = _dc_replace(dc, control_channels=extra_packed)
+            model.control_lora_inpaint = inpaint
+            self.control_lora_mode = {
+                "inpaint": inpaint,
+                "num_control": nc,
+                "control_image_dropout": float(
+                    cfg.adapter.get("control_image_dropout", 0.0)
+                ),
+                "invert_inpaint_mask_chance": float(
+                    cfg.adapter.get("invert_inpaint_mask_chance", 0.0)
+                ),
+            }
+            ctrl_extra["ctrl"] = ctrl
+            print(
+                f"CustomAdapter[control_lora]: +{extra_packed} packed input ch "
+                f"on {img_in_key}" + (" (inpainting)" if inpaint else "")
+            )
+        if cfg.adapter and cfg.adapter.get("type") == "i2v":
+            # i2v adapter (reference toolkit/models/i2v_adapter.py +
+            # custom_adapter.py:265): graft image cross-attn KV + the vision
+            # MLPProj (and optionally the first-frame FrameEmbedder) onto a
+            # frozen t2v wan base. The wan DiT already defines the i2v leaves
+            # (WanConfig.i2v) — flip the config, train only the new leaves as
+            # a {'dit': overlay} collection + a LoRA over the rest.
+            from dataclasses import replace as _dc_replace
+
+            from ai_toolkit_tpu.adapters.i2v import (
+                init_frame_embedder_ctrl,
+                new_leaves,
+                scale_added_kv,
+            )
+            from ai_toolkit_tpu.models.text_encoders.clip_vision import (
+                CLIPVisionConfig,
+                CLIPVisionModel,
+            )
+
+            dc = getattr(model, "dit_config", None)
+            if dc is None or not hasattr(dc, "i2v"):
+                raise ValueError(
+                    f"i2v adapter needs a wan-family arch, not {cfg.model.arch}"
+                )
+            if dc.i2v:
+                raise ValueError(
+                    "i2v adapter needs a t2v base; "
+                    f"{cfg.model.arch} is already an i2v arch"
+                )
+            model.dit_config = _dc_replace(dc, i2v=True)
+            model.dit = type(model.dit)(model.dit_config)
+            # frozen vision tower feeding the new image-KV path
+            if model.clip_vision is None:
+                model.vision_config = (
+                    CLIPVisionConfig.tiny()
+                    if cfg.model.model_kwargs.get("size") == "tiny"
+                    else CLIPVisionConfig.vit_h()
+                )
+                model.clip_vision = CLIPVisionModel(model.vision_config)
+                sz = model.vision_config.image_size
+                variables["clip_vision"] = model.clip_vision.init(
+                    jax.random.fold_in(rng, 99), jnp.zeros((1, sz, sz, 3))
+                )["params"]
+            # diff a fresh i2v init against the t2v params -> only-new leaves
+            cfg_i2v = model.dit_config
+            pt_, ph_, pw_ = cfg_i2v.patch_size
+            n_tok = pt_ * ph_ * pw_ * 2
+            full = model.dit.init(
+                jax.random.fold_in(rng, 42),
+                jnp.zeros((1, n_tok, cfg_i2v.in_channels * pt_ * ph_ * pw_)),
+                jnp.zeros((1, 8, cfg_i2v.text_dim)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, n_tok, cfg_i2v.head_dim // 2, 2, 2)),
+                jnp.zeros((1, 4, cfg_i2v.img_cond_dim)),
+            )["params"]
+            overlay = scale_added_kv(new_leaves(full, variables[main_key]))
+            if not overlay:
+                raise ValueError("i2v adapter found no new leaves to train "
+                                 "(base already carries the i2v params?)")
+            ctrl_extra[main_key] = jax.tree.map(
+                lambda x: x.astype(jnp.float32), overlay
+            )
+            start_frame = bool(cfg.adapter.get("i2v_do_start_frame", False))
+            if start_frame:
+                ctrl_extra["ctrl"] = init_frame_embedder_ctrl(
+                    cfg_i2v.dim, model.vae_config.latent_channels,
+                    cfg_i2v.patch_size, jax.random.fold_in(rng, 43),
+                    mask_channels=model.vae_config.temporal_downscale,
+                )
+            self.i2v_mode = {"start_frame": start_frame}
+            n = sum(int(np.prod(np.shape(x)))
+                    for x in jax.tree.leaves(overlay))
+            print(f"CustomAdapter[i2v]: {n:,} grafted i2v params"
+                  + (" + first-frame embedder" if start_frame else ""))
         spec = LoRASpec.from_network_config(net, target_patterns=model.lora_targets())
+        if getattr(self, "control_lora_mode", None) is not None:
+            # the expansion replaces any lora on img_in (reference always
+            # appends 'x_embedder' to ignore_if_contains, :140-144)
+            spec.ignore_if_contains = list(spec.ignore_if_contains or []) + ["img_in"]
+        if getattr(self, "i2v_mode", None) is not None:
+            # reference ignores patch_embedding + the grafted add-kv modules
+            # (i2v_adapter.py:346-354)
+            spec.ignore_if_contains = list(spec.ignore_if_contains or []) + [
+                "patch_embedding", "cross_k_img", "cross_v_img", "img_emb",
+            ]
         if net.type in ("lokr", "lycoris_lokr"):
             from ai_toolkit_tpu.adapters.lycoris import build_lokr
 
@@ -992,7 +1171,7 @@ class SDTrainProcess:
         else:
             fmt = "peft" if model.is_flow_matching else "kohya"
         prefix = "lora_transformer" if model.is_flow_matching else "lora_unet"
-        return {"lora": lora, **trainable_extra}, key_map, fmt, prefix
+        return {"lora": lora, **trainable_extra, **ctrl_extra}, key_map, fmt, prefix
 
     @staticmethod
     def _main_component(variables: dict) -> str:
@@ -1340,10 +1519,32 @@ class SDTrainProcess:
             batch["unconditional_latents"] = jnp.asarray(
                 self._encode_control(raw["unconditional_pixels"])
             )
-        if "first_frame" in raw and hasattr(model, "encode_image_cond"):
+        ff = raw.get("first_frame")
+        if ff is None and getattr(self, "i2v_mode", None) is not None:
+            # i2v adapter on image batches: the image IS the first frame
+            # (reference edit_batch_processed, i2v_adapter.py:554-582)
+            px = raw.get("pixels")
+            if px is not None:
+                ff = px[:, 0] if np.ndim(px) == 5 else px
+            else:
+                raise ValueError(
+                    "i2v adapter needs first-frame pixels: set datasets[]."
+                    "do_i2v for video data or disable latent-only caching"
+                )
+        if ff is not None and hasattr(model, "encode_image_cond"):
             cond["img_cond"] = jnp.asarray(
-                model.encode_image_cond(self._ctrl_variables, jnp.asarray(raw["first_frame"]))
+                model.encode_image_cond(self._ctrl_variables, jnp.asarray(ff))
             )
+        if (getattr(self, "i2v_mode", None) is not None
+                and self.i2v_mode["start_frame"]):
+            # first-frame latent-concat conditioning for the FrameEmbedder
+            # (reference wan_utils.add_first_frame_conditioning)
+            from ai_toolkit_tpu.adapters.i2v import assemble_first_frame_control
+
+            cond["control_latents"] = jnp.asarray(assemble_first_frame_control(
+                np.asarray(ff), int(lat.shape[1]), self._encode_control,
+                temporal_downscale=model.vae_config.temporal_downscale,
+            ))
         if self.cfg.model.arch == "flex2":
             # flex2 33-channel conditioning: [masked latents, inpaint mask,
             # control latents] with per-batch dropouts (reference
@@ -1361,6 +1562,50 @@ class SDTrainProcess:
                     np.asarray(raw["latents"]), keep, ctrl_lat, self._flex2_rng
                 )
             )
+        elif getattr(self, "control_lora_mode", None) is not None:
+            # control_lora conditioning (reference custom_adapter.py:624-700):
+            # the expanded img_in ALWAYS sees the extra channels — zeros when
+            # the control is absent or dropped out
+            clm = self.control_lora_mode
+            if not hasattr(self, "_cl_rng"):
+                self._cl_rng = np.random.default_rng(4321)
+            if clm["inpaint"]:
+                from ai_toolkit_tpu.adapters.control_lora import assemble_inpaint_control
+
+                keep = raw.get("inpaint_keep")
+                if keep is None and "pixel_mask" in raw:
+                    keep = raw["pixel_mask"]
+                cond["control_latents"] = jnp.asarray(assemble_inpaint_control(
+                    np.asarray(raw["latents"]), keep, self._cl_rng,
+                    clm["control_image_dropout"],
+                    clm["invert_inpaint_mask_chance"],
+                ))
+            else:
+                nc = clm["num_control"]
+                lat_np = np.asarray(raw["latents"])
+                b, h2, w2, c = lat_np.shape
+                drop = self._cl_rng.random() < clm["control_image_dropout"]
+                if drop or ("control_pixels" not in raw
+                            and "control_pixels_multi" not in raw):
+                    ctrl_np = np.zeros((b, h2, w2, c * nc), np.float32)
+                elif nc > 1 and "control_pixels_multi" in raw:
+                    cm = raw["control_pixels_multi"]  # [B, N, H, W, 3]
+                    n_have = min(nc, cm.shape[1])
+                    flat = np.asarray(self._encode_control(
+                        cm[:, :n_have].reshape((-1,) + cm.shape[2:])
+                    ))
+                    per = flat.reshape((b, n_have) + flat.shape[1:])
+                    # channel-concat each control (torch cat dim=1 equivalent)
+                    ctrl_np = np.moveaxis(per, 1, 3).reshape(b, h2, w2, n_have * c)
+                    if n_have < nc:
+                        pad = np.zeros((b, h2, w2, (nc - n_have) * c), np.float32)
+                        ctrl_np = np.concatenate([ctrl_np, pad], axis=-1)
+                else:
+                    one = np.asarray(self._encode_control(raw["control_pixels"]))
+                    ctrl_np = (one if nc == 1 else np.concatenate(
+                        [one] + [np.zeros_like(one)] * (nc - 1), axis=-1
+                    ))
+                cond["control_latents"] = jnp.asarray(ctrl_np)
         elif "control_pixels" in raw:
             if self.custom_adapter is not None and self.custom_adapter.adapter_type == "t2i":
                 # trainable t2i adapter consumes raw control pixels in-graph
@@ -1554,13 +1799,43 @@ class SDTrainProcess:
                     )
                     self._export_interop(state, {main_key: merged})
                 extra_flat = None
+                if ("ctrl" in state.trainable
+                        and getattr(self, "control_lora_mode", None) is not None):
+                    # control_lora: x_embedder expansion rides in the same
+                    # file under the reference key (control_lora_adapter.py:
+                    # get_state_dict 'transformer.x_embedder.weight')
+                    from ai_toolkit_tpu.adapters.control_lora import (
+                        control_lora_extra_flat,
+                    )
+
+                    ctree = state.trainable["ctrl"]
+                    if state.ema is not None and "ctrl" in state.ema:
+                        ctree = state.ema["ctrl"]
+                    extra_flat = control_lora_extra_flat(
+                        jax.tree.map(np.asarray, ctree)
+                    )
+                if getattr(self, "i2v_mode", None) is not None:
+                    # i2v: grafted attn_hog/image_embedder/frame_embedder
+                    # pieces in the reference layout (i2v_adapter.py:527-548)
+                    from ai_toolkit_tpu.adapters.i2v import i2v_extra_flat
+
+                    main_key = self._main_component(state.model_variables)
+                    overlay = state.trainable[main_key]
+                    if state.ema is not None and main_key in state.ema:
+                        overlay = state.ema[main_key]
+                    extra_flat = i2v_extra_flat(
+                        jax.tree.map(np.asarray, overlay),
+                        jax.tree.map(np.asarray, state.trainable["ctrl"])
+                        if "ctrl" in state.trainable else None,
+                        patch_size=self.model.dit_config.patch_size,
+                    )
                 te_keys = [k for k in state.trainable if k.startswith("lora_te")]
                 if te_keys:
                     # kohya lora_te* entries beside the unet/transformer lora
                     from ai_toolkit_tpu.io.lora_file import flatten_lora
                     from ai_toolkit_tpu.io.sd_import import clip_lora_key_map
 
-                    extra_flat = {}
+                    extra_flat = extra_flat or {}
                     for k in te_keys:
                         pre = {"lora_te": "lora_te", "lora_te1": "lora_te1",
                                "lora_te2": "lora_te2"}[k]
@@ -1649,6 +1924,10 @@ class SDTrainProcess:
                 **variables,
                 main: {**variables[main], **state.trainable["adapter"]},
             }
+        if "ctrl" in state.trainable:
+            # control_lora / i2v: the input-expansion collection must be live
+            # at sample time (the DiT now expects the extra channels)
+            variables = {**variables, "ctrl": state.trainable["ctrl"]}
         if "lora" not in state.trainable:
             variables = {**variables, **state.trainable}
         else:

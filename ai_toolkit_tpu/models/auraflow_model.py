@@ -107,7 +107,7 @@ class AuraFlowModel(BaseTpuModel):
         b, h, w, c = noisy_latents.shape
         img = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None)

@@ -174,7 +174,7 @@ class FluxModel(BaseTpuModel):
             img = jnp.concatenate([img, pack_latents_cmajor(cond["control_latents"])], axis=-1)
         pe = cond["pe"]
         out = self.dit.apply(
-            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant")}},
+            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant", "ctrl")}},
             img,
             cond["txt"],
             t,
@@ -331,14 +331,38 @@ class FluxModel(BaseTpuModel):
         import jax.numpy as jnp
 
         c = self.vae_config.latent_channels
+        if getattr(self, "control_lora_inpaint", False):
+            # control_lora inpainting layout [masked latents, mask] — an
+            # '.inpaint.' RGBA keeps the alpha area, else inpaint everything
+            inpaint = jnp.zeros((1, h, w, c), jnp.float32)
+            mask = jnp.ones((1, h, w, 1), jnp.float32)
+            if ctrl_img:
+                from PIL import Image
+
+                im = Image.open(ctrl_img)
+                if im.mode == "RGBA":
+                    im = im.resize((gen_width, gen_height))
+                    keep = np.asarray(im.split()[-1], np.float32)[None, ..., None] / 255.0
+                    rgb = np.asarray(im.convert("RGB"), np.float32) / 127.5 - 1.0
+                    lat = self.encode_images(variables, jnp.asarray(rgb)[None])
+                    import cv2
+
+                    keep_l = cv2.resize(keep[0, ..., 0], (w, h))[None, ..., None]
+                    inpaint = lat * jnp.asarray(keep_l)
+                    mask = jnp.asarray(1.0 - keep_l, jnp.float32)
+            return jnp.concatenate([inpaint, mask], axis=-1)
         if self.config.arch != "flex2":
+            # control_lora with num_control_images > 1 expects a wider ctrl
+            # tensor: the provided image fills slot 0, the rest stay zero
+            ctrl_c = max(c, (getattr(self.dit_config, "control_channels", 0) or 4 * c) // 4)
+            out = np.zeros((1, h, w, ctrl_c), np.float32)
             if ctrl_img:
                 from PIL import Image
 
                 im = Image.open(ctrl_img).convert("RGB").resize((gen_width, gen_height))
                 px = jnp.asarray(np.asarray(im, np.float32) / 127.5 - 1.0)[None]
-                return self.encode_images(variables, px)
-            return jnp.zeros((1, h, w, c), jnp.float32)
+                out[..., :c] = np.asarray(self.encode_images(variables, px))
+            return jnp.asarray(out)
 
         inpaint = jnp.zeros((1, h, w, c), jnp.float32)
         mask = jnp.ones((1, h, w, 1), jnp.float32)
@@ -504,7 +528,7 @@ class ChromaRadianceModel(FluxModel):
         img = pack_pixels_cmajor(noisy_latents, pp)
         return self.dit.apply(
             {"params": variables["dit"],
-             **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant")}},
+             **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant", "ctrl")}},
             img,
             cond["txt"],
             t,

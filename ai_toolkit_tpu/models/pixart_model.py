@@ -103,7 +103,7 @@ class PixArtModel(BaseTpuModel):
         cfg = self.dit_config
         tokens = wan_patchify(noisy_latents[:, None], cfg.patch_size)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         t01 = t.astype(jnp.float32) / 1000.0

@@ -260,7 +260,7 @@ class QwenImageModel(BaseTpuModel):
                       else pack_latents_cmajor(ct))
                 img = jnp.concatenate([img, ct], axis=1)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant"):
+        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         txt_mask = cond.get("txt_mask")

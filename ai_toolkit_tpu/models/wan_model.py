@@ -174,11 +174,20 @@ class WanModel(BaseTpuModel):
         )
 
     def predict(self, variables, noisy_latents, t, cond):
-        """noisy_latents: [B, T, h, w, C] video latents."""
+        """noisy_latents: [B, T, h, w, C] video latents. Optional
+        cond['control_latents'] [B, T, h, w, C_ctrl] are patchified separately
+        and feature-concatenated — with a 'ctrl' expansion on patch_embedding
+        this equals the reference FrameEmbedder's two-convs-summed i2v
+        conditioning (i2v_adapter.py:73-109)."""
         b, tt, hh, ww, c = noisy_latents.shape
         cfg = self.dit_config
         tokens = wan_patchify(noisy_latents, cfg.patch_size)
-        adapters = {k: variables[k] for k in ("lora", "loha", "lokr", "dora", "quant") if k in variables}
+        if cond.get("control_latents") is not None:
+            tokens = jnp.concatenate(
+                [tokens, wan_patchify(cond["control_latents"], cfg.patch_size)],
+                axis=-1,
+            )
+        adapters = {k: variables[k] for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl") if k in variables}
 
         def run(params):
             return self._dit_apply(

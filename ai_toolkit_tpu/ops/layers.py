@@ -12,6 +12,13 @@ layer here *reads optional extra variable collections* at apply time:
 - ``quant``: ``{qvalue: int8[in, out], qscale: f32[1, out] or [G, out]}`` —
   weight-only quantized base; dequant happens in-register next to the MXU
   matmul (channelwise or groupwise scales).
+- ``ctrl``: ``{w: [extra_in, out], b?: [out]}`` — trainable input-channel
+  expansion. When present, the layer accepts inputs wider than the frozen
+  kernel and routes the trailing ``extra_in`` features through ``w``:
+  ``y = x_base @ kernel + x_extra @ w``. This is numerically identical to
+  the reference's concat-weight hijack (``control_lora_adapter.py:86-113``
+  ImgEmbedder: ``linear(x, cat([orig_w, new_w], dim=1))``) but stays a pure
+  variable read — the base params are untouched and XLA fuses both matmuls.
 
 If neither collection is present the layer is a plain Dense/Conv.
 """
@@ -73,8 +80,15 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_features = x.shape[-1]
         x = x.astype(self.dtype)
+        x_ctrl = ctrl_w = None
+        if self.has_variable("ctrl", "w"):
+            # trainable input-channel expansion (see module docstring): the
+            # trailing extra_in features bypass the frozen kernel
+            ctrl_w = self.get_variable("ctrl", "w").astype(self.dtype)
+            extra_in = ctrl_w.shape[0]
+            x, x_ctrl = x[..., :-extra_in], x[..., -extra_in:]
+        in_features = x.shape[-1]
         if self.has_variable("quant", "qvalue"):
             # int8 weight-only: keep the matmul in int8-input-friendly form:
             # (x * 1) @ (qv * qs) — XLA fuses the dequant into the matmul.
@@ -117,6 +131,10 @@ class Linear(nn.Module):
         else:
             y = x @ kernel
             y = _lora_delta(self, x, y, self.dtype)
+        if ctrl_w is not None:
+            y = y + x_ctrl @ ctrl_w
+            if self.has_variable("ctrl", "b"):
+                y = y + self.get_variable("ctrl", "b").astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
