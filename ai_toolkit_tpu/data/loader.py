@@ -138,12 +138,17 @@ class DataLoader:
             if n_ctrl > 1:
                 # multi-reference edit conditioning (qwen_image_edit_plus):
                 # [B, N, H, W, 3], short items zero-padded (static N per batch)
-                multi = []
+                multi, counts = [], []
                 for it in batch:
                     cs = it.load_controls()
+                    counts.append(sum(1 for c in cs if c is not None))
                     cs += [blank] * (n_ctrl - len(cs))
                     multi.append(np.stack([c if c is not None else blank for c in cs]))
                 out["control_pixels_multi"] = np.stack(multi)
+                # per-item number of REAL references; downstream masks padded
+                # slots out of attention (reference varies img_shapes per item
+                # so short items never attend to phantom refs)
+                out["control_counts"] = np.asarray(counts, np.int32)
         inp = [it.load_inpaint_mask() for it in batch]
         if any(m is not None for m in inp):
             bw, bh = batch[0].bucket

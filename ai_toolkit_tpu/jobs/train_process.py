@@ -1618,6 +1618,11 @@ class SDTrainProcess:
                 cond["control_latents"] = jnp.asarray(
                     flat.reshape((bsz, n) + flat.shape[1:])
                 )
+                counts = raw.get("control_counts")
+                if counts is not None and int(np.min(counts)) < n:
+                    # mixed reference counts: mask padded slots out of
+                    # attention instead of conditioning on blank frames
+                    cond["ctrl_counts"] = jnp.asarray(counts)
             else:
                 cond["control_latents"] = jnp.asarray(self._encode_control(raw["control_pixels"]))
         if getattr(self, "_assist_net", None) is not None and "control_pixels" in raw:

@@ -603,6 +603,7 @@ class FluxDiT(nn.Module):
         txt_mask: jax.Array | None = None,  # [B, N_txt] bool (attn_masking)
         pos_ids: jax.Array | None = None,  # [N_img] int32 rows into pos_embed
         grid_hw: tuple[int, int] | None = None,  # (gh, gw) patch grid, nerf head
+        img_mask: jax.Array | None = None,  # [B, N_img] bool (padded ref slots)
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
@@ -654,12 +655,16 @@ class FluxDiT(nn.Module):
             vec = vec + MLPEmbedder(h, dt, pdt, name="vector_in")(y.astype(dt))
 
         mask = None
-        if txt_mask is not None:
-            # key-padding mask over [txt | img]: padded prompt tokens are
-            # invisible to everyone (reference train.attn_masking)
-            key_ok = jnp.concatenate(
-                [txt_mask.astype(bool), jnp.ones((txt.shape[0], img.shape[1]), bool)], axis=1
-            )
+        if txt_mask is not None or img_mask is not None:
+            # key-padding mask over [txt | img]: padded prompt tokens (and
+            # padded multi-reference image slots) are invisible to everyone
+            # (reference train.attn_masking; per-item img_shapes for edit_plus)
+            b = img.shape[0]
+            t_ok = (txt_mask.astype(bool) if txt_mask is not None
+                    else jnp.ones((b, txt.shape[1]), bool))
+            i_ok = (img_mask.astype(bool) if img_mask is not None
+                    else jnp.ones((b, img.shape[1]), bool))
+            key_ok = jnp.concatenate([t_ok, i_ok], axis=1)
             s_all = key_ok.shape[1]
             mask = jnp.broadcast_to(key_ok[:, None, None, :], (key_ok.shape[0], 1, s_all, s_all))
 

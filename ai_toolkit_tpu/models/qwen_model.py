@@ -249,6 +249,7 @@ class QwenImageModel(BaseTpuModel):
         else:
             img = pack_latents_cmajor(noisy_latents)
         n_img = img.shape[1]
+        img_mask = None
         if self.is_edit and cond.get("control_latents") is not None:
             ctrl = cond["control_latents"]
             ctrls = (
@@ -259,13 +260,25 @@ class QwenImageModel(BaseTpuModel):
                 ct = (ct.reshape(b, -1, c) if self.is_mageflow
                       else pack_latents_cmajor(ct))
                 img = jnp.concatenate([img, ct], axis=1)
+            counts = cond.get("ctrl_counts")
+            if counts is not None and len(ctrls) > 1:
+                # mixed per-item reference counts: padded slots are attention-
+                # invisible (loader zero-pads to a static N; the reference
+                # instead varies img_shapes per item — same effect)
+                n_tok = (img.shape[1] - n_img) // len(ctrls)
+                slot = jnp.repeat(jnp.arange(len(ctrls)), n_tok)  # [N_ctrl_tok]
+                ok = slot[None, :] < counts[:, None]  # [B, N_ctrl_tok]
+                img_mask = jnp.concatenate(
+                    [jnp.ones((b, n_img), bool), ok], axis=1
+                )
         colls = {"params": variables["dit"]}
         for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         txt_mask = cond.get("txt_mask")
         out = self.dit.apply(
-            colls, img, cond["txt"], t, cond["y"], cond["pe"], None, txt_mask
+            colls, img, cond["txt"], t, cond["y"], cond["pe"], None, txt_mask,
+            img_mask=img_mask,
         )
         if self.is_mageflow:
             return out[:, :n_img].reshape(b, h, w, c)

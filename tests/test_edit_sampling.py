@@ -112,3 +112,43 @@ def test_multi_control_loader(tmp_path):
     raw = next(iter(loader))
     assert raw["control_pixels_multi"].shape == (2, 2, 64, 64, 3)
     assert raw["control_pixels"].shape == (2, 64, 64, 3)
+
+
+def test_qwen_edit_plus_padded_slot_masked():
+    """A padded (blank) reference slot with ctrl_counts masking must be
+    attention-invisible: base-token output equals a run with only the real
+    reference (reference varies per-item img_shapes so short items never
+    attend to phantom refs)."""
+    cls = get_model_class("qwen_image_edit_plus")
+    model = cls(ModelConfig(arch="qwen_image_edit_plus", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    h, w, c = model.latent_shape(64, 64)
+    cond = model.encode_prompt(variables, ["edit"])
+    noisy = jax.random.normal(jax.random.key(1), (1, h, w, c))
+    real = jax.random.normal(jax.random.key(2), (1, 1, h, w, c))
+    blank = jnp.zeros((1, 1, h, w, c))
+
+    model._n_ctrl = 2
+    pe2 = model.rope_table(h, w, int(cond["txt"].shape[1]))
+    out_masked = model.predict(
+        variables, noisy, jnp.array([0.5]),
+        {**cond, "pe": pe2,
+         "control_latents": jnp.concatenate([real, blank], axis=1),
+         "ctrl_counts": jnp.array([1])})
+
+    model._n_ctrl = 1
+    pe1 = model.rope_table(h, w, int(cond["txt"].shape[1]))
+    out_solo = model.predict(
+        variables, noisy, jnp.array([0.5]),
+        {**cond, "pe": pe1, "control_latents": real})
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_solo), atol=2e-4)
+
+    # and WITHOUT the mask the blank slot visibly contaminates the output
+    model._n_ctrl = 2
+    out_unmasked = model.predict(
+        variables, noisy, jnp.array([0.5]),
+        {**cond, "pe": pe2,
+         "control_latents": jnp.concatenate([real, blank], axis=1)})
+    assert not np.allclose(np.asarray(out_unmasked), np.asarray(out_solo),
+                           atol=2e-4)
