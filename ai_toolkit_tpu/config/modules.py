@@ -22,7 +22,7 @@ _TPU_NA_KEYS = {
     "xformers", "sdp", "attention_backend", "low_vram", "device", "gpu_ids",
     "use_flash_attention", "compile", "torch_compile", "cpu_offload",
     "layer_offloading", "layer_offloading_transformer_percent",
-    "layer_offloading_text_encoder_percent", "accuracy_recovery_adapter",
+    "layer_offloading_text_encoder_percent",
     # trainer-internal bookkeeping keys some configs carry
     "orig_batch_size", "num_workers_dataloader",
     # torch device/dtype placement + torch.compile knobs: XLA jit compiles
@@ -545,6 +545,10 @@ class ModelConfig:
     quantize_te: bool = False
     qtype: str = "qfloat8"
     qtype_te: str = "qfloat8"
+    # accuracy recovery adapter: a frozen LoRA shipped with a quantized base
+    # that compensates the quantization error (reference
+    # config_modules.py:739-743; parsed from ``qtype: "<q>|<path>"`` too)
+    accuracy_recovery_adapter: str | None = None
     quantize_kwargs: dict[str, Any] = field(default_factory=dict)
     text_encoder_bits: int = 16  # 8 -> quantize the TE
     low_vram: bool = False
@@ -587,6 +591,14 @@ class ModelConfig:
             obj.param_dtype = obj.dtype
         if obj.text_encoder_bits and obj.text_encoder_bits <= 8:
             obj.quantize_te = True
+        if obj.qtype and "|" in obj.qtype:
+            # reference config_modules.py:741-743: qtype "<q>|<ara_path>"
+            obj.qtype, obj.accuracy_recovery_adapter = obj.qtype.split("|", 1)
+        if obj.accuracy_recovery_adapter and obj.assistant_lora_path:
+            raise ValueError(
+                "Cannot use accuracy recovery adapter and assistant lora at "
+                "the same time (reference config_modules.py:1479)."
+            )
         if obj.arch is None:
             # map legacy flags to arch ids (reference toolkit/config_modules.py:623-821)
             if obj.is_flux:

@@ -293,3 +293,74 @@ def load_lora_file_split(
         for coll, fl in te_flat.items()
     }
     return unflatten_lora(main_flat, inverse_key_map), te_trees, meta
+
+
+def load_lokr_file(path: str, inverse_key_map=None) -> tuple[dict, dict]:
+    """LyCORIS LoKr file -> 'lokr' collection tree (frozen ARA load path,
+    reference util/quantize.py:319-365 detects lokr ARAs by the lycoris
+    prefix). Leaves are {w1, w2, scale}; full-rank LoKr semantics give
+    multiplier 1.0 regardless of the stored alpha (LyCORIS convention for
+    undecomposed factors), which also matches our exporter's default.
+    """
+    from safetensors import safe_open
+
+    flat: dict[str, np.ndarray] = {}
+    with safe_open(path, framework="numpy") as f:
+        meta = dict(f.metadata() or {})
+        for k in f.keys():
+            flat[k] = f.get_tensor(k)
+
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    for key, v in flat.items():
+        for part in ("lokr_w1", "lokr_w2", "alpha"):
+            if key.endswith("." + part):
+                mod = key[: -(len(part) + 1)]
+                groups.setdefault(mod, {})[part] = v
+                break
+
+    tree: dict = {}
+    stacked: dict[str, dict[int, tuple]] = {}
+    for mod, parts in groups.items():
+        if "lokr_w1" not in parts or "lokr_w2" not in parts:
+            continue
+        ext = mod
+        for pre in ("lycoris_", "lora_transformer_", "lora_unet_"):
+            if ext.startswith(pre):
+                ext = ext[len(pre):]
+                break
+        if callable(inverse_key_map):
+            internal = inverse_key_map(ext)
+        elif isinstance(inverse_key_map, dict):
+            internal = inverse_key_map.get(ext, ext.replace(".", "/"))
+        else:
+            internal = ext.replace(".", "/")
+        if internal is None:
+            continue
+        w1 = parts["lokr_w1"].astype(np.float32).T  # torch [b,a] -> [a,b]
+        w2 = parts["lokr_w2"].astype(np.float32).T
+        alpha = float(np.asarray(parts.get("alpha", 1.0)).reshape(-1)[0])
+        if alpha not in (0.0, 1.0) and alpha != w2.shape[-1]:
+            print(f"lokr load: non-unit alpha {alpha} on {mod} ignored "
+                  "(full-rank LoKr multiplier is 1.0)")
+        if "#" in internal:  # stacked (scanned) entry: 'path#layer'
+            base, _, layer = internal.rpartition("#")
+            stacked.setdefault(base, {})[int(layer)] = (w1, w2)
+            continue
+        node = tree
+        pieces = internal.split("/")
+        for k in pieces[:-1]:
+            node = node.setdefault(k, {})
+        node[pieces[-1]] = {"w1": w1, "w2": w2, "scale": np.float32(1.0)}
+
+    for base, layers in stacked.items():
+        idxs = sorted(layers)
+        node = tree
+        pieces = base.split("/")
+        for k in pieces[:-1]:
+            node = node.setdefault(k, {})
+        node[pieces[-1]] = {
+            "w1": np.stack([layers[i][0] for i in idxs]),
+            "w2": np.stack([layers[i][1] for i in idxs]),
+            "scale": np.ones(len(idxs), np.float32),
+        }
+    return tree, meta

@@ -95,7 +95,8 @@ class SDTrainProcess:
         upath = cfg.model.unconditional_lora_path or cfg.model.model_kwargs.get(
             "unconditional_lora_path"
         )
-        if apath or ipath or mpath or upath:
+        arapath = cfg.model.accuracy_recovery_adapter
+        if apath or ipath or mpath or upath or arapath:
             from ai_toolkit_tpu.adapters.lora import merge_lora
             from ai_toolkit_tpu.io.lora_file import load_lora_file
 
@@ -131,6 +132,34 @@ class SDTrainProcess:
                 tree, _ = load_lora_file(upath, inv0)
                 self._uncond_lora = tree
                 print(f"unconditional lora loaded (uncond CFG pass only): {upath}")
+            if arapath:
+                # accuracy recovery adapter (reference util/quantize.py:281-400):
+                # a frozen always-active LoRA/LoKr that compensates the
+                # quantization error of the base. It lives in the FROZEN
+                # variable tree — never merged (merging through int8 would
+                # re-lose the accuracy it recovers), never trained; a trainable
+                # lora stacks with it via rank-concat (train/state.py).
+                from safetensors import safe_open
+
+                with safe_open(arapath, framework="numpy") as f:
+                    first = next(iter(f.keys()), "")
+                    is_lokr = first.startswith("lycoris") and any(
+                        "lokr" in k for k in f.keys()
+                    )
+                if is_lokr:
+                    from ai_toolkit_tpu.io.lora_file import load_lokr_file
+
+                    if (self.cfg.network and self.cfg.network.type == "lokr"):
+                        raise ValueError(
+                            "lokr-format ARA cannot be combined with a "
+                            "trainable lokr network (one lokr collection)."
+                        )
+                    tree, _ = load_lokr_file(arapath, inv0)
+                    variables = {**variables, "lokr": tree}
+                else:
+                    tree, _ = load_lora_file(arapath, inv0)
+                    variables = {**variables, "lora": tree}
+                print(f"accuracy recovery adapter active: {arapath}")
 
         # 1b. optional weight-only quantization of the frozen diffusion core
         # (backend by model.qtype: qfloat8 / qint8 / uint4 / ...)

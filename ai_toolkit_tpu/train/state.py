@@ -65,7 +65,15 @@ def merge_variables(model_variables: dict, trainable: dict) -> dict:
     """
     out = dict(model_variables)
     for key, tree in trainable.items():
-        if key in out and isinstance(out[key], dict) and isinstance(tree, dict):
+        if key == "lora" and key in out:
+            # a frozen lora rides in the base tree (accuracy recovery adapter
+            # on a quantized base, reference util/quantize.py:281-400): the
+            # trainable lora STACKS with it via an exact rank-concat instead
+            # of shadowing its leaves
+            from ai_toolkit_tpu.adapters.lora import concat_loras
+
+            out[key] = concat_loras(out[key], tree)
+        elif key in out and isinstance(out[key], dict) and isinstance(tree, dict):
             out[key] = _deep_merge(out[key], tree)
         else:
             out[key] = tree

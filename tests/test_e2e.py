@@ -498,3 +498,54 @@ def test_ultimate_slider_e2e(tmp_path):
     }]}})
     assert os.path.isfile(out[0]["output"])
     assert np.isfinite(out[0]["loss"])
+
+
+@pytest.mark.slow
+def test_ara_quantized_base_e2e(tmp_path):
+    """qtype "<q>|<path>" loads an accuracy recovery adapter as a frozen lora
+    on the quantized base; a trainable lora stacks with it (reference
+    util/quantize.py:281-400, config_modules.py:741-743)."""
+    folder = make_dataset(tmp_path, n=2, size=32)
+
+    # 1) produce an adapter file to use as the ARA
+    cfg = job_yaml(tmp_path, folder, arch="flux", steps=2)
+    proc = cfg["config"]["process"][0]
+    proc["datasets"][0]["resolution"] = 32
+    proc["sample"]["sample_every"] = 0
+    proc["sample"]["width"] = proc["sample"]["height"] = 32
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(cfg_path))
+    job.run()
+    ara_path = tmp_path / "output" / "e2e_test" / "e2e_test.safetensors"
+    assert ara_path.exists()
+
+    # 2) train a fresh lora on a quantized base with the ARA active
+    cfg2 = job_yaml(tmp_path, folder, arch="flux", steps=2, extra_model={
+        "quantize": True, "qtype": f"int8|{ara_path}",
+    })
+    proc2 = cfg2["config"]["process"][0]
+    proc2["config_name"] = "ara_run"
+    cfg2["config"]["name"] = "ara_run"
+    proc2["datasets"][0]["resolution"] = 32
+    proc2["sample"] = {"sampler": "flowmatch", "sample_every": 2, "width": 32,
+                       "height": 32, "sample_steps": 2, "prompts": ["zxc thing"]}
+    cfg2_path = tmp_path / "job2.yaml"
+    cfg2_path.write_text(yaml.safe_dump(cfg2))
+
+    from ai_toolkit_tpu.config.modules import ModelConfig
+
+    mc = ModelConfig.from_dict({"arch": "flux", "qtype": f"int8|{ara_path}"})
+    assert mc.qtype == "int8"
+    assert mc.accuracy_recovery_adapter == str(ara_path)
+
+    job2 = get_job(get_config(cfg2_path))
+    res = job2.run()
+    assert np.isfinite(res[0]["final_loss"])
+    out_dir = tmp_path / "output" / "ara_run"
+    assert (out_dir / "ara_run.safetensors").exists()
+    assert any(f.endswith(".png") for f in os.listdir(out_dir / "samples"))

@@ -125,3 +125,64 @@ def test_quantize_params_qtype_and_dequantize_tree():
     w0 = params["blk"]["attn"]["kernel"]
     err = jnp.max(jnp.abs(full["blk"]["attn"]["kernel"] - w0))
     assert float(err) < float(jnp.max(jnp.abs(w0))) / 16.0 + 1e-3
+
+
+def test_merge_variables_stacks_frozen_ara_lora():
+    """A frozen 'lora' collection in the base tree (accuracy recovery adapter)
+    must STACK with the trainable lora (exact rank-concat), not be shadowed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from ai_toolkit_tpu.ops.layers import Linear
+    from ai_toolkit_tpu.train.state import merge_variables
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return Linear(16, dtype=jnp.float32, param_dtype=jnp.float32, name="fc")(x)
+
+    net = Net()
+    x = jnp.ones((2, 16))
+    params = net.init(jax.random.key(0), x)["params"]
+    k1, k2 = jax.random.split(jax.random.key(1))
+
+    def mk_lora(k, r):
+        ka, kb = jax.random.split(k)
+        return {"fc": {
+            "a": jax.random.normal(ka, (16, r)) * 0.1,
+            "b": jax.random.normal(kb, (r, 16)) * 0.1,
+            "scale": jnp.float32(1.0),
+        }}
+
+    ara, trained = mk_lora(k1, 4), mk_lora(k2, 2)
+    merged = merge_variables({"params": params, "lora": ara}, {"lora": trained})
+    out = net.apply(merged, x)
+    base = net.apply({"params": params}, x)
+    out_ara = net.apply({"params": params, "lora": ara}, x)
+    out_tr = net.apply({"params": params, "lora": trained}, x)
+    # delta(concat) == delta(ara) + delta(trained), exactly
+    np.testing.assert_allclose(
+        np.asarray(out - base),
+        np.asarray((out_ara - base) + (out_tr - base)), atol=1e-5)
+
+
+def test_load_lokr_file_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ai_toolkit_tpu.io.lora_file import load_lokr_file, save_adapter_file
+
+    tree = {"blk": {"attn": {
+        "w1": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "w2": np.arange(12, dtype=np.float32).reshape(3, 4) * 0.1,
+        "scale": np.float32(1.0),
+    }}}
+    p = str(tmp_path / "ara_lokr.safetensors")
+    save_adapter_file(tree, "lokr", p, prefix="lycoris")
+    got, _ = load_lokr_file(p, {"blk_attn": "blk/attn"})
+    leaf = got["blk"]["attn"]
+    np.testing.assert_allclose(leaf["w1"], tree["blk"]["attn"]["w1"], atol=1e-3)
+    np.testing.assert_allclose(leaf["w2"], tree["blk"]["attn"]["w2"], atol=1e-3)
+    assert float(np.asarray(leaf["scale"])) == 1.0
