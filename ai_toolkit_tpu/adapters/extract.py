@@ -32,18 +32,31 @@ def extract_lora_from_diff(
             continue
         w0 = np.asarray(node["kernel"], np.float32)
         w1 = np.asarray(tuned_index[path]["kernel"], np.float32)
-        if w0.shape != w1.shape or w0.ndim != 2:
+        if w0.shape != w1.shape or w0.ndim not in (2, 3):
             continue
         diff = w1 - w0
         if np.max(np.abs(diff)) < min_diff:
             continue
-        a, b = svd_extract(diff, rank)
-        # bake the alpha/rank scale out so a @ b * (alpha/r) == diff_r
-        scale = alpha / min(rank, a.shape[1])
-        a = a / np.sqrt(scale)
-        b = b / np.sqrt(scale)
+        if w0.ndim == 3:
+            # scanned (nn.scan) module: kernels stacked [L, in, out] — one SVD
+            # per layer, stacked lora leaves with a [L] scale vector
+            pairs = [svd_extract(diff[i], rank) for i in range(diff.shape[0])]
+            a = np.stack([p[0] for p in pairs])
+            b = np.stack([p[1] for p in pairs])
+            scale = alpha / min(rank, a.shape[-1])
+            a = a / np.sqrt(scale)
+            b = b / np.sqrt(scale)
+            leaf = {"a": a, "b": b,
+                    "scale": np.full(a.shape[0], scale, np.float32)}
+        else:
+            a, b = svd_extract(diff, rank)
+            # bake the alpha/rank scale out so a @ b * (alpha/r) == diff_r
+            scale = alpha / min(rank, a.shape[1])
+            a = a / np.sqrt(scale)
+            b = b / np.sqrt(scale)
+            leaf = {"a": a, "b": b, "scale": np.float32(scale)}
         n = lora
         for k in path[:-1]:
             n = n.setdefault(k, {})
-        n[path[-1]] = {"a": a, "b": b, "scale": np.float32(scale)}
+        n[path[-1]] = leaf
     return lora

@@ -549,3 +549,84 @@ def test_ara_quantized_base_e2e(tmp_path):
     out_dir = tmp_path / "output" / "ara_run"
     assert (out_dir / "ara_run.safetensors").exists()
     assert any(f.endswith(".png") for f in os.listdir(out_dir / "samples"))
+
+
+@pytest.mark.slow
+def test_extract_lora_from_full_checkpoints(tmp_path):
+    """Reference ExtractJob contract: two full model checkpoints in (base +
+    tuned), kohya/peft LoRA out — no manual flattening step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.config.modules import ModelConfig, ProcessConfig
+    from ai_toolkit_tpu.io.full_export import export_full_model
+    from ai_toolkit_tpu.jobs.extract_process import ExtractLoraProcess
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("flux")(ModelConfig(arch="flux", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    base_dir = tmp_path / "base"
+    tuned_dir = tmp_path / "tuned"
+    export_full_model(model, variables, str(base_dir))
+
+    # perturb one attention kernel with a known low-rank delta
+    rng = np.random.default_rng(0)
+
+    def bump(tree):
+        import copy
+
+        import copy
+
+        t = copy.deepcopy(jax.tree.map(np.asarray, tree))
+        blk = np.asarray(t["dit"]["double_0"]["img_qkv"]["kernel"], np.float32).copy()
+        cin, cout = blk.shape
+        delta = (rng.normal(size=(cin, 2)) @ rng.normal(size=(2, cout))).astype(np.float32) * 0.05
+        blk += delta
+        t["dit"]["double_0"]["img_qkv"]["kernel"] = blk
+        return t, delta
+
+    tuned_vars, delta = bump(variables)
+    export_full_model(model, tuned_vars, str(tuned_dir))
+
+    proc_cfg = ProcessConfig.from_dict({
+        "type": "extract_lora",
+        "training_folder": str(tmp_path),
+        "base_model": str(base_dir),
+        "extract_model": str(tuned_dir),
+        "arch": "flux",
+        "model_kwargs": {"size": "tiny"},
+        "rank": 4,
+        "output_path": str(tmp_path / "out.safetensors"),
+    })
+    out = ExtractLoraProcess("extract_full", proc_cfg).run()
+    assert out["modules"] >= 1
+
+    from safetensors import safe_open
+
+    with safe_open(str(tmp_path / "out.safetensors"), framework="numpy") as f:
+        keys = list(f.keys())
+    # peft flux layout with per-layer expansion of the scanned stack
+    qkv = [k for k in keys if "attn" in k and "lora_A" in k]
+    assert qkv, keys[:8]
+
+    # recovered delta ~= injected delta (rank 4 >= true rank 2)
+    from ai_toolkit_tpu.io.lora_file import load_lora_file
+
+    inv = {"double_blocks.0.img_attn.qkv": "double_0/img_qkv"}
+    tree, _ = load_lora_file(str(tmp_path / "out.safetensors"),
+                             lambda ext: inv.get(ext))
+    leaf = tree["double_0"]["img_qkv"]
+    a, b, s = np.asarray(leaf["a"]), np.asarray(leaf["b"]), np.asarray(leaf["scale"])
+    np.testing.assert_allclose((a @ b) * s, delta, atol=2e-2)
+
+    # scanned-layout models stack [L, in, out] kernels: per-layer SVD
+    from ai_toolkit_tpu.adapters.extract import extract_lora_from_diff
+
+    w = rng.normal(size=(3, 16, 24)).astype(np.float32)
+    d3 = np.zeros_like(w)
+    d3[1] = (rng.normal(size=(16, 2)) @ rng.normal(size=(2, 24))).astype(np.float32) * 0.1
+    got = extract_lora_from_diff({"m": {"kernel": w}}, {"m": {"kernel": w + d3}}, rank=4)
+    lf = got["m"]
+    r1 = (lf["a"][1] @ lf["b"][1]) * lf["scale"][1]
+    np.testing.assert_allclose(r1, d3[1], atol=5e-3)
+    assert np.abs((lf["a"][0] @ lf["b"][0]) * lf["scale"][0]).max() < 1e-4
