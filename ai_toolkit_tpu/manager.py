@@ -236,7 +236,21 @@ def main(argv=None) -> int:
     sub.add_parser("migrate")
     lp = sub.add_parser("launch")
     lp.add_argument("--port", type=int, default=8675)
+    pc = sub.add_parser("precompile")  # prewarm the persistent XLA cache
+    pc.add_argument("targets", nargs="*", default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "precompile":
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ait_precompile",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "scripts", "precompile.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.main(args.targets or None)
 
     if args.cmd == "detect":
         detect(as_json=args.json)

@@ -35,6 +35,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 @register_model
 class AuraFlowModel(BaseTpuModel):
+    checkpoint_importable = False  # structural-only: refuses name_or_path
     arch = "auraflow"
     archs = ["auraflow"]
     is_flow_matching = True

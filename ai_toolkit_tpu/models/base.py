@@ -24,6 +24,9 @@ class BaseTpuModel:
     archs: list[str] = []
     is_flow_matching: bool = True
     bucket_divisibility: int = 16  # pixel divisibility for bucketed resolutions
+    # False on structural-only archs (no checkpoint importer: they train from
+    # random init and refuse name_or_path loudly); surfaced via /api/archs
+    checkpoint_importable: bool = True
 
     def __init__(self, config: ModelConfig):
         if config.name_or_path and "civitai.com" in str(config.name_or_path):

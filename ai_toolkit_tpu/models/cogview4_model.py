@@ -37,6 +37,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 @register_model
 class CogView4Model(BaseTpuModel):
+    checkpoint_importable = False  # structural-only: refuses name_or_path
     arch = "cogview4"
     archs = ["cogview4"]
     is_flow_matching = True

@@ -60,6 +60,7 @@ class GenericDiTModel(BaseTpuModel):
     """Config-table DiT wrapper for the long-tail archs above."""
 
     arch = "generic_dit"
+    checkpoint_importable = False  # table-driven stand-ins refuse checkpoints
     archs = list(_SPECS.keys())
     is_flow_matching = True
     bucket_divisibility = 16

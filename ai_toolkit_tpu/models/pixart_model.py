@@ -34,6 +34,7 @@ from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 @register_model
 class PixArtModel(BaseTpuModel):
+    checkpoint_importable = False  # structural-only: refuses name_or_path
     arch = "pixart"
     archs = ["pixart", "pixart_sigma"]
     is_flow_matching = False

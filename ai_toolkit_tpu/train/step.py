@@ -932,6 +932,7 @@ def make_jitted_train_step(predict_fn, schedule, cfg: TrainStepConfig, tx,
         )
         return state.replace(trainable=tr, opt_state=opt, ema=ema, step=st), metrics
 
+    stepper._inner = _inner  # exposed for AOT lowering (bench cost_analysis)
     return stepper
 
 

@@ -202,6 +202,10 @@ class _Handler(BaseHTTPRequestHandler):
                     "bucket_divisibility": int(getattr(cls, "bucket_divisibility", 16)),
                     "is_video": hasattr(cls, "frame_count_snapper"),
                     "is_audio": hasattr(cls, "latent_shape_audio"),
+                    # structural-only archs train from random init and refuse
+                    # checkpoint paths (docs/PARITY.md per-arch table)
+                    "checkpoint_importable": bool(
+                        getattr(cls, "checkpoint_importable", True)),
                     "noise_scheduler": "flowmatch"
                     if getattr(cls, "is_flow_matching", True) else "ddpm",
                 })

@@ -33,7 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ai_toolkit_tpu.utils.compile_cache import enable_persistent_cache
 
-enable_persistent_cache()
+_cache_dir = enable_persistent_cache()
+if _cache_dir:
+    try:
+        _n_entries = len(os.listdir(_cache_dir))
+    except OSError:
+        _n_entries = 0
+    print(f"compile cache: {_cache_dir} ({_n_entries} entries; "
+          f"{'warm' if _n_entries else 'COLD - first run compiles for ~5-15 min,'} "
+          f"prewarm via scripts/precompile.py)", file=sys.stderr)
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +104,13 @@ def bench_sdxl(budget_s: float | None = None) -> float | None:
         print(f"sdxl bench produced no number: {out.stdout[-300:]} {out.stderr[-300:]}",
               file=sys.stderr)
         return None
-    print(f"sdxl: {m.group(1)} steps/s", file=sys.stderr)
+    tf = re.search(r"([\d.]+)\s*TFLOP/s \((\d+)% of v5e", out.stdout)
+    if tf:
+        bench_sdxl.tflops = float(tf.group(1))  # picked up by the caller
+        print(f"sdxl: {m.group(1)} steps/s, {tf.group(1)} TFLOP/s "
+              f"({tf.group(2)}% of v5e bf16 peak)", file=sys.stderr)
+    else:
+        print(f"sdxl: {m.group(1)} steps/s", file=sys.stderr)
     return float(m.group(1))
 
 
@@ -212,6 +226,8 @@ def main():
                 v = fn()
                 if v is not None:
                     secondary[name] = round(v, 3)
+                    if getattr(fn, "tflops", None):
+                        secondary[name.replace("steps_per_sec", "tflops")] = fn.tflops
                     # re-print after every secondary: a kill mid-bench keeps
                     # everything measured so far on the last line
                     print(json.dumps({**result, "secondary": secondary}), flush=True)

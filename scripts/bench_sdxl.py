@@ -38,8 +38,25 @@ batch = {"latents": lat, "cond": {"context": ctx, "added_cond": added}}
 t0=time.time()
 state, m = step(state, batch, jax.random.key(2)); l=float(m["loss"])
 print(f"compile+first {time.time()-t0:.0f}s", flush=True)
+# XLA's own per-execution FLOP count for the achieved-TFLOP/s line (the
+# conv-heavy UNet is impractical to account by hand; VERDICT r3 #6)
+step_flops = None
+try:
+    ca = step._inner.lower(
+        state.model_variables, state.trainable, state.opt_state, state.ema,
+        state.step, batch, jax.random.key(2), image_seq_len=None,
+    ).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    step_flops = float(ca.get("flops", 0.0)) or None
+except Exception as e:
+    print(f"cost_analysis unavailable: {e}", flush=True)
 t0=time.time()
 for _ in range(5):
     state, m = step(state, batch, jax.random.key(2)); l=float(m["loss"])
 dt=(time.time()-t0)/5
-print(f"SDXL LoRA @1024 bs{B}: {dt*1000:.0f} ms/step -> {1/dt:.2f} steps/s, {B/dt:.2f} imgs/s", flush=True)
+V5E_BF16_PEAK = 197e12
+extra = ""
+if step_flops:
+    tf = step_flops / dt / 1e12
+    extra = f", {tf:.1f} TFLOP/s ({tf*1e12/V5E_BF16_PEAK*100:.0f}% of v5e bf16 peak, {step_flops/1e12:.1f} TFLOP/step)"
+print(f"SDXL LoRA @1024 bs{B}: {dt*1000:.0f} ms/step -> {1/dt:.2f} steps/s, {B/dt:.2f} imgs/s{extra}", flush=True)

@@ -390,6 +390,12 @@ def test_api_archs_lists_registry():
         assert flux["is_flow_matching"] and flux["noise_scheduler"] == "flowmatch"
         sd1 = next(r for r in rows if r["arch"] == "sd1")
         assert sd1["noise_scheduler"] == "ddpm"
+        # structural-only archs are flagged so the builder can say so
+        assert flux["checkpoint_importable"] is True
+        aura = next(r for r in rows if r["arch"] == "auraflow")
+        assert aura["checkpoint_importable"] is False
+        anima = next(r for r in rows if r["arch"] == "anima")
+        assert anima["checkpoint_importable"] is False
     finally:
         srv.stop()
 
