@@ -276,6 +276,33 @@ class MeanFlowTimeEncoder(nn.Module):
         return LayerNorm(dtype=self.dtype, name="norm")(x)
 
 
+class PixtralResampler(nn.Module):
+    """Reference pixtral_vision.py VisionLanguageAdapter (:358-372): vision
+    tokens -> DiT mid dim via w_in -> GELU -> w_out (both biased). Used by
+    vision_direct with image_encoder_arch=pixtral + flux_only_double
+    (vd_adapter.py:756-760)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Linear(self.out_dim, dtype=self.dtype, param_dtype=self.dtype,
+                   name="w_in")(x.astype(self.dtype))
+        return Linear(self.out_dim, dtype=self.dtype, param_dtype=self.dtype,
+                      name="w_out")(jax.nn.gelu(x, approximate=False))
+
+
+class IdentityTokens(nn.Module):
+    """Raw vision tokens pass straight to the per-block decoupled-KV
+    projections (the reference's non-pixtral flux vision_direct has no
+    resampler: mid_size == vision hidden, vd_adapter.py:539-547)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
 class VisionDirectProj(nn.Module):
     """vision hidden states [B, N, E] -> [B, N, cross_dim] ip tokens."""
 
@@ -425,8 +452,20 @@ def init_custom_adapter(
             jnp.zeros((1, 4), jnp.int32),
         )["params"]
     elif t == "vision_direct":
-        mod = VisionDirectProj(ctx_dim)
-        params = mod.init(rng, jnp.zeros((1, 4, vision_dim)))["params"]
+        if adapter_cfg.get("_flux_family"):
+            # flux family: per-block decoupled-KV reads the tokens directly
+            # (vd_adapter.py:539-547); pixtral + flux_only_double inserts the
+            # VisionLanguageAdapter resampler to the DiT hidden size
+            if (adapter_cfg.get("image_encoder_arch") == "pixtral"
+                    and adapter_cfg.get("flux_only_double")):
+                mod = PixtralResampler(int(adapter_cfg["_dit_hidden"]))
+                params = mod.init(rng, jnp.zeros((1, 4, vision_dim)))["params"]
+            else:
+                mod = IdentityTokens()
+                params = {}
+        else:
+            mod = VisionDirectProj(ctx_dim)
+            params = mod.init(rng, jnp.zeros((1, 4, vision_dim)))["params"]
     elif t == "mean_flow":
         mod = MeanFlowTimeEncoder(ctx_dim, n_tokens=int(adapter_cfg.get("num_tokens", 1)))
         params = mod.init(rng, jnp.zeros((1,)))["params"]

@@ -185,3 +185,149 @@ def save_ip_adapter(ip: dict, proj_params: dict, path: str, metadata: dict | Non
 
     walk(ip)
     save_file(flat, path, metadata={str(k): str(v) for k, v in (metadata or {}).items()})
+
+
+def build_flux_ip_collection(
+    dit_params: dict,
+    mid_dim: int,
+    rng: jax.Array,
+    init: str = "from_qkv",  # 'from_qkv' (vision_direct) | 'random' (ip)
+    only_double: bool = False,
+    scale: float = 1.0,
+) -> dict:
+    """Per-block decoupled-KV 'ip' collection for the flux DiT family
+    (reference vd_adapter.py:514-700 / ip_adapter.py CustomIPFluxAttnProcessor).
+
+    Leaves {to_k [mid, hidden], to_v, scale} per double (and, unless
+    ``only_double`` — the reference's flux_only_double — single) block;
+    scanned layouts get stacked [L, mid, hidden] leaves + a [L] scale.
+
+    ``from_qkv`` initializes from the frozen block K weights sliced/padded to
+    ``mid_dim`` and scaled by 0.01 (vd_adapter.py:616-646); ``random`` uses
+    the torch nn.Linear default (kaiming-uniform over mid_dim fan-in).
+    """
+    out: dict = {}
+    h3 = None
+
+    def make(kern, key):
+        # kern: [h, out] or [L, h, out]; K block = cols [h : 2h]
+        nonlocal h3
+        kern = np.asarray(kern, np.float32)
+        hdim = kern.shape[-2]
+        k_w = kern[..., hdim:2 * hdim]  # [(L,) h, h]
+        stacked = k_w.ndim == 3
+        if init == "from_qkv":
+            if mid_dim <= hdim:
+                wk = k_w[..., :mid_dim, :] * 0.01
+            else:
+                pad_shape = k_w.shape[:-2] + (mid_dim - hdim, hdim)
+                pad = np.asarray(
+                    jax.random.normal(jax.random.fold_in(rng, hash(key) & 0xFFFF),
+                                      pad_shape), np.float32) * 0.01
+                wk = np.concatenate([k_w * 0.01, pad], axis=-2)
+            wv = wk.copy()
+        else:
+            lim = 1.0 / np.sqrt(mid_dim)
+            shape = k_w.shape[:-2] + (mid_dim, hdim)
+            r1, r2 = jax.random.split(jax.random.fold_in(rng, hash(key) & 0xFFFF))
+            wk = np.asarray(jax.random.uniform(r1, shape, jnp.float32, -lim, lim))
+            wv = np.asarray(jax.random.uniform(r2, shape, jnp.float32, -lim, lim))
+        sc = (np.full(k_w.shape[0], scale, np.float32) if stacked
+              else np.float32(scale))
+        return {"to_k": jnp.asarray(wk), "to_v": jnp.asarray(wv),
+                "scale": jnp.asarray(sc)}
+
+    if "double_blocks" in dit_params:  # scanned
+        out["double_blocks"] = {"block": make(
+            dit_params["double_blocks"]["block"]["img_qkv"]["kernel"], "double")}
+        if not only_double and "single_blocks" in dit_params:
+            out["single_blocks"] = {"block": make(
+                dit_params["single_blocks"]["block"]["linear1"]["kernel"], "single")}
+    else:
+        for name, node in dit_params.items():
+            if name.startswith("double_") and "img_qkv" in node:
+                out[name] = make(node["img_qkv"]["kernel"], name)
+            elif (not only_double and name.startswith("single_")
+                  and "linear1" in node):
+                out[name] = make(node["linear1"]["kernel"], name)
+    return out
+
+
+def flux_ip_flat(ip: dict, fmt: str = "vd") -> dict:
+    """Flatten the flux 'ip' collection to the reference key layout:
+    ``adapter_modules.{i}.to_k_adapter.weight`` (vision_direct,
+    vd_adapter.py adapter_modules ModuleList: doubles then singles) or
+    ``ip_adapter.{i}.to_k_ip.weight`` (ip_adapter.py). Torch orientation
+    ([hidden, mid]); scanned stacks expand to per-layer entries."""
+    kname, vname, prefix = (
+        ("to_k_adapter", "to_v_adapter", "adapter_modules") if fmt == "vd"
+        else ("to_k_ip", "to_v_ip", "ip_adapter"))
+    flat: dict[str, np.ndarray] = {}
+    idx = 0
+
+    def emit(leaf):
+        nonlocal idx
+        k = np.asarray(leaf["to_k"], np.float32)
+        v = np.asarray(leaf["to_v"], np.float32)
+        if k.ndim == 3:
+            for l in range(k.shape[0]):
+                flat[f"{prefix}.{idx}.{kname}.weight"] = np.ascontiguousarray(k[l].T)
+                flat[f"{prefix}.{idx}.{vname}.weight"] = np.ascontiguousarray(v[l].T)
+                idx += 1
+        else:
+            flat[f"{prefix}.{idx}.{kname}.weight"] = np.ascontiguousarray(k.T)
+            flat[f"{prefix}.{idx}.{vname}.weight"] = np.ascontiguousarray(v.T)
+            idx += 1
+
+    if "double_blocks" in ip:
+        emit(ip["double_blocks"]["block"])
+        if "single_blocks" in ip:
+            emit(ip["single_blocks"]["block"])
+    else:
+        for name in sorted((n for n in ip if n.startswith("double_")),
+                           key=lambda n: int(n.split("_")[1])):
+            emit(ip[name])
+        for name in sorted((n for n in ip if n.startswith("single_")),
+                           key=lambda n: int(n.split("_")[1])):
+            emit(ip[name])
+    return flat
+
+
+def load_flux_ip_flat(flat: dict, template: dict, fmt: str = "vd") -> dict:
+    """Inverse of :func:`flux_ip_flat` against a shape template (resume)."""
+    kname, vname, prefix = (
+        ("to_k_adapter", "to_v_adapter", "adapter_modules") if fmt == "vd"
+        else ("to_k_ip", "to_v_ip", "ip_adapter"))
+    idx = 0
+
+    def take(leaf):
+        nonlocal idx
+        tk = np.asarray(leaf["to_k"])
+        if tk.ndim == 3:
+            ks, vs = [], []
+            for _ in range(tk.shape[0]):
+                ks.append(np.asarray(flat[f"{prefix}.{idx}.{kname}.weight"]).T)
+                vs.append(np.asarray(flat[f"{prefix}.{idx}.{vname}.weight"]).T)
+                idx += 1
+            return {"to_k": jnp.asarray(np.stack(ks), np.float32),
+                    "to_v": jnp.asarray(np.stack(vs), np.float32),
+                    "scale": leaf["scale"]}
+        k = np.asarray(flat[f"{prefix}.{idx}.{kname}.weight"]).T
+        v = np.asarray(flat[f"{prefix}.{idx}.{vname}.weight"]).T
+        idx += 1
+        return {"to_k": jnp.asarray(k, np.float32),
+                "to_v": jnp.asarray(v, np.float32), "scale": leaf["scale"]}
+
+    out: dict = {}
+    if "double_blocks" in template:
+        out["double_blocks"] = {"block": take(template["double_blocks"]["block"])}
+        if "single_blocks" in template:
+            out["single_blocks"] = {"block": take(template["single_blocks"]["block"])}
+    else:
+        for name in sorted((n for n in template if n.startswith("double_")),
+                           key=lambda n: int(n.split("_")[1])):
+            out[name] = take(template[name])
+        for name in sorted((n for n in template if n.startswith("single_")),
+                           key=lambda n: int(n.split("_")[1])):
+            out[name] = take(template[name])
+    return out

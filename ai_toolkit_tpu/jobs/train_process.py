@@ -740,17 +740,42 @@ class SDTrainProcess:
             )
             n_tokens = int(cfg.adapter.get("num_tokens", 16 if self.ip_plus else 4))
             rdim = int(cfg.adapter.get("resampler_dim", min(768, vis_cfg.hidden_size)))
-            ip, proj_params, proj = init_ip_adapter(
-                variables[self._main_component(variables)],
-                model.unet_config.cross_attention_dim,
-                vis_cfg.hidden_size if self.ip_plus else vis_cfg.projection_dim,
-                n_tokens,
-                jax.random.fold_in(rng, 98),
-                plus=self.ip_plus,
-                resampler_dim=rdim,
-                resampler_depth=int(cfg.adapter.get("resampler_depth", 4)),
-                resampler_heads=int(cfg.adapter.get("resampler_heads", max(1, rdim // 64))),
-            )
+            if model.is_flow_matching and hasattr(model, "dit_config"):
+                # IP-Adapter on the flux family (reference ip_adapter.py:
+                # 508-556 is_flux: Resampler output_dim = DiT hidden; per-
+                # block decoupled KV via CustomIPFluxAttnProcessor2_0)
+                from ai_toolkit_tpu.adapters.ip_adapter import (
+                    Resampler,
+                    build_flux_ip_collection,
+                )
+
+                hid = int(model.dit_config.hidden_size)
+                proj = Resampler(
+                    cross_dim=hid, n_tokens=n_tokens, dim=rdim,
+                    depth=int(cfg.adapter.get("resampler_depth", 4)),
+                    heads=int(cfg.adapter.get("resampler_heads", max(1, rdim // 64))),
+                )
+                proj_params = proj.init(
+                    jax.random.fold_in(rng, 98),
+                    jnp.zeros((1, 5, vis_cfg.hidden_size)))["params"]
+                self.ip_plus = True  # flux ip always feeds patch tokens
+                ip = build_flux_ip_collection(
+                    variables[main_key], hid, jax.random.fold_in(rng, 98),
+                    init="random",
+                    scale=float(cfg.adapter.get("scale", 1.0)),
+                )
+            else:
+                ip, proj_params, proj = init_ip_adapter(
+                    variables[self._main_component(variables)],
+                    model.unet_config.cross_attention_dim,
+                    vis_cfg.hidden_size if self.ip_plus else vis_cfg.projection_dim,
+                    n_tokens,
+                    jax.random.fold_in(rng, 98),
+                    plus=self.ip_plus,
+                    resampler_dim=rdim,
+                    resampler_depth=int(cfg.adapter.get("resampler_depth", 4)),
+                    resampler_heads=int(cfg.adapter.get("resampler_heads", max(1, rdim // 64))),
+                )
             model.ip_proj = proj
             self.ip_mode = True
             print(f"IP-Adapter: {sum(1 for _ in jax.tree.leaves(ip)) // 3} cross-attn sites, "
@@ -937,12 +962,31 @@ class SDTrainProcess:
                     if atype in ("photo_maker", "photo_maker_full")
                     else vis_cfg.hidden_size
                 )
+            is_flux_family = model.is_flow_matching and hasattr(model, "dit_config")
+            if atype == "vision_direct" and is_flux_family:
+                cfg.adapter["_flux_family"] = True
+                cfg.adapter["_dit_hidden"] = int(model.dit_config.hidden_size)
             params, runtime = init_custom_adapter(
                 cfg.adapter, ctx_dim, ctx_key, vision_dim, jax.random.fold_in(rng, 98)
             )
             self.custom_adapter = runtime
             trainable = {"adapter": params}
-            if atype == "vision_direct":
+            if atype == "vision_direct" and is_flux_family:
+                # flux path (vd_adapter.py:568-578 + CustomFluxVDAttnProcessor):
+                # per-block decoupled KV over the joint query, init from the
+                # frozen block K weights
+                from ai_toolkit_tpu.adapters.ip_adapter import build_flux_ip_collection
+
+                only_double = bool(cfg.adapter.get("flux_only_double", False))
+                pixtral = cfg.adapter.get("image_encoder_arch") == "pixtral"
+                mid = (int(model.dit_config.hidden_size)
+                       if (pixtral and only_double) else vision_dim)
+                trainable["ip"] = build_flux_ip_collection(
+                    variables[main_key], mid, jax.random.fold_in(rng, 101),
+                    init="from_qkv", only_double=only_double,
+                    scale=float(cfg.adapter.get("scale", 1.0)),
+                )
+            elif atype == "vision_direct":
                 from ai_toolkit_tpu.adapters.ip_adapter import build_ip_collection
 
                 trainable["ip"] = build_ip_collection(

@@ -210,14 +210,40 @@ class QKNorm(nn.Module):
         return q, k
 
 
-def _attend(q, k, v, pe, mask=None):
+def _attend(q, k, v, pe, mask=None, extra_kv=None):
     """RoPE-rotate then joint attention. q,k,v: [B,S,H,D]; pe: [B,S,D/2,2,2];
-    mask: [B,1,S,S] bool (key-padding; forces the XLA attention path)."""
+    mask: [B,1,S,S] bool (key-padding; forces the XLA attention path).
+
+    extra_kv: optional (k_ip [B,N,H,D], v_ip, scale) decoupled-KV adapter
+    attention (reference vd_adapter.py CustomFluxVDAttnProcessor2_0:454-487 /
+    ip_adapter.py CustomIPFluxAttnProcessor2_0): the SAME rope'd query attends
+    to the adapter tokens and the scaled result adds to the base attention
+    output before the out-projection."""
     from ai_toolkit_tpu.ops.rope import apply_rope
 
     q = apply_rope(q, pe)
     k = apply_rope(k, pe)
-    return dot_product_attention(q, k, v, mask=mask)
+    out = dot_product_attention(q, k, v, mask=mask)
+    if extra_kv is not None:
+        ik, iv, iscale = extra_kv
+        ip_out = dot_product_attention(q, ik, iv)
+        out = out + (iscale * ip_out.astype(jnp.float32)).astype(out.dtype)
+    return out
+
+
+def _ip_kv(module, ip_tokens, nh, hd, dt):
+    """Per-block decoupled-KV projections from the 'ip' collection
+    (to_k/to_v [mid, hidden] + scale; reference to_k_adapter/to_k_ip).
+    Returns (k, v, scale) or None when the block carries no adapter."""
+    if ip_tokens is None or not module.has_variable("ip", "to_k"):
+        return None
+    wk = module.get_variable("ip", "to_k").astype(dt)
+    wv = module.get_variable("ip", "to_v").astype(dt)
+    scale = jnp.asarray(module.get_variable("ip", "scale"), jnp.float32)
+    b, n = ip_tokens.shape[:2]
+    k = (ip_tokens.astype(dt) @ wk).reshape(b, n, nh, hd)
+    v = (ip_tokens.astype(dt) @ wv).reshape(b, n, nh, hd)
+    return k, v, scale
 
 
 class SwiGLU(nn.Module):
@@ -361,7 +387,7 @@ class DoubleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, img, txt, vec, pe, mask=None, mod=None):
+    def __call__(self, img, txt, vec, pe, mask=None, mod=None, ip_tokens=None):
         cfg = self.cfg
         dt = cfg.dtype
         pdt = cfg.param_dtype
@@ -418,7 +444,7 @@ class DoubleBlock(nn.Module):
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)
         v = jnp.concatenate([tv, iv], axis=1)
-        attn = _attend(q, k, v, pe, mask)
+        attn = _attend(q, k, v, pe, mask, extra_kv=_ip_kv(self, ip_tokens, nh, hd, dt))
         s_txt = txt.shape[1]
         t_attn, i_attn = attn[:, :s_txt], attn[:, s_txt:]
         b = img.shape[0]
@@ -500,7 +526,7 @@ class SingleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe, mask=None, mod=None):
+    def __call__(self, x, vec, pe, mask=None, mod=None, ip_tokens=None):
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
@@ -538,7 +564,7 @@ class SingleBlock(nn.Module):
         qkv, mlp = lin1[..., : h * 3], lin1[..., h * 3 :]
         q, k, v = jnp.split(qkv.reshape(b, s, 3 * nh, hd), 3, axis=2)
         q, k = QKNorm(hd, dt, name="qknorm")(q, k)
-        attn = _attend(q, k, v, pe, mask)
+        attn = _attend(q, k, v, pe, mask, extra_kv=_ip_kv(self, ip_tokens, nh, hd, dt))
         if cfg.gated_mlp:
             m1, m2 = jnp.split(mlp, 2, axis=-1)
             act = jax.nn.silu(m1) * m2
@@ -554,9 +580,10 @@ class _DoubleCarry(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, carry, vec, pe, mask):
+    def __call__(self, carry, vec, pe, mask, ip_tokens=None):
         img, txt = carry
-        img, txt = DoubleBlock(self.cfg, name="block")(img, txt, vec, pe, mask)
+        img, txt = DoubleBlock(self.cfg, name="block")(img, txt, vec, pe, mask,
+                                                       ip_tokens=ip_tokens)
         return (img, txt), None
 
 
@@ -564,8 +591,9 @@ class _SingleCarry(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe, mask):
-        return SingleBlock(self.cfg, name="block")(x, vec, pe, mask), None
+    def __call__(self, x, vec, pe, mask, ip_tokens=None):
+        return SingleBlock(self.cfg, name="block")(x, vec, pe, mask,
+                                                   ip_tokens=ip_tokens), None
 
 
 class _DoubleCarryMod(nn.Module):
@@ -604,6 +632,7 @@ class FluxDiT(nn.Module):
         pos_ids: jax.Array | None = None,  # [N_img] int32 rows into pos_embed
         grid_hw: tuple[int, int] | None = None,  # (gh, gw) patch grid, nerf head
         img_mask: jax.Array | None = None,  # [B, N_img] bool (padded ref slots)
+        ip_tokens: jax.Array | None = None,  # [B, N_ip, mid] adapter tokens
     ) -> jax.Array:
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
@@ -670,7 +699,7 @@ class FluxDiT(nn.Module):
 
         if cfg.scan_blocks:
             scan_kwargs = dict(
-                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0, "ctrl": 0},
+                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0, "ctrl": 0, "ip": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},
@@ -708,22 +737,23 @@ class FluxDiT(nn.Module):
                 n_final = 1 if cfg.final_context_pre_only else 0
                 n_dual = cfg.dual_attention_layers
                 n_main = cfg.depth_double - n_dual - n_final
+                scan_kwargs["in_axes"] = (nn.broadcast,) * 4  # (+ ip_tokens)
                 if n_dual > 0:
                     dcfg = _dc.replace(cfg, dual_attention=True)
                     (img, txt), _ = nn.scan(DCarry, length=n_dual, **scan_kwargs)(
                         dcfg, name="dual_blocks"
-                    )((img, txt), vec, pe, mask)
+                    )((img, txt), vec, pe, mask, ip_tokens)
                 if n_main > 0:
                     (img, txt), _ = nn.scan(DCarry, length=n_main, **scan_kwargs)(
                         cfg, name="double_blocks"
-                    )((img, txt), vec, pe, mask)
+                    )((img, txt), vec, pe, mask, ip_tokens)
                 if n_final:
                     img = FinalDoubleBlock(cfg, name="final_block")(img, txt, vec, pe, mask)
                 x = jnp.concatenate([txt, img], axis=1)
                 if cfg.depth_single > 0:
                     x, _ = nn.scan(SCarry, length=cfg.depth_single, **scan_kwargs)(
                         cfg, name="single_blocks"
-                    )(x, vec, pe, mask)
+                    )(x, vec, pe, mask, ip_tokens)
         else:
             import dataclasses as _dc
 
@@ -733,16 +763,19 @@ class FluxDiT(nn.Module):
             n_dual = 0 if cfg.chroma_mod else cfg.dual_attention_layers
             dcfg = _dc.replace(cfg, dual_attention=True) if n_dual else cfg
             for i in range(n_dual):
-                img, txt = DBlock(dcfg, name=f"dual_{i}")(img, txt, vec, pe, mask)
+                img, txt = DBlock(dcfg, name=f"dual_{i}")(img, txt, vec, pe, mask,
+                                                          ip_tokens=ip_tokens)
             for i in range(cfg.depth_double - n_dual - n_final):
                 dm = (img_mod[:, i], txt_mod[:, i]) if cfg.chroma_mod else None
-                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe, mask, mod=dm)
+                img, txt = DBlock(cfg, name=f"double_{i}")(img, txt, vec, pe, mask,
+                                                           mod=dm, ip_tokens=ip_tokens)
             if n_final:
                 img = FinalDoubleBlock(cfg, name="final_block")(img, txt, vec, pe, mask)
             x = jnp.concatenate([txt, img], axis=1)
             for i in range(cfg.depth_single):
                 sm = sing_mod[:, i] if cfg.chroma_mod else None
-                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe, mask, mod=sm)
+                x = SBlock(cfg, name=f"single_{i}")(x, vec, pe, mask, mod=sm,
+                                                    ip_tokens=ip_tokens)
         x = x[:, txt.shape[1] :]
 
         if cfg.nerf_head:

@@ -173,8 +173,15 @@ class FluxModel(BaseTpuModel):
         if cond.get("control_latents") is not None:
             img = jnp.concatenate([img, pack_latents_cmajor(cond["control_latents"])], axis=-1)
         pe = cond["pe"]
+        ip_tokens = cond.get("ip_tokens")
+        if (ip_tokens is None and "ip_embeds" in cond and "ip_proj" in variables
+                and hasattr(self, "ip_proj")):
+            # IP-Adapter flux (reference ip_adapter.py:494-556): resampler
+            # tokens feed the per-block decoupled-KV attention
+            ip_tokens = self.ip_proj.apply({"params": variables["ip_proj"]},
+                                           cond["ip_embeds"])
         out = self.dit.apply(
-            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant", "ctrl")}},
+            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant", "ctrl", "ip")}},
             img,
             cond["txt"],
             t,
@@ -182,6 +189,7 @@ class FluxModel(BaseTpuModel):
             pe,
             cond.get("guidance"),
             cond.get("txt_mask"),
+            ip_tokens=ip_tokens,
         )
         return unpack_latents_cmajor(out, h, w)
 

@@ -144,3 +144,109 @@ def test_ip_adapter_plus_trainer_e2e(tmp_path):
     results = job.run()
     assert np.isfinite(results[0]["final_loss"])
     assert (tmp_path / "out" / "ipp" / "ipp.safetensors").exists()
+
+
+def test_flux_ip_collection_forward_and_grads():
+    """Flux decoupled-KV path (reference vd_adapter.py
+    CustomFluxVDAttnProcessor2_0 / ip_adapter.py CustomIPFluxAttnProcessor2_0):
+    ip_tokens + 'ip' collection change the output; absent tokens are a no-op;
+    grads flow to to_k/to_v."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.adapters.ip_adapter import (
+        build_flux_ip_collection,
+        flux_ip_flat,
+        load_flux_ip_flat,
+    )
+    from ai_toolkit_tpu.models.flux_dit import FluxConfig, FluxDiT
+    from ai_toolkit_tpu.ops.rope import image_position_ids, multi_axis_rope
+
+    for scan in (False, True):
+        cfg = FluxConfig.tiny()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, scan_blocks=scan)
+        model = FluxDiT(cfg)
+        n_txt, gh = 8, 4
+        img = jnp.ones((1, gh * gh, cfg.in_channels)) * 0.1
+        txt = jnp.ones((1, n_txt, cfg.context_dim)) * 0.1
+        t = jnp.array([0.5])
+        y = jnp.zeros((1, cfg.vec_dim))
+        ids = image_position_ids(gh, gh, text_len=n_txt)
+        pe = multi_axis_rope(jnp.asarray(ids)[None], list(cfg.axes_dim), cfg.theta)
+        params = model.init(jax.random.key(0), img, txt, t, y, pe, t)["params"]
+
+        mid = 24
+        ip = build_flux_ip_collection(params, mid, jax.random.key(1),
+                                      init="from_qkv")
+        tokens = jax.random.normal(jax.random.key(2), (1, 5, mid))
+
+        base = model.apply({"params": params}, img, txt, t, y, pe, t)
+        with_ip = model.apply({"params": params, "ip": ip}, img, txt, t, y,
+                              pe, t, ip_tokens=tokens)
+        no_tok = model.apply({"params": params, "ip": ip}, img, txt, t, y, pe, t)
+        assert not np.allclose(np.asarray(base), np.asarray(with_ip)), scan
+        np.testing.assert_allclose(np.asarray(base), np.asarray(no_tok),
+                                   atol=1e-6)
+
+        def loss(ip):
+            out = model.apply({"params": params, "ip": ip}, img, txt, t, y,
+                              pe, t, ip_tokens=tokens)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(ip)
+        gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0, scan
+
+        # only_double: single blocks carry no adapter
+        ip_d = build_flux_ip_collection(params, mid, jax.random.key(1),
+                                        init="from_qkv", only_double=True)
+        keys = set(ip_d.keys())
+        assert not any(k.startswith("single") for k in keys), keys
+
+        # reference-layout flat round-trip
+        flat = flux_ip_flat(ip, fmt="vd")
+        assert any(k.startswith("adapter_modules.0.to_k_adapter") for k in flat)
+        back = load_flux_ip_flat(flat, ip, fmt="vd")
+        for a, b in zip(jax.tree.leaves(ip), jax.tree.leaves(back)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), atol=1e-6)
+
+
+def test_flux_ip_adapter_trainer_e2e(tmp_path):
+    """ip_adapter_plus on tiny flux: Resampler -> DiT hidden tokens ->
+    decoupled per-block KV (reference ip_adapter.py:508-556 is_flux)."""
+    import yaml
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text("x")
+    cfg = {"job": "extension", "config": {"name": "ipf", "process": [{
+        "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
+        "adapter": {"type": "ip_adapter_plus", "num_tokens": 4,
+                    "resampler_depth": 1, "resampler_dim": 32},
+        "save": {"save_every": 100},
+        "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                      "resolution": 32, "cache_latents": False,
+                      "cache_latents_to_disk": False}],
+        "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                  "optimizer": "adamw", "lr": 1e-4, "dtype": "float32",
+                  "ema_config": {"use_ema": False}},
+        "model": {"name_or_path": "", "arch": "flux",
+                  "model_kwargs": {"size": "tiny"}},
+        "sample": {"sample_every": 0, "prompts": []},
+    }]}}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    assert (tmp_path / "out" / "ipf" / "ipf.safetensors").exists()
