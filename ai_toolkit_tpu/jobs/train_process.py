@@ -940,7 +940,34 @@ class SDTrainProcess:
                 variables["llm_te"] = llm_params
                 cfg.adapter["_llm_hidden"] = lcfg.d_model
             vision_dim = 0
-            if atype not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter"):
+            if (atype not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter")
+                    and cfg.adapter.get("image_encoder_arch") == "pixtral"):
+                # exact pixtral tower (reference pixtral_vision.py; vd_adapter
+                # image_encoder_arch == 'pixtral')
+                from ai_toolkit_tpu.models.text_encoders.pixtral_vision import (
+                    PixtralVisionConfig,
+                    PixtralVisionEncoder,
+                    load_pixtral_encoder,
+                )
+
+                ppath = cfg.adapter.get("image_encoder_path") or ""
+                if ppath and os.path.isdir(ppath):
+                    self.vision_tower, ptree = load_pixtral_encoder(ppath)
+                    variables["clip_vision"] = ptree
+                    pix_cfg = self.vision_tower.cfg
+                else:
+                    pix_cfg = (PixtralVisionConfig.tiny()
+                               if cfg.model.model_kwargs.get("size") == "tiny"
+                               else PixtralVisionConfig())
+                    self.vision_tower = PixtralVisionEncoder(pix_cfg)
+                    sz0 = min(pix_cfg.image_size, 256)
+                    variables["clip_vision"] = self.vision_tower.init(
+                        jax.random.fold_in(rng, 99), jnp.zeros((1, sz0, sz0, 3))
+                    )["params"]
+                self.vision_size = min(pix_cfg.image_size, 512)
+                self.vision_is_pixtral = True
+                vision_dim = pix_cfg.hidden_size
+            elif atype not in ("single_value", "mean_flow", "t2i", "decorator", "llm_adapter"):
                 from ai_toolkit_tpu.models.text_encoders.clip_vision import (
                     CLIPVisionConfig,
                     CLIPVisionModel,
@@ -1494,10 +1521,25 @@ class SDTrainProcess:
                     vt, vv = self.vision_tower, self._ctrl_variables["clip_vision"]
                     sz = self.vision_size
 
-                    def _enc_tokens(px):
-                        px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
-                        out = vt.apply({"params": vv}, px)
-                        return out["penultimate_hidden_state"], out["pooled_output"]
+                    if getattr(self, "vision_is_pixtral", False):
+                        from ai_toolkit_tpu.models.text_encoders.pixtral_vision import (
+                            PIXTRAL_MEAN,
+                            PIXTRAL_STD,
+                        )
+
+                        mean = jnp.asarray(PIXTRAL_MEAN)
+                        std = jnp.asarray(PIXTRAL_STD)
+
+                        def _enc_tokens(px):
+                            px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
+                            px = (px - mean) / std  # reference normalize :405
+                            tokens = vt.apply({"params": vv}, px)
+                            return tokens, tokens.mean(axis=1)
+                    else:
+                        def _enc_tokens(px):
+                            px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
+                            out = vt.apply({"params": vv}, px)
+                            return out["penultimate_hidden_state"], out["pooled_output"]
 
                     self._vision_tokens_encode = jax.jit(_enc_tokens)
                 tokens, pooled = self._encode_vision_cached(raw.get("clip_pixels", raw["pixels"]))

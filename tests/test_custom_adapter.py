@@ -538,3 +538,47 @@ def test_subpixel_roundtrip_and_latent_shape():
     np.testing.assert_allclose(
         np.asarray(model.decode_latents({}, lat)), np.asarray(x), rtol=1e-4, atol=1e-5
     )
+
+
+def test_vision_direct_flux_pixtral_e2e(tmp_path):
+    """vision_direct on flux with the exact pixtral tower (reference
+    vd_adapter.py flux path + pixtral_vision.py): per-block decoupled KV
+    trains; pixtral+flux_only_double inserts the VisionLanguageAdapter."""
+    import yaml
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text("x")
+
+    for extra in ({}, {"flux_only_double": True}):
+        out_name = "vdpx" + ("d" if extra else "")
+        cfg = {"job": "extension", "config": {"name": out_name, "process": [{
+            "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
+            "adapter": {"type": "vision_direct",
+                        "image_encoder_arch": "pixtral", **extra},
+            "save": {"save_every": 100},
+            "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                          "resolution": 32, "cache_latents": False,
+                          "cache_latents_to_disk": False}],
+            "train": {"batch_size": 1, "steps": 2,
+                      "noise_scheduler": "flowmatch", "optimizer": "adamw",
+                      "lr": 1e-4, "dtype": "float32",
+                      "ema_config": {"use_ema": False}},
+            "model": {"name_or_path": "", "arch": "flux",
+                      "model_kwargs": {"size": "tiny"}},
+            "sample": {"sample_every": 0, "prompts": []},
+        }]}}
+        p = tmp_path / f"job_{out_name}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        from ai_toolkit_tpu.config import get_config
+        from ai_toolkit_tpu.jobs import get_job
+
+        job = get_job(get_config(p))
+        results = job.run()
+        assert np.isfinite(results[0]["final_loss"])
+        assert (tmp_path / "out" / out_name / f"{out_name}.safetensors").exists()
