@@ -499,21 +499,39 @@ class SDTrainProcess:
         aux_loss_fn = None
         dfe_path = tc.diffusion_feature_extractor_path or tc.latent_feature_extractor_path
         if dfe_path is not None:
-            from ai_toolkit_tpu.models.dfe import load_dfe, make_dfe_loss
-
-            in_ch = getattr(model, "vae_config", None)
-            in_ch = getattr(in_ch, "latent_channels", 4)
-            real = dfe_path if isinstance(dfe_path, str) and os.path.isfile(dfe_path) else None
-            if real is None:
-                print(f"DFE: no weight file at {dfe_path!r} — random-init feature net")
-            module, dfe_params, dfe_ver = load_dfe(real, in_ch)
             dfe_w = float(
                 tc.diffusion_feature_extractor_weight
                 if tc.diffusion_feature_extractor_path
                 else tc.latent_feature_loss_weight
             )
-            aux_loss_fn = make_dfe_loss(module, dfe_params, dfe_ver, schedule, dfe_w)
-            print(f"DFE perceptual loss active (v{dfe_ver}, weight {dfe_w})")
+            if isinstance(dfe_path, str) and dfe_path.split(":")[0] in (
+                    "v7", "v8", "v7-tiny", "v8-tiny"):
+                # pixel-space TIPSv2 DPT perceptual loss (reference DFE 7/8)
+                from ai_toolkit_tpu.models.dfe import load_dfe7, make_dfe7_loss
+
+                module, dfe_params, partial = load_dfe7(dfe_path)
+                _vfrozen = {k: v for k, v in variables.items()
+                            if k in ("vae", "params")}
+
+                def _decode(lat, _m=model, _v=_vfrozen):
+                    return _m.decode_latents(_v, lat)
+
+                aux_loss_fn = make_dfe7_loss(module, dfe_params, schedule,
+                                             dfe_w, _decode,
+                                             partial_step=partial)
+                print(f"DFE perceptual loss active (tipsv2 "
+                      f"{'v8 partial-step' if partial else 'v7'}, weight {dfe_w})")
+            else:
+                from ai_toolkit_tpu.models.dfe import load_dfe, make_dfe_loss
+
+                in_ch = getattr(model, "vae_config", None)
+                in_ch = getattr(in_ch, "latent_channels", 4)
+                real = dfe_path if isinstance(dfe_path, str) and os.path.isfile(dfe_path) else None
+                if real is None:
+                    print(f"DFE: no weight file at {dfe_path!r} — random-init feature net")
+                module, dfe_params, dfe_ver = load_dfe(real, in_ch)
+                aux_loss_fn = make_dfe_loss(module, dfe_params, dfe_ver, schedule, dfe_w)
+                print(f"DFE perceptual loss active (v{dfe_ver}, weight {dfe_w})")
         if base is not None:
             _inner = jax.jit(
                 lambda mv, tr, os_, ema, st, batch, rng, image_seq_len=None: (

@@ -243,3 +243,81 @@ def make_dfe_loss(module, params, version: int, schedule, weight: float):
         return weight * loss
 
     return v1_loss if version == 1 else v2_loss
+
+
+def load_dfe7(path: str):
+    """DFE v7/v8 backbone (reference diffusion_feature_extraction.py:848-1075:
+    ``load_dfe("v7")`` -> TIPSv2 b14-dpt). ``path`` is "v7"/"v8" (random-init
+    offline) or "v7:<dir>" pointing at local tipsv2 weights. Returns
+    (module, params, partial_step)."""
+    import jax
+
+    from ai_toolkit_tpu.models.tipsv2 import (
+        TIPSConfig,
+        TIPSv2DPT,
+        load_tipsv2_dpt,
+    )
+
+    ver, _, wdir = path.partition(":")
+    partial = ver.startswith("v8")  # v8 == v7 + partial_step (ref :1061-1065)
+    if wdir:
+        module, params = load_tipsv2_dpt(wdir)
+        return module, params, partial
+    cfg = (TIPSConfig.tiny() if ver.endswith("-tiny")  # test hook
+           else TIPSConfig.b14_dpt())
+    module = TIPSv2DPT(cfg)
+    print("DFE v7: no local tipsv2 weights — random-init backbone "
+          "(offline; pass 'v7:<dir>' with model.safetensors for the real one)")
+    params = module.init(jax.random.key(7),
+                         jnp.zeros((1, 14 * 4, 14 * 4, 3)))["params"]
+    return module, params, partial
+
+
+def make_dfe7_loss(module, params, schedule, weight: float, decode_fn,
+                   partial_step: bool = False):
+    """aux_loss_fn for DFE v7/v8 (reference DiffusionFeatureExtractor7.forward
+    :915-1058): step the prediction to x0, decode to pixels, and match the
+    TIPSv2 head features (mse) + depth/normals/segmentation maps (l1) of the
+    decoded TARGET latents, weighted per-sample by 1/clamp(sigma, 0.1)^2.
+
+    TPU-native deviations (documented): the target pass decodes the clean
+    latents instead of re-reading dataset pixels (identical up to the VAE
+    round-trip the prediction side also pays), and v8's random partial step
+    size U(0.02, 0.05) is the fixed midpoint 0.035 (aux hook is rng-free).
+    """
+
+    def loss(pred, noisy, latents, noise, t):
+        tv = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        if not partial_step:
+            x0 = schedule.pred_to_x0(
+                pred.astype(jnp.float32), noisy.astype(jnp.float32), t)
+            tgt_lat = latents.astype(jnp.float32)
+            tv_eff = jnp.maximum(tv, 0.001)
+        else:
+            step = 0.035
+            nxt = jnp.clip(tv - step, 0.0)
+            x0 = noisy.astype(jnp.float32) + (nxt - tv) * pred.astype(jnp.float32)
+            tgt_lat = ((1.0 - nxt) * latents.astype(jnp.float32)
+                       + nxt * noise.astype(jnp.float32))
+            tv_eff = tv
+        pred_img = (decode_fn(x0).astype(jnp.float32) + 1.0) / 2.0
+        tgt_img = jax.lax.stop_gradient(
+            (decode_fn(tgt_lat).astype(jnp.float32) + 1.0) / 2.0)
+        p = module.apply({"params": params}, pred_img)
+        tg = jax.lax.stop_gradient(module.apply({"params": params}, tgt_img))
+        w = 1.0 / jnp.maximum(tv_eff, 0.1) ** 2  # velocity-equivalent weight
+
+        def red(a, b, sq):
+            d = a.astype(jnp.float32) - b.astype(jnp.float32)
+            d = jnp.square(d) if sq else jnp.abs(d)
+            return jnp.mean(d * w)
+
+        total = (red(p["head"], tg["head"], True)
+                 + red(p["depth"], tg["depth"], False)
+                 + red(p["normals"], tg["normals"], False)
+                 + red(p["segmentation"], tg["segmentation"], False)) / 4.0
+        if partial_step:
+            total = total * 10.0
+        return weight * total
+
+    return loss

@@ -136,3 +136,79 @@ def test_dfe_e2e_train(tmp_path):
     job = get_job(get_config(p))
     results = job.run()
     assert np.isfinite(results[0]["final_loss"])
+
+
+def test_dfe7_tipsv2_loss_e2e(tmp_path):
+    """DFE v7 (TIPSv2 DPT pixel-space perceptual loss, reference
+    diffusion_feature_extraction.py:848-1058) drives a training run via
+    diffusion_feature_extractor_path: v7[-tiny]."""
+    import yaml
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            folder / f"im_{i}.png")
+        (folder / f"im_{i}.txt").write_text("x")
+    cfg = {"job": "extension", "config": {"name": "dfe7", "process": [{
+        "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
+        "network": {"type": "lora", "linear": 4, "linear_alpha": 4},
+        "save": {"save_every": 100},
+        "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                      "resolution": 64, "cache_latents": False,
+                      "cache_latents_to_disk": False}],
+        "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                  "optimizer": "adamw", "lr": 1e-4, "dtype": "float32",
+                  "diffusion_feature_extractor_path": "v7-tiny",
+                  "diffusion_feature_extractor_weight": 0.5,
+                  "ema_config": {"use_ema": False}},
+        "model": {"name_or_path": "", "arch": "flux",
+                  "model_kwargs": {"size": "tiny"}},
+        "sample": {"sample_every": 0, "prompts": []},
+    }]}}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+
+
+def test_dfe7_loss_fn_grads():
+    """make_dfe7_loss: finite scalar, nonzero grads wrt the prediction."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_toolkit_tpu.models.dfe import load_dfe7, make_dfe7_loss
+    from ai_toolkit_tpu.samplers import FlowMatchSchedule
+
+    module, params, partial = load_dfe7("v7-tiny")
+    assert not partial
+
+    def decode(lat):  # fake 8x upsample "vae" decode to [-1, 1]
+        x = jnp.repeat(jnp.repeat(lat[..., :3], 8, axis=1), 8, axis=2)
+        return jnp.tanh(x)
+
+    loss_fn = make_dfe7_loss(module, params, FlowMatchSchedule(), 1.0, decode)
+    k = jax.random.key(0)
+    lat = jax.random.normal(k, (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.fold_in(k, 1), lat.shape)
+    t = jnp.array([0.4])
+    noisy = (1 - 0.4) * lat + 0.4 * noise
+    pred = noise - lat
+
+    val, g = jax.value_and_grad(
+        lambda p: loss_fn(p, noisy, lat, noise, t))(pred)
+    assert np.isfinite(float(val))
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+    # v8: partial-step variant also runs
+    m8, p8, part8 = load_dfe7("v8-tiny")
+    assert part8
+    l8 = make_dfe7_loss(m8, p8, FlowMatchSchedule(), 1.0, decode,
+                        partial_step=True)
+    assert np.isfinite(float(l8(pred, noisy, lat, noise, t)))
