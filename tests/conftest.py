@@ -21,6 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent CPU compile cache for the suite: golden/e2e chunks are dominated
+# by jit compiles of identical tiny models across fresh processes (measured
+# r4: torch mirrors are cheap; XLA compiles are the wall time). Same-machine
+# only, so the cross-host SIGILL concern from utils/compile_cache doesn't
+# apply. Opt out with AIT_NO_TEST_COMPILE_CACHE=1.
+if not os.environ.get("AIT_NO_TEST_COMPILE_CACHE"):
+    _cache = os.path.expanduser("~/.cache/ait_test_compile")
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
 import pytest  # noqa: E402
 
 # Tiering (SURVEY §4): goldens gate numerics, e2e gates lifecycle, everything
