@@ -41,6 +41,12 @@ class SDModel(BaseTpuModel):
             self.unet_config = UNetConfig.sd21() if config.arch == "sd2" else UNetConfig.sd15()
             self.vae_config = VAEConfig.sd()
             self.clip_config = CLIPTextConfig.clip_l()
+        if config.remat_policy == "none":
+            # measured r4 (v5e @1024 bs1): the UNet step is HBM-bound; remat
+            # recompute adds ~10% bytes — no-remat is faster when it fits
+            import dataclasses as _dc
+
+            self.unet_config = _dc.replace(self.unet_config, remat=False)
         self.unet = UNet2DCondition(self.unet_config)
         self.vae = AutoencoderKL(self.vae_config)
         self.clip = CLIPTextModel(self.clip_config)
@@ -183,6 +189,10 @@ class SDXLModel(SDModel):
             self.vae_config = VAEConfig.sdxl()
             self.clip_config = CLIPTextConfig.clip_l()
             self.clip2_config = CLIPTextConfig.open_clip_g()
+        if config.remat_policy == "none":
+            import dataclasses as _dc
+
+            self.unet_config = _dc.replace(self.unet_config, remat=False)
         self.unet = UNet2DCondition(self.unet_config)
         self.vae = AutoencoderKL(self.vae_config)
         self.clip = CLIPTextModel(self.clip_config)

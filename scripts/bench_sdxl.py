@@ -11,7 +11,12 @@ from ai_toolkit_tpu.train.optimizers import get_optimizer
 from ai_toolkit_tpu.train.state import TrainState
 from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
 
+import dataclasses
+# no-remat default: the @1024 bs1 step is HBM-bound (r4 roofline: 342 vs
+# 377 GB/step) — 545 vs 564 ms measured; AIT_SDXL_REMAT=1 restores remat
 cfg = UNetConfig.sdxl()
+if not os.environ.get("AIT_SDXL_REMAT"):
+    cfg = dataclasses.replace(cfg, remat=False)
 unet = UNet2DCondition(cfg)
 B = int(os.environ.get("BS", 1))
 lat = jnp.zeros((B, 128, 128, 4), jnp.bfloat16)
