@@ -227,3 +227,51 @@ def test_wan22_5b_real_size_configs():
     assert dit.in_channels == vae.z_dim == 48
     assert vae.spatial_downscale == 16 and vae.temporal_downscale == 4
     assert dit.dim == 3072 and dit.num_layers == 30
+
+
+def test_i2v_adapter_on_t2v_base_e2e(tmp_path):
+    """CustomAdapter type 'i2v' (reference toolkit/models/i2v_adapter.py):
+    grafts image cross-attn KV (+ optional first-frame embedder) onto a
+    FROZEN t2v wan base and trains them with a LoRA over the rest."""
+    import cv2
+    import yaml
+
+    folder = tmp_path / "vids"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        p = str(folder / f"v_{i}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 16, (64, 64))
+        for _ in range(8):
+            wr.write(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        wr.release()
+        (folder / f"v_{i}.txt").write_text(f"a video {i}")
+
+    cfg = {"job": "extension", "config": {"name": "i2va", "process": [{
+        "type": "sd_trainer",
+        "training_folder": str(tmp_path / "out"),
+        "adapter": {"type": "i2v", "i2v_do_start_frame": True},
+        "network": {"type": "lora", "linear": 2, "linear_alpha": 2},
+        "save": {"save_every": 100},
+        "datasets": [{"folder_path": str(folder), "caption_ext": "txt",
+                      "resolution": 64, "num_frames": 5, "fps": 16,
+                      "do_i2v": True,
+                      "cache_latents": False, "cache_latents_to_disk": False}],
+        "train": {"batch_size": 1, "steps": 2, "noise_scheduler": "flowmatch",
+                  "optimizer": "adamw", "lr": 1e-4, "dtype": "float32",
+                  "ema_config": {"use_ema": False}},
+        "model": {"name_or_path": "", "arch": "wan21",
+                  "model_kwargs": {"size": "tiny"}},
+        "sample": {"sample_every": 0, "prompts": []},
+        "mesh": {"axes": {"dp": 1, "fsdp": -1, "tp": 1}},
+    }]}}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from ai_toolkit_tpu.config import get_config
+    from ai_toolkit_tpu.jobs import get_job
+
+    job = get_job(get_config(p))
+    results = job.run()
+    assert np.isfinite(results[0]["final_loss"])
+    out = tmp_path / "out" / "i2va" / "i2va.safetensors"
+    assert out.exists()
