@@ -271,6 +271,19 @@ class NetworkConfig:
             obj.only_if_contains = kw.get("only_if_contains")
         if obj.ignore_if_contains is None:
             obj.ignore_if_contains = kw.get("ignore_if_contains")
+        if obj.type == "locon":
+            # reference NetworkType 'locon' == LoRA with conv modules
+            # (lora_special.py LoConModule targeting); identical here once
+            # a conv rank is set
+            obj.type = "lora"
+            if obj.conv is None:
+                obj.conv = obj.linear
+        elif obj.type == "lorm":
+            raise NotImplementedError(
+                "network.type 'lorm' (low-rank module REPLACEMENT, reference "
+                "toolkit/lorm.py) is not supported — it rewrites the base "
+                "weights rather than training an adapter. Use type: lora."
+            )
         return obj
 
     @property
