@@ -1874,16 +1874,26 @@ class SDTrainProcess:
                     if sib not in state.trainable:
                         continue
                     flat_sib = {}
+                    sib_tree = jax.tree.map(np.asarray, state.trainable[sib])
+                    if sib == "ip" and any(
+                        k.startswith(("double", "single")) for k in sib_tree
+                    ):
+                        # flux decoupled-KV: reference key layout
+                        # adapter_modules.{i}.to_k_adapter.weight
+                        # (vd_adapter.py state_dict via the ModuleList)
+                        from ai_toolkit_tpu.adapters.ip_adapter import flux_ip_flat
 
-                    def _w(node, prefix):
-                        for k in sorted(node.keys()):
-                            v = node[k]
-                            if isinstance(v, dict):
-                                _w(v, f"{prefix}{k}.")
-                            else:
-                                flat_sib[f"{pre}.{prefix}{k}"] = v
+                        flat_sib = flux_ip_flat(sib_tree, fmt="vd")
+                    else:
+                        def _w(node, prefix):
+                            for k in sorted(node.keys()):
+                                v = node[k]
+                                if isinstance(v, dict):
+                                    _w(v, f"{prefix}{k}.")
+                                else:
+                                    flat_sib[f"{pre}.{prefix}{k}"] = v
 
-                    _w(jax.tree.map(np.asarray, state.trainable[sib]), "")
+                        _w(sib_tree, "")
                     tree = {**jax.tree.map(np.asarray, tree), **flat_sib}
                 save_custom_adapter(
                     jax.tree.map(np.asarray, tree), self.custom_adapter.adapter_type, path,
