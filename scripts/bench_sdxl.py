@@ -45,7 +45,7 @@ state, m = step(state, batch, jax.random.key(2)); l=float(m["loss"])
 print(f"compile+first {time.time()-t0:.0f}s", flush=True)
 # XLA's own per-execution FLOP count for the achieved-TFLOP/s line (the
 # conv-heavy UNet is impractical to account by hand; VERDICT r3 #6)
-step_flops = None
+step_flops = step_bytes = None
 try:
     ca = step._inner.lower(
         state.model_variables, state.trainable, state.opt_state, state.ema,
@@ -53,6 +53,7 @@ try:
     ).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     step_flops = float(ca.get("flops", 0.0)) or None
+    step_bytes = float(ca.get("bytes accessed", 0.0)) or None
 except Exception as e:
     print(f"cost_analysis unavailable: {e}", flush=True)
 t0=time.time()
@@ -60,8 +61,15 @@ for _ in range(5):
     state, m = step(state, batch, jax.random.key(2)); l=float(m["loss"])
 dt=(time.time()-t0)/5
 V5E_BF16_PEAK = 197e12
+V5E_HBM_BW = 819e9
 extra = ""
 if step_flops:
     tf = step_flops / dt / 1e12
     extra = f", {tf:.1f} TFLOP/s ({tf*1e12/V5E_BF16_PEAK*100:.0f}% of v5e bf16 peak, {step_flops/1e12:.1f} TFLOP/step)"
+if step_bytes:
+    gbs = step_bytes / dt / 1e9
+    # the conv UNet step is HBM-bound, so bandwidth utilization is the
+    # honest efficiency number (r4 roofline: byte floor >> flop floor)
+    extra += (f"; {gbs:.0f} GB/s ({gbs*1e9/V5E_HBM_BW*100:.0f}% of HBM peak, "
+              f"{step_bytes/1e9:.0f} GB/step — bandwidth-bound)")
 print(f"SDXL LoRA @1024 bs{B}: {dt*1000:.0f} ms/step -> {1/dt:.2f} steps/s, {B/dt:.2f} imgs/s{extra}", flush=True)
