@@ -43,6 +43,13 @@ def generate_flux(
         model._n_ctrl = max(1, len(ctrl_paths))
     pe = model.rope_table(h, w, cond["txt"].shape[1])
     cond = {**cond, "pe": pe, "guidance": jnp.full((1,), gen.guidance_scale)}
+    if getattr(gen, "ip_embeds", None) is not None:
+        # IP-Adapter / vision_direct reference conditioning at sample time
+        # (reference generates with the adapter image active); the trainer
+        # pre-encodes --ctrl_img through its vision tower
+        cond["ip_embeds"] = jnp.asarray(gen.ip_embeds)
+    if getattr(gen, "ip_tokens", None) is not None:
+        cond["ip_tokens"] = jnp.asarray(gen.ip_tokens)
     if getattr(getattr(model, "dit_config", None), "control_channels", 0):
         # control/edit archs expect concat control latents; the model hook
         # handles arch-specific layouts (flex2 [inpaint, mask, control])

@@ -1550,7 +1550,10 @@ class SDTrainProcess:
 
                         def _enc_tokens(px):
                             px = jax.image.resize(px, (px.shape[0], sz, sz, 3), "bilinear")
-                            px = (px - mean) / std  # reference normalize :405
+                            # batch pixels are [-1, 1]; reference normalize
+                            # (:405) is over [0, 1] images
+                            px01 = (px + 1.0) / 2.0
+                            px = (px01 - mean) / std
                             tokens = vt.apply({"params": vv}, px)
                             return tokens, tokens.mean(axis=1)
                     else:
@@ -2098,6 +2101,30 @@ class SDTrainProcess:
             for i, item in enumerate(cfg.sample.prompts):
                 seed = cfg.sample.seed + (i if cfg.sample.walk_seed else 0)
                 gen = GenerateImageConfig.from_sample(cfg.sample, item, seed)
+                if getattr(gen, "ctrl_img", None) and (
+                    (self.ip_mode and hasattr(self, "_vision_encode"))
+                    or (self.custom_adapter is not None
+                        and self.custom_adapter.adapter_type == "vision_direct"
+                        and hasattr(self, "_vision_tokens_encode"))
+                ):
+                    # adapter-image conditioning at sample time: encode the
+                    # --ctrl_img through the vision tower (reference samples
+                    # with the adapter image active). [-1, 1] pixels, same
+                    # convention as the training batches (data/dataset.py)
+                    from PIL import Image as _Image
+
+                    _im = _Image.open(gen.ctrl_img).convert("RGB")
+                    _px = np.asarray(_im, np.float32)[None] / 127.5 - 1.0
+                    if self.ip_mode:
+                        gen.ip_embeds = np.asarray(
+                            self._vision_encode(jnp.asarray(_px)))
+                    else:
+                        tok, _pool = self._vision_tokens_encode(jnp.asarray(_px))
+                        ad = variables.get("adapter", {})
+                        gen.ip_tokens = np.asarray(
+                            self.custom_adapter.module.apply({"params": ad}, tok)
+                            if self.custom_adapter.module is not None else tok)
+                    gen.ctrl_img = None  # consumed as the adapter image
                 try:
                     out = generate(self.model, variables, gen, lora=lora,
                                    uncond_lora=getattr(self, "_uncond_lora", None))

@@ -226,6 +226,7 @@ def test_flux_ip_adapter_trainer_e2e(tmp_path):
         Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
             folder / f"im_{i}.png")
         (folder / f"im_{i}.txt").write_text("x")
+    ref_img = folder / "im_0.png"
     cfg = {"job": "extension", "config": {"name": "ipf", "process": [{
         "type": "sd_trainer", "training_folder": str(tmp_path / "out"),
         "adapter": {"type": "ip_adapter_plus", "num_tokens": 4,
@@ -239,7 +240,11 @@ def test_flux_ip_adapter_trainer_e2e(tmp_path):
                   "ema_config": {"use_ema": False}},
         "model": {"name_or_path": "", "arch": "flux",
                   "model_kwargs": {"size": "tiny"}},
-        "sample": {"sample_every": 0, "prompts": []},
+        # sample WITH the adapter reference image (--ctrl_img is consumed as
+        # the ip image: trainer pre-encodes it through the vision tower)
+        "sample": {"sample_every": 2, "width": 32, "height": 32,
+                   "sample_steps": 2, "sampler": "flowmatch",
+                   "prompts": [f"x --ctrl_img {ref_img}"]},
     }]}}
     p = tmp_path / "job.yaml"
     p.write_text(yaml.safe_dump(cfg))
@@ -250,3 +255,7 @@ def test_flux_ip_adapter_trainer_e2e(tmp_path):
     results = job.run()
     assert np.isfinite(results[0]["final_loss"])
     assert (tmp_path / "out" / "ipf" / "ipf.safetensors").exists()
+    import os
+
+    samples = os.listdir(tmp_path / "out" / "ipf" / "samples")
+    assert any(f.endswith(".png") for f in samples), samples
