@@ -1828,3 +1828,116 @@ def load_zeta_checkpoint(path: str, model) -> dict:
                 variables["te"] = _merge_imported(
                     variables["te"], t, "zeta_chroma text_encoder")
     return variables
+
+
+def auraflow_rules(scan_blocks: bool = True) -> list[Rule]:
+    """diffusers ``AuraFlowTransformer2DModel`` -> models/auraflow_dit.
+
+    Layout pinned by the reference's vendored patch embed
+    (``toolkit/models/auraflow.py:8-48``) plus the diffusers AuraFlow module
+    grammar it loads (``stable_diffusion_model.py:606-611``):
+    joint_transformer_blocks (MMDiT, add_*_proj/to_add_out context branch) +
+    single_transformer_blocks, AuraFlowFeedForward linear_1/linear_2/
+    out_projection, bias-free AdaLayerNormZero ``norm1(.context).linear``,
+    ``norm_out.linear`` pre-final scale/shift, bias-free proj_out."""
+    jb = "joint/block/" if scan_blocks else "joint_{0}/"
+    sb = "single/block/" if scan_blocks else "single_{0}/"
+    kind = "_stack" if scan_blocks else ""
+
+    def lin(pre, src, dstpre, dst):
+        return [(pre + src + r"\.weight", dstpre + dst + "/kernel", "linear" + kind)]
+
+    rules: list[Rule] = []
+    jpre = r"joint_transformer_blocks\.(\d+)\."
+    spre = r"single_transformer_blocks\.(\d+)\."
+    for pre, dstpre, joint in ((jpre, jb, True), (spre, sb, False)):
+        rules += lin(pre, r"norm1\.linear", dstpre, "norm1_lin")
+        for w in ("q", "k", "v"):
+            rules += lin(pre, rf"attn\.to_{w}", dstpre, f"attn/to_{w}")
+        rules += lin(pre, r"attn\.to_out\.0", dstpre, "attn/to_out")
+        rules += lin(pre, r"ff\.linear_1", dstpre, "ff/w1")
+        rules += lin(pre, r"ff\.linear_2", dstpre, "ff/w2")
+        rules += lin(pre, r"ff\.out_projection", dstpre, "ff/out")
+        if joint:
+            rules += lin(pre, r"norm1_context\.linear", dstpre, "norm1_ctx_lin")
+            for w in ("q", "k", "v"):
+                rules += lin(pre, rf"attn\.add_{w}_proj", dstpre, f"attn/add_{w}")
+            rules += lin(pre, r"attn\.to_add_out", dstpre, "attn/add_out")
+            rules += lin(pre, r"ff_context\.linear_1", dstpre, "ff_ctx/w1")
+            rules += lin(pre, r"ff_context\.linear_2", dstpre, "ff_ctx/w2")
+            rules += lin(pre, r"ff_context\.out_projection", dstpre, "ff_ctx/out")
+    rules += [
+        (r"pos_embed\.proj\.weight", "patch_proj/kernel", "linear"),
+        (r"pos_embed\.proj\.bias", "patch_proj/bias", "direct"),
+        (r"pos_embed\.pos_embed", "pos_embed", "direct"),
+        (r"register_tokens", "register_tokens", "direct"),
+        (r"context_embedder\.weight", "context_embedder/kernel", "linear"),
+        (r"time_step_proj\.linear_1\.weight", "time_in/in_layer/kernel", "linear"),
+        (r"time_step_proj\.linear_1\.bias", "time_in/in_layer/bias", "direct"),
+        (r"time_step_proj\.linear_2\.weight", "time_in/out_layer/kernel", "linear"),
+        (r"time_step_proj\.linear_2\.bias", "time_in/out_layer/bias", "direct"),
+        (r"norm_out\.linear\.weight", "final_mod/kernel", "linear"),
+        (r"proj_out\.weight", "final_proj/kernel", "linear"),
+    ]
+    return rules
+
+
+def load_auraflow_checkpoint(path: str, model) -> dict:
+    """HF-layout dir (transformer/ + vae/ + text_encoder/) or a single
+    transformer .safetensors file."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import t5_rules, vae_rules
+    from ai_toolkit_tpu.models.auraflow_dit import AuraFlowConfig, AuraFlowDiT
+
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None and os.path.isdir(src):
+        cj = os.path.join(src, "config.json")
+        if os.path.isfile(cj):
+            with open(cj) as f:
+                c = json.load(f)
+            cfg = model.dit_config
+            new = AuraFlowConfig(
+                in_channels=c.get("in_channels", cfg.in_channels),
+                out_channels=c.get("out_channels", cfg.out_channels),
+                patch_size=c.get("patch_size", cfg.patch_size),
+                num_heads=c.get("num_attention_heads", cfg.num_heads),
+                head_dim=c.get("attention_head_dim", cfg.head_dim),
+                n_double=c.get("num_mmdit_layers", cfg.n_double),
+                n_single=c.get("num_single_dit_layers", cfg.n_single),
+                context_dim=c.get("joint_attention_dim", cfg.context_dim),
+                pos_embed_max_size=c.get("pos_embed_max_size", cfg.pos_embed_max_size),
+                scan_blocks=cfg.scan_blocks, remat=cfg.remat,
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            )
+            if new != cfg:
+                model.dit_config = new
+                model.dit = AuraFlowDiT(new)
+    variables = model.init_variables(jax.random.key(0))
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        flat = {k.removeprefix("model.diffusion_model.").removeprefix("transformer."): v
+                for k, v in flat.items()}
+        tree, unmatched = torch_to_tree(flat, auraflow_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"auraflow import: {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "auraflow dit")
+    vdir = os.path.join(path, "vae") if os.path.isdir(path) else None
+    if vdir and os.path.isdir(vdir) and "vae" in variables:
+        flat = load_safetensors_dir(path, "vae")
+        tree, _ = torch_to_tree(flat, vae_rules(len(model.vae_config.channel_multipliers),
+                                                model.vae_config.layers_per_block))
+        if tree:
+            variables["vae"] = _merge_imported(variables["vae"], tree, "auraflow vae")
+    tedir = os.path.join(path, "text_encoder") if os.path.isdir(path) else None
+    if tedir and os.path.isdir(tedir) and "t5" in variables:
+        flat = load_safetensors_dir(path, "text_encoder")
+        tree, _ = torch_to_tree(flat, t5_rules(per_layer_bias=model.t5_config.per_layer_bias))
+        if tree:
+            variables["t5"] = _merge_imported(variables["t5"], tree, "auraflow pile-t5")
+    return variables

@@ -441,10 +441,23 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
                      lambda t, f: _ltx2_specials(t, cfg)))
         return plan
 
+    if arch == "auraflow":
+        from ai_toolkit_tpu.io.dit_importers import auraflow_rules
+
+        plan.append(("dit", "transformer", W,
+                     auraflow_rules(model.dit_config.scan_blocks), None))
+        plan.append(("vae", "vae", W, vae_rules(
+            len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
+        ), None))
+        plan.append(("t5", "text_encoder", M,
+                     t5_rules(per_layer_bias=model.t5_config.per_layer_bias), None))
+        return plan
+
     raise NotImplementedError(
         f"full-model export is not implemented for arch '{model.config.arch}' — "
         f"supported: sd1/sd2/sdxl family, sd3/sd3.5, flux family, wan family, "
-        f"qwen_image/mageflow, hidream, flux2 family, ltx2, lumina2, omnigen2"
+        f"qwen_image/mageflow, hidream, flux2 family, ltx2, lumina2, omnigen2, "
+        f"auraflow"
     )
 
 

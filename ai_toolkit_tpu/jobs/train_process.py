@@ -102,15 +102,7 @@ class SDTrainProcess:
 
             main0 = self._main_component(variables)
             km = self._key_map(model, variables[main0])
-            if model.is_flow_matching and hasattr(model, "dit_config"):
-                from ai_toolkit_tpu.models.flux_dit import flux_inverse_key_map
-
-                inv0 = flux_inverse_key_map(
-                    km, model.dit_config.depth_double, model.dit_config.depth_single
-                )
-            else:
-                inv0 = {v: k for k, v in km.items()}
-                inv0.update({v.replace(".", "_"): k for k, v in km.items()})
+            inv0 = self._inverse_key_map(model, km)
             if mpath:
                 # permanent merge into the base (reference ModelConfig
                 # lora_path) — never unfused, unlike the assistant lora
@@ -317,17 +309,7 @@ class SDTrainProcess:
             dtype=np.float16 if cfg.save.dtype in ("float16", "fp16") else np.float32,
         )
         self.ckpt = ckpt
-        inverse = None
-        if key_map:
-            if model.is_flow_matching and hasattr(model, "dit_config"):
-                from ai_toolkit_tpu.models.flux_dit import flux_inverse_key_map
-
-                inverse = flux_inverse_key_map(
-                    key_map, model.dit_config.depth_double, model.dit_config.depth_single
-                )
-            else:
-                inverse = {v: k for k, v in key_map.items()}
-                inverse.update({v.replace(".", "_"): k for k, v in key_map.items()})
+        inverse = self._inverse_key_map(model, key_map) if key_map else None
         start_step = 0
         te_inverse: dict[str, dict] = {}
         for k in trainable:
@@ -1303,9 +1285,31 @@ class SDTrainProcess:
         from ai_toolkit_tpu.models.flux_dit import flux_lora_key_map
         from ai_toolkit_tpu.models.unet import unet_lora_key_map
 
+        if hasattr(model, "lora_key_map"):
+            return model.lora_key_map(lora)
         if model.is_flow_matching:
             return flux_lora_key_map(lora)
         return unet_lora_key_map(lora, num_levels=len(model.unet_config.block_out_channels))
+
+    @staticmethod
+    def _inverse_key_map(model, key_map):
+        """external key -> internal path, expanding '{L}' stack placeholders.
+
+        Models may provide ``lora_inverse_key_map``; the flux-family fallback
+        only applies when the config actually has double/single depths (a
+        blind call used to crash lumina2-style configs without them)."""
+        if hasattr(model, "lora_inverse_key_map"):
+            return model.lora_inverse_key_map(key_map)
+        if (model.is_flow_matching and hasattr(model, "dit_config")
+                and hasattr(model.dit_config, "depth_double")):
+            from ai_toolkit_tpu.models.flux_dit import flux_inverse_key_map
+
+            return flux_inverse_key_map(
+                key_map, model.dit_config.depth_double, model.dit_config.depth_single
+            )
+        inverse = {v: k for k, v in key_map.items()}
+        inverse.update({v.replace(".", "_"): k for k, v in key_map.items()})
+        return inverse
 
     def _lr_schedule(self, tc, base_lr=None):
         import optax

@@ -112,8 +112,8 @@ def test_sd15_full_export_roundtrip(tmp_path):
 
 
 def test_export_unsupported_arch_raises():
-    model = get_model_class("auraflow")(
-        ModelConfig(arch="auraflow", model_kwargs={"size": "tiny"})
+    model = get_model_class("anima")(
+        ModelConfig(arch="anima", model_kwargs={"size": "tiny"})
     )
     variables = model.init_variables(jax.random.key(0))
     with pytest.raises(NotImplementedError, match="full-model export"):

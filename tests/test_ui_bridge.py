@@ -393,7 +393,7 @@ def test_api_archs_lists_registry():
         # structural-only archs are flagged so the builder can say so
         assert flux["checkpoint_importable"] is True
         aura = next(r for r in rows if r["arch"] == "auraflow")
-        assert aura["checkpoint_importable"] is False
+        assert aura["checkpoint_importable"] is True  # exact importer since r5
         anima = next(r for r in rows if r["arch"] == "anima")
         assert anima["checkpoint_importable"] is False
     finally:
