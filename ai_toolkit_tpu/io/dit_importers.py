@@ -1941,3 +1941,128 @@ def load_auraflow_checkpoint(path: str, model) -> dict:
         if tree:
             variables["t5"] = _merge_imported(variables["t5"], tree, "auraflow pile-t5")
     return variables
+
+
+def pixart_rules(scan_blocks: bool = True, micro_cond: bool = False,
+                 in_channels: int = 4, patch: int = 2) -> list[Rule]:
+    """diffusers ``PixArtTransformer2DModel`` / legacy ``Transformer2DModel``
+    (the class the reference loads at ``stable_diffusion_model.py:486-536``)
+    -> models/pixart_dit.PixArtDiT. adaLN-single: one shared 6d linear +
+    per-block [6, d] scale_shift_table; conv patch embed folds to a Linear
+    over channel-major patches (conv_flatten)."""
+    b = "blocks/block/" if scan_blocks else "block_{0}/"
+    kind = "_stack" if scan_blocks else ""
+    pre = r"transformer_blocks\.(\d+)\."
+
+    def lin(src, dst):
+        return [(pre + src + r"\.weight", b + dst + "/kernel", "linear" + kind),
+                (pre + src + r"\.bias", b + dst + "/bias", "direct" + kind)]
+
+    rules: list[Rule] = []
+    for attn in ("attn1", "attn2"):
+        for w in ("q", "k", "v"):
+            rules += lin(rf"{attn}\.to_{w}", f"{attn}/to_{w}")
+        rules += lin(rf"{attn}\.to_out\.0", f"{attn}/to_out")
+    rules += lin(r"ff\.net\.0\.proj", "ff_in")
+    rules += lin(r"ff\.net\.2", "ff_out")
+    rules.append((pre + r"scale_shift_table", b + "scale_shift_table",
+                  "direct" + kind))
+    rules += [
+        (r"pos_embed\.proj\.weight", "patch_proj/kernel",
+         f"conv_flatten:{in_channels}:{patch}:{patch}"),
+        (r"pos_embed\.proj\.bias", "patch_proj/bias", "direct"),
+        (r"caption_projection\.linear_1\.weight", "caption_in/kernel", "linear"),
+        (r"caption_projection\.linear_1\.bias", "caption_in/bias", "direct"),
+        (r"caption_projection\.linear_2\.weight", "caption_out/kernel", "linear"),
+        (r"caption_projection\.linear_2\.bias", "caption_out/bias", "direct"),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_1\.weight", "time_in/in_layer/kernel", "linear"),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_1\.bias", "time_in/in_layer/bias", "direct"),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_2\.weight", "time_in/out_layer/kernel", "linear"),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_2\.bias", "time_in/out_layer/bias", "direct"),
+        (r"adaln_single\.linear\.weight", "adaln_linear/kernel", "linear"),
+        (r"adaln_single\.linear\.bias", "adaln_linear/bias", "direct"),
+        (r"scale_shift_table", "head_table", "direct"),
+        (r"proj_out\.weight", "final_proj/kernel", "linear"),
+        (r"proj_out\.bias", "final_proj/bias", "direct"),
+    ]
+    if micro_cond:
+        for src, dst in (("resolution_embedder", "res_in"), ("aspect_ratio_embedder", "ar_in")):
+            rules += [
+                (rf"adaln_single\.emb\.{src}\.linear_1\.weight", f"{dst}/in_layer/kernel", "linear"),
+                (rf"adaln_single\.emb\.{src}\.linear_1\.bias", f"{dst}/in_layer/bias", "direct"),
+                (rf"adaln_single\.emb\.{src}\.linear_2\.weight", f"{dst}/out_layer/kernel", "linear"),
+                (rf"adaln_single\.emb\.{src}\.linear_2\.bias", f"{dst}/out_layer/bias", "direct"),
+            ]
+    return rules
+
+
+def load_pixart_checkpoint(path: str, model) -> dict:
+    """HF-layout dir (transformer/ + vae/ + text_encoder/) or a single
+    transformer .safetensors file. Micro-cond (alpha-1024) is detected from
+    the checkpoint's resolution_embedder keys; dims come from config.json."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import t5_rules, vae_rules
+    from ai_toolkit_tpu.models.pixart_dit import PixArtConfig, PixArtDiT
+
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    flat = None
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        flat = {k.removeprefix("model.diffusion_model.").removeprefix("transformer."): v
+                for k, v in flat.items()}
+        cfg = model.dit_config
+        micro = any(k.startswith("adaln_single.emb.resolution_embedder") for k in flat)
+        upd: dict = {"micro_cond": micro}
+        cj = os.path.join(src, "config.json") if os.path.isdir(src) else None
+        if cj and os.path.isfile(cj):
+            with open(cj) as f:
+                c = json.load(f)
+            upd.update(
+                in_channels=c.get("in_channels", cfg.in_channels),
+                patch_size=c.get("patch_size", cfg.patch_size),
+                num_heads=c.get("num_attention_heads", cfg.num_heads),
+                head_dim=c.get("attention_head_dim", cfg.head_dim),
+                n_layers=c.get("num_layers", cfg.n_layers),
+                caption_dim=c.get("caption_channels", cfg.caption_dim),
+                sample_size=c.get("sample_size", cfg.sample_size),
+                interpolation_scale=c.get("interpolation_scale",
+                                          cfg.interpolation_scale) or 1,
+                learned_sigma=c.get("out_channels") is None
+                or c.get("out_channels") == 2 * c.get("in_channels", 4),
+            )
+        new = dataclasses.replace(cfg, **upd)
+        if new != cfg:
+            model.dit_config = new
+            model.dit = PixArtDiT(new)
+    variables = model.init_variables(jax.random.key(0))
+    if flat is not None:
+        tree, unmatched = torch_to_tree(
+            flat, pixart_rules(model.dit_config.scan_blocks,
+                               model.dit_config.micro_cond,
+                               model.dit_config.in_channels,
+                               model.dit_config.patch_size))
+        if unmatched:
+            print(f"pixart import: {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "pixart dit")
+    if os.path.isdir(path):
+        vdir = os.path.join(path, "vae")
+        if os.path.isdir(vdir) and "vae" in variables:
+            flat_v = load_safetensors_dir(path, "vae")
+            tree, _ = torch_to_tree(flat_v, vae_rules(
+                len(model.vae_config.channel_multipliers),
+                model.vae_config.layers_per_block))
+            if tree:
+                variables["vae"] = _merge_imported(variables["vae"], tree, "pixart vae")
+        tedir = os.path.join(path, "text_encoder")
+        if os.path.isdir(tedir) and "t5" in variables:
+            flat_t = load_safetensors_dir(path, "text_encoder")
+            tree, _ = torch_to_tree(flat_t, t5_rules())
+            if tree:
+                variables["t5"] = _merge_imported(variables["t5"], tree, "pixart t5")
+    return variables

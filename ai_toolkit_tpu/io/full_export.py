@@ -441,6 +441,19 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
                      lambda t, f: _ltx2_specials(t, cfg)))
         return plan
 
+    if arch.startswith("pixart"):
+        from ai_toolkit_tpu.io.dit_importers import pixart_rules
+
+        cfg = model.dit_config
+        plan.append(("dit", "transformer", W,
+                     pixart_rules(cfg.scan_blocks, cfg.micro_cond,
+                                  cfg.in_channels, cfg.patch_size), None))
+        plan.append(("vae", "vae", W, vae_rules(
+            len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
+        ), None))
+        plan.append(("t5", "text_encoder", M, t5_rules(), None))
+        return plan
+
     if arch == "auraflow":
         from ai_toolkit_tpu.io.dit_importers import auraflow_rules
 

@@ -1289,7 +1289,9 @@ class SDTrainProcess:
             return model.lora_key_map(lora)
         if model.is_flow_matching:
             return flux_lora_key_map(lora)
-        return unet_lora_key_map(lora, num_levels=len(model.unet_config.block_out_channels))
+        if hasattr(model, "unet_config"):
+            return unet_lora_key_map(lora, num_levels=len(model.unet_config.block_out_channels))
+        return {}  # non-unet eps models: internal dotted paths
 
     @staticmethod
     def _inverse_key_map(model, key_map):

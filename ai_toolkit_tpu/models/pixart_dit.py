@@ -124,8 +124,6 @@ class PixArtAttention(nn.Module):
         v = Linear(nh * hd, **kw, name="to_v")(src).reshape(b, t, nh, hd)
         if bias is not None:
             # additive text-padding bias [B, 1, 1, T] (diffusers -10000 mask)
-            o = dot_product_attention(q, k, v, mask=None, implementation="xla") \
-                if bias is None else None
             qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)
             kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)
             vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
@@ -261,3 +259,66 @@ def pixart_partition_rules(scan_blocks: bool = True) -> list[PartitionRule]:
 
 def pixart_lora_targets() -> list[str]:
     return [r"blocks/", r"block_\d+/"]
+
+
+_PX_KEY_PATTERNS: list[tuple[str, str]] = [
+    (r"blocks/block/attn(1|2)/to_(q|k|v)$", "transformer_blocks.{L}.attn{A}.to_{W}"),
+    (r"blocks/block/attn(1|2)/to_out$", "transformer_blocks.{L}.attn{A}.to_out.0"),
+    (r"blocks/block/ff_in$", "transformer_blocks.{L}.ff.net.0.proj"),
+    (r"blocks/block/ff_out$", "transformer_blocks.{L}.ff.net.2"),
+    (r"block_(\d+)/attn(1|2)/to_(q|k|v)$", "transformer_blocks.{i}.attn{A}.to_{W}"),
+    (r"block_(\d+)/attn(1|2)/to_out$", "transformer_blocks.{i}.attn{A}.to_out.0"),
+    (r"block_(\d+)/ff_in$", "transformer_blocks.{i}.ff.net.0.proj"),
+    (r"block_(\d+)/ff_out$", "transformer_blocks.{i}.ff.net.2"),
+]
+
+
+def pixart_lora_key_map(lora_or_params: dict) -> dict[str, str]:
+    """internal '/'-joined paths -> diffusers PixArt module names ('{L}' for
+    scanned stacks)."""
+    import re as _re
+
+    from ai_toolkit_tpu.models.flux_dit import _all_module_paths
+
+    try:
+        from ai_toolkit_tpu.adapters.lora import lora_paths as _lp
+
+        paths = ["/".join(p) for p in _lp(lora_or_params)]
+    except Exception:
+        paths = []
+    if not paths:
+        paths = _all_module_paths(lora_or_params)
+    out: dict[str, str] = {}
+    for p in paths:
+        for pat, tmpl in _PX_KEY_PATTERNS:
+            m = _re.match(pat, p)
+            if not m:
+                continue
+            g = m.groups()
+            if pat.startswith("blocks"):
+                ext = tmpl.replace("{A}", g[0])
+                if len(g) > 1:
+                    ext = ext.replace("{W}", g[1])
+            else:
+                ext = tmpl.replace("{i}", g[0])
+                if len(g) > 1:
+                    ext = ext.replace("{A}", g[1])
+                if len(g) > 2:
+                    ext = ext.replace("{W}", g[2])
+            out[p] = ext
+            break
+    return out
+
+
+def pixart_inverse_key_map(key_map: dict[str, str], n_layers: int) -> dict[str, str]:
+    inverse: dict[str, str] = {}
+    for internal, ext in key_map.items():
+        if "{L}" in ext:
+            for l in range(n_layers):
+                e = ext.replace("{L}", str(l))
+                inverse[e] = f"{internal}#{l}"
+                inverse[e.replace(".", "_")] = f"{internal}#{l}"
+        else:
+            inverse[ext] = internal
+            inverse[ext.replace(".", "_")] = internal
+    return inverse
