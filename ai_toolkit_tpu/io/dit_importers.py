@@ -2066,3 +2066,129 @@ def load_pixart_checkpoint(path: str, model) -> dict:
             if tree:
                 variables["t5"] = _merge_imported(variables["t5"], tree, "pixart t5")
     return variables
+
+
+def cogview4_rules(scan_blocks: bool = True) -> list[Rule]:
+    """diffusers ``CogView4Transformer2DModel`` -> models/cogview4_dit.
+    Module inventory pinned by the reference wrapper's quantization exclude
+    list (``toolkit/models/cogview4.py:160-166``): norm1 (12-chunk adaLN
+    linear), affine attn1.norm_q/norm_k, param-less norm2/norm2_context."""
+    b = "blocks/block/" if scan_blocks else "block_{0}/"
+    kind = "_stack" if scan_blocks else ""
+    pre = r"transformer_blocks\.(\d+)\."
+
+    def lin(src, dst):
+        return [(pre + src + r"\.weight", b + dst + "/kernel", "linear" + kind),
+                (pre + src + r"\.bias", b + dst + "/bias", "direct" + kind)]
+
+    rules: list[Rule] = []
+    rules += lin(r"norm1\.linear", "adaln")
+    for w in ("q", "k", "v"):
+        rules += lin(rf"attn1\.to_{w}", f"attn1/to_{w}")
+    rules += lin(r"attn1\.to_out\.0", "attn1/to_out")
+    for nm in ("norm_q", "norm_k"):
+        rules += [(pre + rf"attn1\.{nm}\.weight", b + f"attn1/{nm}/scale", "direct" + kind),
+                  (pre + rf"attn1\.{nm}\.bias", b + f"attn1/{nm}/bias", "direct" + kind)]
+    rules += lin(r"ff\.net\.0\.proj", "ff_in")
+    rules += lin(r"ff\.net\.2", "ff_out")
+    rules += [
+        (r"patch_embed\.proj\.weight", "patch_proj/kernel", "linear"),
+        (r"patch_embed\.proj\.bias", "patch_proj/bias", "direct"),
+        (r"patch_embed\.text_proj\.weight", "text_proj/kernel", "linear"),
+        (r"patch_embed\.text_proj\.bias", "text_proj/bias", "direct"),
+        (r"time_condition_embed\.timestep_embedder\.linear_1\.weight", "time_in/in_layer/kernel", "linear"),
+        (r"time_condition_embed\.timestep_embedder\.linear_1\.bias", "time_in/in_layer/bias", "direct"),
+        (r"time_condition_embed\.timestep_embedder\.linear_2\.weight", "time_in/out_layer/kernel", "linear"),
+        (r"time_condition_embed\.timestep_embedder\.linear_2\.bias", "time_in/out_layer/bias", "direct"),
+        (r"time_condition_embed\.condition_embedder\.linear_1\.weight", "cond_in/kernel", "linear"),
+        (r"time_condition_embed\.condition_embedder\.linear_1\.bias", "cond_in/bias", "direct"),
+        (r"time_condition_embed\.condition_embedder\.linear_2\.weight", "cond_out/kernel", "linear"),
+        (r"time_condition_embed\.condition_embedder\.linear_2\.bias", "cond_out/bias", "direct"),
+        (r"norm_out\.linear\.weight", "final_mod/kernel", "linear"),
+        (r"norm_out\.linear\.bias", "final_mod/bias", "direct"),
+        (r"proj_out\.weight", "final_proj/kernel", "linear"),
+        (r"proj_out\.bias", "final_proj/bias", "direct"),
+    ]
+    return rules
+
+
+def load_cogview4_checkpoint(path: str, model) -> dict:
+    """HF-layout dir (transformer/ + vae/ + text_encoder/) or a single
+    transformer .safetensors file; config.json drives all dims."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from ai_toolkit_tpu.io.flux_import import _merge_imported
+    from ai_toolkit_tpu.io.sd_import import vae_rules
+    from ai_toolkit_tpu.models.cogview4_dit import CogView4Config, CogView4DiT
+
+    tdir = os.path.join(path, "transformer")
+    src = tdir if os.path.isdir(tdir) else (path if os.path.isfile(path) else None)
+    if src is not None and os.path.isdir(src):
+        cj = os.path.join(src, "config.json")
+        if os.path.isfile(cj):
+            with open(cj) as f:
+                c = json.load(f)
+            cfg = model.dit_config
+            rad = c.get("rope_axes_dim", list(cfg.rope_axes_dim))
+            new = dataclasses.replace(
+                cfg,
+                in_channels=c.get("in_channels", cfg.in_channels),
+                out_channels=c.get("out_channels", cfg.out_channels),
+                patch_size=c.get("patch_size", cfg.patch_size),
+                num_heads=c.get("num_attention_heads", cfg.num_heads),
+                head_dim=c.get("attention_head_dim", cfg.head_dim),
+                n_layers=c.get("num_layers", cfg.n_layers),
+                text_embed_dim=c.get("text_embed_dim", cfg.text_embed_dim),
+                time_embed_dim=c.get("time_embed_dim", cfg.time_embed_dim),
+                condition_dim=c.get("condition_dim", cfg.condition_dim),
+                rope_axes_dim=tuple(rad),
+            )
+            if new != cfg:
+                model.dit_config = new
+                model.dit = CogView4DiT(new)
+    variables = model.init_variables(jax.random.key(0))
+    if src is not None:
+        flat = load_safetensors_dir(src)
+        flat = {k.removeprefix("model.diffusion_model.").removeprefix("transformer."): v
+                for k, v in flat.items()}
+        tree, unmatched = torch_to_tree(flat, cogview4_rules(model.dit_config.scan_blocks))
+        if unmatched:
+            print(f"cogview4 import: {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
+        variables["dit"] = _merge_imported(variables["dit"], tree, "cogview4 dit")
+    if os.path.isdir(path):
+        vdir = os.path.join(path, "vae")
+        if os.path.isdir(vdir) and "vae" in variables:
+            flat_v = load_safetensors_dir(path, "vae")
+            tree, _ = torch_to_tree(flat_v, vae_rules(
+                len(model.vae_config.channel_multipliers),
+                model.vae_config.layers_per_block))
+            if tree:
+                variables["vae"] = _merge_imported(variables["vae"], tree, "cogview4 vae")
+        tedir = os.path.join(path, "text_encoder")
+        if os.path.isdir(tedir) and "te" in variables:
+            from ai_toolkit_tpu.io.sd_import import llm_rules
+
+            flat_t = load_safetensors_dir(path, "text_encoder")
+            flat_t = glm_split_fused(flat_t)
+            tree, _ = torch_to_tree(flat_t, llm_rules())
+            if tree:
+                variables["te"] = _merge_imported(variables["te"], tree, "cogview4 glm te")
+    return variables
+
+
+def glm_split_fused(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """transformers GlmModel fuses the swiglu gate/up into one
+    ``mlp.gate_up_proj`` Linear — split rows back into gate_proj/up_proj so
+    the shared llm_rules apply."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if ".mlp.gate_up_proj." in k:
+            half = v.shape[0] // 2
+            out[k.replace("gate_up_proj", "gate_proj")] = np.ascontiguousarray(v[:half])
+            out[k.replace("gate_up_proj", "up_proj")] = np.ascontiguousarray(v[half:])
+        else:
+            out[k] = v
+    return out

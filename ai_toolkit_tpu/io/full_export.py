@@ -454,6 +454,16 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         plan.append(("t5", "text_encoder", M, t5_rules(), None))
         return plan
 
+    if arch == "cogview4":
+        from ai_toolkit_tpu.io.dit_importers import cogview4_rules
+
+        plan.append(("dit", "transformer", W,
+                     cogview4_rules(model.dit_config.scan_blocks), None))
+        plan.append(("vae", "vae", W, vae_rules(
+            len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
+        ), None))
+        return plan
+
     if arch == "auraflow":
         from ai_toolkit_tpu.io.dit_importers import auraflow_rules
 

@@ -66,6 +66,9 @@ class LLMConfig:
     # Ernie4.5: use_bias on all linears; interleaved (GPT-J-style) rope
     all_bias: bool = False
     rope_interleaved: bool = False
+    # GLM-4: rope over only the first partial_rotary*head_dim dims
+    # (transformers modeling_glm: interleaved rotate_half, q_pass untouched)
+    partial_rotary: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -111,6 +114,19 @@ class LLMConfig:
             vocab_size=103_424, d_model=2560, n_layers=28, n_heads=20,
             n_kv_heads=4, head_dim=128, d_ff=12_288, rope_theta=500_000.0,
             rms_eps=1e-5, rope_interleaved=True,
+        )
+
+    @classmethod
+    def glm4_9b(cls) -> "LLMConfig":
+        """GLM-4-9B text tower (cogview4's TE; transformers ``GlmModel``):
+        qkv biases, swiglu with fused gate_up (split at import by
+        ``io/dit_importers.glm_split_fused``), interleaved rope over the
+        first half of each head (partial_rotary_factor 0.5)."""
+        return cls(
+            vocab_size=151_552, d_model=4096, n_layers=40, n_heads=32,
+            n_kv_heads=2, head_dim=128, d_ff=13_696, rope_theta=10_000.0,
+            qkv_bias=True, rms_eps=1.5625e-07, rope_interleaved=True,
+            partial_rotary=0.5,
         )
 
     @classmethod
@@ -172,8 +188,13 @@ class LLMLayer(nn.Module):
             q = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="q_norm")(q)
             k = RMSNorm(eps=cfg.rms_eps, dtype=dt, name="k_norm")(k)
         rope = _llm_rope_interleaved if cfg.rope_interleaved else _llm_rope
-        q = rope(q, cfg.rope_theta)
-        k = rope(k, cfg.rope_theta)
+        if cfg.partial_rotary < 1.0:
+            rd = int(hd * cfg.partial_rotary)
+            q = jnp.concatenate([rope(q[..., :rd], cfg.rope_theta), q[..., rd:]], axis=-1)
+            k = jnp.concatenate([rope(k[..., :rd], cfg.rope_theta), k[..., rd:]], axis=-1)
+        else:
+            q = rope(q, cfg.rope_theta)
+            k = rope(k, cfg.rope_theta)
         v = v.reshape(b, s, nkv, hd)
         if nkv != nh:  # GQA: repeat kv heads
             rep = nh // nkv

@@ -40,6 +40,10 @@ def get_schedule(name: str, arch: str | None = None, **overrides: Any):
             defaults = {"shift": 1.0, "use_dynamic_shifting": False}
         elif arch in ("flux", "flex1", "flex2", "flux_kontext", "chroma"):
             defaults = {"use_dynamic_shifting": True}
+        elif arch in ("cogview4",):
+            # vendored scheduler_config (toolkit/models/cogview4.py:45-59)
+            defaults = {"use_dynamic_shifting": True, "base_shift": 0.25,
+                        "max_shift": 0.75, "time_shift_type": "linear"}
         defaults.update(overrides)
         return FlowMatchSchedule(**defaults)
     if name in ("ddpm", "ddim", "euler", "euler_a", "dpm", "dpm++", "dpmpp_2m",

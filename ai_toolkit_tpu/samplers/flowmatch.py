@@ -32,9 +32,11 @@ def calculate_flux_shift(
     return image_seq_len * m + b
 
 
-def time_shift(mu: float, sigma: float, t: jax.Array) -> jax.Array:
-    """exp-shift of uniform times (diffusers FlowMatch dynamic shifting)."""
-    return math.exp(mu) / (math.exp(mu) + (1.0 / t - 1.0) ** sigma)
+def time_shift(mu: float, sigma: float, t: jax.Array, kind: str = "exp") -> jax.Array:
+    """Dynamic shift of uniform times (diffusers FlowMatch): 'exp' (flux) or
+    'linear' (cogview4 scheduler_config time_shift_type, mu used directly)."""
+    m = mu if kind == "linear" else math.exp(mu)
+    return m / (m + (1.0 / t - 1.0) ** sigma)
 
 
 def _bell_weights(num: int = 1000) -> jnp.ndarray:
@@ -61,6 +63,8 @@ class FlowMatchSchedule:
     max_image_seq_len: int = 4096
     base_shift: float = 0.5
     max_shift: float = 1.16
+    # 'exp' (flux) or 'linear' (cogview4: mu enters the shift un-exponentiated)
+    time_shift_type: str = "exp"
     # user-provided per-timestep loss-weight table (reference
     # timestep_weighing/default_weighing_scheme.py precomputed scheme);
     # tuple of num_train_timesteps floats, used by timestep_type='weighted'
@@ -89,7 +93,7 @@ class FlowMatchSchedule:
             mu = calculate_flux_shift(
                 seq, self.base_image_seq_len, self.max_image_seq_len, self.base_shift, self.max_shift
             )
-            t = time_shift(mu, 1.0, u)
+            t = time_shift(mu, 1.0, u, self.time_shift_type)
         elif timestep_type == "lognorm_blend":
             # 75% biased toward the noisy end via lognormal, 25% uniform
             z = jnp.exp(jax.random.normal(rng, (batch_size,)) * 0.333)
@@ -186,7 +190,7 @@ class FlowMatchSchedule:
                 self.base_shift,
                 self.max_shift,
             )
-            sigmas = time_shift(mu, 1.0, sigmas)
+            sigmas = time_shift(mu, 1.0, sigmas, self.time_shift_type)
         else:
             sigmas = self.shift * sigmas / (1.0 + (self.shift - 1.0) * sigmas)
         return jnp.concatenate([sigmas, jnp.zeros((1,))])

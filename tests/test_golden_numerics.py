@@ -250,3 +250,33 @@ def test_umt5_encoder_matches_transformers():
         ref = hf(torch.from_numpy(ids)).last_hidden_state
     out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_glm_encoder_matches_transformers():
+    """GLM-4 flavor (cogview4's TE): qkv bias, fused gate_up split at import
+    (glm_split_fused), interleaved rope over the first half of each head
+    (partial_rotary_factor 0.5), rms_eps 1.5625e-07."""
+    from transformers import GlmConfig, GlmModel
+
+    from ai_toolkit_tpu.io.dit_importers import glm_split_fused
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+
+    hf = GlmModel(GlmConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        rope_theta=10_000.0, rms_norm_eps=1.5625e-07, attention_bias=True,
+        partial_rotary_factor=0.5, pad_token_id=0,
+    )).eval()
+    flat = glm_split_fused({k: v.numpy() for k, v in hf.state_dict().items()})
+    tree, unmatched = torch_to_tree(flat, llm_rules())
+    assert not unmatched, unmatched[:8]
+
+    ours = LLMEncoder(LLMConfig.tiny(
+        rms_eps=1.5625e-07, rope_theta=10_000.0, qkv_bias=True,
+        rope_interleaved=True, partial_rotary=0.5))
+    ids = np.random.default_rng(2).integers(1, 999, (2, 11)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).last_hidden_state
+    out = ours.apply({"params": tree}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4, rtol=2e-4)
