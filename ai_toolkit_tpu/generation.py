@@ -206,9 +206,33 @@ def generate_sd(
             return pred
 
     sampler = (gen.sampler or "ddim").lower()
-    if sampler in ("euler_a", "euler_ancestral", "dpm", "dpmpp", "dpm++", "dpmpp_2m", "dpmpp_2m_karras"):
+    karras = sampler.startswith("k_") or sampler.endswith("_karras")
+    sampler = sampler.removeprefix("k_")
+    if sampler in ("dpm_2", "dpm_2_a", "dpmsingle"):
+        # second-order steppers needing an extra mid-sigma model call
+        # (reference KDPM2 / KDPM2Ancestral / DPMSolverSinglestep)
+        sigmas = schedule.inference_sigmas(gen.sample_steps, karras=karras)
+        x = x * float(sigmas[0])
+
+        def denoised_at(xx, s):
+            eps = predict_cfg(
+                schedule.scale_model_input(xx, s), schedule.timestep_for_sigma(s)
+            )
+            return schedule.denoised_from_eps(xx, eps, s)
+
+        for i in range(len(sigmas) - 1):
+            s, sn = float(sigmas[i]), float(sigmas[i + 1])
+            den = denoised_at(x, s)
+            if sampler == "dpm_2":
+                x = schedule.dpm_2_step(x, den, s, sn, denoised_at)
+            elif sampler == "dpm_2_a":
+                rng, sub = jax.random.split(rng)
+                x = schedule.dpm_2_a_step(x, den, s, sn, sub, denoised_at)
+            else:
+                x = schedule.dpmpp_2s_step(x, den, s, sn, denoised_at)
+    elif sampler in ("euler_a", "euler_ancestral", "dpm", "dpmpp", "dpm++", "dpmpp_2m", "dpmpp_2m_karras", "dpmsolver", "dpmsolver++"):
         # k-diffusion sigma-space samplers (reference sampler zoo)
-        sigmas = schedule.inference_sigmas(gen.sample_steps)
+        sigmas = schedule.inference_sigmas(gen.sample_steps, karras=karras)
         x = x * float(sigmas[0])
         prev_denoised, sigma_prev = None, None
         for i in range(len(sigmas) - 1):
@@ -224,7 +248,7 @@ def generate_sd(
                 rng, sub = jax.random.split(rng)
                 x = schedule.euler_ancestral_step(x, denoised, sigma, sigma_next, sub)
     elif sampler in ("heun", "lms"):
-        sigmas = schedule.inference_sigmas(gen.sample_steps)
+        sigmas = schedule.inference_sigmas(gen.sample_steps, karras=karras)
         x = x * float(sigmas[0])
 
         def denoised_at(xx, s):
@@ -293,7 +317,8 @@ def generate_sd(
     else:
         raise ValueError(
             f"unknown sampler '{sampler}' — supported: ddim, ddpm, euler_a, "
-            f"dpmpp_2m, heun, lms, lcm, pndm"
+            f"dpmpp_2m, dpm_2, dpm_2_a, dpmsingle, heun, lms, lcm, pndm "
+            f"(k_ prefix / _karras suffix for karras sigmas)"
         )
 
     img = model.decode_latents(variables, x)

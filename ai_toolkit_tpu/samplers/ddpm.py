@@ -163,9 +163,18 @@ class DDPMSchedule:
         acp = self.alphas_cumprod
         return np.sqrt((1.0 - acp) / acp)
 
-    def inference_sigmas(self, num_steps: int) -> np.ndarray:
-        """descending sigma schedule over the trained range, 0-terminated."""
+    def inference_sigmas(self, num_steps: int, karras: bool = False) -> np.ndarray:
+        """descending sigma schedule over the trained range, 0-terminated.
+
+        karras=True: rho-7 ramp between the trained sigma_min/max (the
+        reference's ``k_``-prefixed samplers set use_karras_sigmas)."""
         table = self.sigma_table()
+        if karras:
+            rho = 7.0
+            smin, smax = float(table[0]), float(table[-1])
+            ramp = np.linspace(0, 1, num_steps)
+            sig = (smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+            return np.append(sig, 0.0)
         idx = np.linspace(len(table) - 1, 0, num_steps).round().astype(int)
         return np.append(table[idx], 0.0)
 
@@ -290,6 +299,69 @@ class DDPMSchedule:
             acp_t * (1.0 - acp_t) * acp_prev
         ) ** 0.5
         return (sample_coeff * xf - (acp_prev - acp_t) * ef / denom).astype(x.dtype)
+
+    @staticmethod
+    def dpm_2_step(
+        x: jax.Array, denoised: jax.Array, sigma: float, sigma_next: float,
+        denoised_fn,
+    ) -> jax.Array:
+        """KDPM2 / k-diffusion sample_dpm_2: 2nd-order with a log-space
+        midpoint sigma (reference sampler 'dpm_2' -> KDPM2DiscreteScheduler)."""
+        xf = x.astype(jnp.float32)
+        df = denoised.astype(jnp.float32)
+        d = (xf - df) / sigma
+        if sigma_next == 0:
+            return (xf + d * (sigma_next - sigma)).astype(x.dtype)
+        sigma_mid = float(np.exp(np.log(sigma) * 0.5 + np.log(sigma_next) * 0.5))
+        x_2 = xf + d * (sigma_mid - sigma)
+        den2 = denoised_fn(x_2.astype(x.dtype), sigma_mid).astype(jnp.float32)
+        d_2 = (x_2 - den2) / sigma_mid
+        return (xf + d_2 * (sigma_next - sigma)).astype(x.dtype)
+
+    @staticmethod
+    def dpm_2_a_step(
+        x: jax.Array, denoised: jax.Array, sigma: float, sigma_next: float,
+        rng: jax.Array, denoised_fn,
+    ) -> jax.Array:
+        """KDPM2Ancestral / sample_dpm_2_ancestral (reference 'dpm_2_a')."""
+        xf = x.astype(jnp.float32)
+        df = denoised.astype(jnp.float32)
+        d = (xf - df) / sigma
+        if sigma_next == 0:
+            return df.astype(x.dtype)
+        su2 = sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2
+        sigma_up = float(np.sqrt(max(su2, 0.0)))
+        sigma_down = float(np.sqrt(max(sigma_next**2 - sigma_up**2, 0.0)))
+        if sigma_down == 0:
+            xf = xf + d * (sigma_down - sigma)
+        else:
+            sigma_mid = float(np.exp(np.log(sigma) * 0.5 + np.log(sigma_down) * 0.5))
+            x_2 = xf + d * (sigma_mid - sigma)
+            den2 = denoised_fn(x_2.astype(x.dtype), sigma_mid).astype(jnp.float32)
+            d_2 = (x_2 - den2) / sigma_mid
+            xf = xf + d_2 * (sigma_down - sigma)
+        noise = jax.random.normal(rng, x.shape, jnp.float32)
+        return (xf + noise * sigma_up).astype(x.dtype)
+
+    @staticmethod
+    def dpmpp_2s_step(
+        x: jax.Array, denoised: jax.Array, sigma: float, sigma_next: float,
+        denoised_fn,
+    ) -> jax.Array:
+        """DPM-Solver++(2S) singlestep, data prediction (reference
+        'dpmsingle' -> DPMSolverSinglestepScheduler): two model calls per
+        step combined in t = -log(sigma) space."""
+        xf = x.astype(jnp.float32)
+        df = denoised.astype(jnp.float32)
+        if sigma_next == 0:
+            return df.astype(x.dtype)
+        t, t_next = -np.log(sigma), -np.log(sigma_next)
+        s_mid = t + 0.5 * (t_next - t)
+        sig_mid = float(np.exp(-s_mid))
+        x_2 = (sig_mid / sigma) * xf - float(np.expm1(t - s_mid)) * df
+        den2 = denoised_fn(x_2.astype(x.dtype), sig_mid).astype(jnp.float32)
+        out = (sigma_next / sigma) * xf - float(np.expm1(t - t_next)) * den2
+        return out.astype(x.dtype)
 
     @staticmethod
     def dpmpp_2m_step(

@@ -151,3 +151,57 @@ def test_generate_sd_all_samplers(tmp_path):
         generate_sd(model, variables, GenerateImageConfig(
             prompt="x", width=64, height=64, sample_steps=2, guidance_scale=1.0,
             sampler="made_up"))
+
+
+def test_dpm2_family_recovers_oracle_x0():
+    """dpm_2 / dpm_2_a / dpmsingle (2S) with the self-consistent oracle model
+    must converge to the oracle x0 (second-order steppers; the ODE solution
+    is exact for this model)."""
+    schedule = DDPMSchedule()
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+
+    def denoised_at(x, s):
+        # oracle: eps consistent with x -> denoised estimate equals x0 exactly
+        t = schedule.timestep_for_sigma(s)
+        eps = _oracle_eps(schedule, np.asarray(x) * np.sqrt(
+            float(schedule.alphas_cumprod[t])), t, x0)
+        return jnp.asarray(x0)
+
+    for name, step in (
+        ("dpm_2", lambda x, den, s, sn, k: schedule.dpm_2_step(x, den, s, sn, denoised_at)),
+        ("dpmsingle", lambda x, den, s, sn, k: schedule.dpmpp_2s_step(x, den, s, sn, denoised_at)),
+        ("dpm_2_a", lambda x, den, s, sn, k: schedule.dpm_2_a_step(x, den, s, sn, k, denoised_at)),
+    ):
+        sigmas = schedule.inference_sigmas(12)
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32)) * float(sigmas[0])
+        key = jax.random.key(0)
+        for i in range(len(sigmas) - 1):
+            key, sub = jax.random.split(key)
+            x = step(x, denoised_at(x, float(sigmas[i])), float(sigmas[i]),
+                     float(sigmas[i + 1]), sub)
+        # in the oracle model denoised == x0 identically, so all three land on x0
+        np.testing.assert_allclose(np.asarray(x), x0, atol=1e-3, err_msg=name)
+
+
+def test_karras_sigma_ramp():
+    schedule = DDPMSchedule()
+    sig = schedule.inference_sigmas(10, karras=True)
+    table = schedule.sigma_table()
+    assert sig[0] == pytest.approx(float(table[-1]), rel=1e-6)  # starts at sigma_max
+    assert sig[-1] == 0.0 and sig[-2] == pytest.approx(float(table[0]), rel=1e-6)
+    assert np.all(np.diff(sig) < 0)  # strictly descending
+
+
+def test_generate_sd_dpm2_family_samplers():
+    from ai_toolkit_tpu.config.modules import GenerateImageConfig, ModelConfig
+    from ai_toolkit_tpu.generation import generate_sd
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    model = get_model_class("sd15")(ModelConfig(arch="sd15", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    for sampler in ("dpm_2", "dpm_2_a", "dpmsingle", "k_dpm_2", "k_lms"):
+        gen = GenerateImageConfig(prompt="x", width=64, height=64, sample_steps=4,
+                                  guidance_scale=1.0, seed=1, sampler=sampler)
+        img = generate_sd(model, variables, gen)
+        assert img.shape[-1] == 3 and np.isfinite(img).all(), sampler
