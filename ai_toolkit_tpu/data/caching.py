@@ -27,6 +27,16 @@ def _cache_key(item: FileItem, version: str) -> str:
     return hashlib.md5(raw.encode()).hexdigest()
 
 
+def _use_native_loader() -> bool:
+    """The C++ batch decoder wins by fanning out over cores; on a 1-core host
+    PIL is measurably faster (scripts/bench_loader.py: 3.2 vs 2.8 imgs/s).
+    AIT_NATIVE_LOADER=1/0 overrides the heuristic either way."""
+    env = os.environ.get("AIT_NATIVE_LOADER")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    return (os.cpu_count() or 1) > 1
+
+
 def latent_cache_path(item: FileItem, cache_dir: str, version: str = "v1") -> str:
     return os.path.join(cache_dir, f"{_cache_key(item, version)}.safetensors")
 
@@ -61,7 +71,7 @@ def cache_latents(
         for i in range(0, len(pending), batch_size):
             chunk = pending[i : i + batch_size]
             imgs = None
-            if all(it.kind == "image" for it in chunk):
+            if all(it.kind == "image" for it in chunk) and _use_native_loader():
                 from ai_toolkit_tpu.data.native import load_image_batch
 
                 bw, bh = chunk[0].bucket

@@ -133,7 +133,18 @@ def bench_latent_cache(budget_s: float = 180.0) -> float | None:
     for _ in range(iters):
         _ = float(jnp.sum(enc(x)))
     dt = (_time.time() - t0) / iters
-    print(f"latent cache: {4/dt:.1f} imgs/s", file=sys.stderr)
+    # annotate which disk->pixels decode path the cache pass would use on
+    # this host (VERDICT r4 item 6; measured by scripts/bench_loader.py)
+    try:
+        from ai_toolkit_tpu.data.caching import _use_native_loader
+
+        import os as _os
+
+        path_used = "native-c++" if _use_native_loader() else "PIL"
+        print(f"latent cache: {4/dt:.1f} imgs/s (VAE encode; decode path on "
+              f"this {_os.cpu_count()}-core host: {path_used})", file=sys.stderr)
+    except Exception:
+        print(f"latent cache: {4/dt:.1f} imgs/s", file=sys.stderr)
     return 4.0 / dt
 
 
