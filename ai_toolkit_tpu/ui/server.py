@@ -622,6 +622,9 @@ class _Handler(BaseHTTPRequestHandler):
         if not name.replace("-", "").replace("_", "").isalnum():
             return self._json({"error": "bad name"}, 400)
         folder = req.get("dataset_folder")
+        if not folder and req.get("dataset"):
+            # dataset by NAME from the managed datasets root (/api/datasets)
+            folder = self._dataset_dir(str(req["dataset"]))
         if not folder or not os.path.isdir(folder):
             return self._json({"error": "dataset_folder missing"}, 400)
         root = self._runs_root()
@@ -633,16 +636,25 @@ class _Handler(BaseHTTPRequestHandler):
         if req.get("do_audio"):
             dataset["do_audio"] = True
         net_type = str(req.get("network_type", "lora"))
-        if net_type not in ("lora", "lokr", "loha", "dora"):
+        if net_type not in ("lora", "lokr", "loha", "dora", "full", "embedding"):
             return self._json({"error": f"unknown network type {net_type}"}, 400)
+        if net_type == "full":
+            network: dict = {"type": "full"}
+        elif net_type == "embedding":
+            network = {"type": "embedding"}
+        else:
+            network = {"type": net_type, "linear": int(req.get("rank", 16)),
+                       "linear_alpha": int(req.get("rank", 16))}
+            if req.get("conv_rank"):
+                network["conv"] = int(req["conv_rank"])
+                network["conv_alpha"] = int(req["conv_rank"])
         cfg = {
             "job": "extension",
             "config": {"name": name, "process": [{
                 "type": "sd_trainer",
                 "training_folder": root,
                 "trigger_word": req.get("trigger_word") or None,
-                "network": {"type": net_type, "linear": int(req.get("rank", 16)),
-                            "linear_alpha": int(req.get("rank", 16))},
+                "network": network,
                 "save": {"save_every": int(req.get("save_every", 250))},
                 "datasets": [dataset],
                 "train": {"batch_size": int(req.get("batch_size", 1)),
@@ -663,6 +675,21 @@ class _Handler(BaseHTTPRequestHandler):
                 "mesh": {"axes": req.get("mesh", {"dp": 1, "fsdp": -1, "tp": 1})},
             }]},
         }
+        overrides = req.get("overrides")
+        if not overrides and req.get("overrides_yaml"):
+            import yaml as _yaml
+
+            try:
+                overrides = _yaml.safe_load(str(req["overrides_yaml"])) or {}
+            except Exception as e:  # noqa: BLE001
+                return self._json({"error": f"bad overrides yaml: {e}"}, 400)
+        if overrides:
+            # free-form deep-merge: the builder's Advanced panel covers every
+            # config knob without a bespoke form field per knob (reference
+            # options.tsx exposes the whole surface)
+            if not isinstance(overrides, dict):
+                return self._json({"error": "overrides must be an object"}, 400)
+            _deep_merge(cfg["config"]["process"][0], overrides)
         import yaml
 
         cfg_dir = os.path.join(root, "_quick_ui")
@@ -689,6 +716,15 @@ class _Handler(BaseHTTPRequestHandler):
         proc, log_path = _spawn_job(cfg_path, cfg_dir, name)
         return self._json({"launched": name, "pid": proc.pid,
                            "config": cfg_path, "log": log_path})
+
+
+def _deep_merge(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
 
 
 def _spawn_job(cfg_path: str, log_dir: str, name: str,
@@ -896,22 +932,36 @@ label{display:block;margin:8px 0 2px}input,select{width:320px;padding:4px;
 background:#161a22;color:#d7dae0;border:1px solid #2a2e38}
 button{margin-top:12px;padding:6px 18px;background:#5b8cff;border:0;color:#fff;
 border-radius:4px}</style></head><body>
-<h1>Quick LoRA launch</h1>
+<h1>New training job</h1>
 <label>name</label><input id="name" value="my_lora">
 <label>arch</label><select id="arch"></select>
+<div id="archnote" style="color:#c99;font-size:12px"></div>
 <label>checkpoint path</label><input id="ckpt" value="">
-<label>dataset folder</label><input id="ds" value="">
+<label>dataset (managed)</label><select id="dssel"><option value=""></option></select>
+<label>…or dataset folder path</label><input id="ds" value="">
 <label>steps</label><input id="steps" value="2000">
-<label>rank</label><input id="rank" value="16">
+<label>batch size</label><input id="bs" value="1">
 <label>learning rate</label><input id="lr" value="1e-4">
 <label>resolution</label><input id="res" value="1024">
 <label>trigger word</label><input id="trig" value="">
 <label>network type</label><select id="nettype">
 <option>lora</option><option>lokr</option><option>loha</option>
-<option>dora</option></select>
+<option>dora</option><option value="full">full fine-tune</option>
+<option value="embedding">textual inversion</option></select>
+<label id="rankrow">rank</label><input id="rank" value="16">
+<label id="convrow">conv rank (0 = linear only)</label><input id="convrank" value="0">
+<label>optimizer</label><select id="opt">
+<option>adamw8bit</option><option>adamw</option><option>adafactor</option>
+<option>prodigy</option><option>automagic</option></select>
+<label>noise scheduler</label><select id="sched">
+<option>flowmatch</option><option>ddpm</option></select>
+<label>timestep type</label><select id="tstype">
+<option>flux_shift</option><option>sigmoid</option><option>linear</option>
+<option>shift</option><option>lognorm_blend</option><option>weighted</option></select>
 <label>quantize base</label><select id="quant">
 <option value="">off</option><option value="qfloat8">qfloat8</option>
 <option value="qint8">qint8</option><option value="uint4">uint4</option></select>
+<label>save every N steps</label><input id="saveevery" value="250">
 <label id="framesrow" style="display:none">video frames</label>
 <input id="frames" value="33" style="display:none">
 <label id="audiorow" style="display:none"><input type="checkbox" id="audio"
@@ -920,6 +970,10 @@ border-radius:4px}</style></head><body>
 <textarea id="prompts" rows="3" style="width:320px;background:#161a22;
 color:#d7dae0;border:1px solid #2a2e38"></textarea>
 <label>sample every N steps (0 = off)</label><input id="sampleevery" value="0">
+<label>advanced overrides (YAML, deep-merged onto the process config)</label>
+<textarea id="adv" rows="5" style="width:320px;background:#161a22;
+color:#d7dae0;border:1px solid #2a2e38"
+placeholder="train:\n  gradient_accumulation_steps: 2\nmodel:\n  low_vram: true"></textarea>
 <label><input type="checkbox" id="queue" style="width:auto"> queue (run when a slot frees)</label>
 <button onclick="go()">Launch</button><pre id="out"></pre>
 <script>
@@ -933,21 +987,47 @@ fetch('/api/archs').then(r=>r.json()).then(list=>{
   for(const id of ['framesrow','frames'])
    document.getElementById(id).style.display=a.is_video?'':'none';
   document.getElementById('audiorow').style.display=
-   (a.is_video||a.is_audio)?'':'none';};
+   (a.is_video||a.is_audio)?'':'none';
+  document.getElementById('sched').value=
+   a.noise_scheduler||(a.is_flow_matching===false?'ddpm':'flowmatch');
+  document.getElementById('tstype').value=
+   a.is_flow_matching===false?'sigmoid':'flux_shift';
+  document.getElementById('archnote').textContent=
+   a.checkpoint_importable===false?
+   'structural-only arch: real checkpoint paths are refused':'';};
+ sel.onchange();
 });
+fetch('/api/datasets').then(r=>r.json()).then(list=>{
+ const sel=document.getElementById('dssel');
+ for(const d of (list.datasets||list||[])){const o=document.createElement('option');
+  const n=d.name||d;o.value=n;o.textContent=n;sel.appendChild(o);}
+});
+document.getElementById('nettype').onchange=()=>{
+ const t=document.getElementById('nettype').value;
+ const show=!(t==='full'||t==='embedding');
+ for(const id of ['rankrow','rank','convrow','convrank'])
+  document.getElementById(id).style.display=show?'':'none';};
 async function go(){
  const body={name:name.value,arch:arch.value,name_or_path:ckpt.value,
-  dataset_folder:ds.value,steps:+steps.value,rank:+rank.value,
+  dataset_folder:ds.value,dataset:document.getElementById('dssel').value,
+  steps:+steps.value,rank:+rank.value,batch_size:+document.getElementById('bs').value,
   lr:lr.value,resolution:+res.value,trigger_word:trig.value,
   network_type:document.getElementById('nettype').value,
+  conv_rank:+document.getElementById('convrank').value||0,
+  optimizer:document.getElementById('opt').value,
+  noise_scheduler:document.getElementById('sched').value,
+  timestep_type:document.getElementById('tstype').value,
+  save_every:+document.getElementById('saveevery').value,
   sample_every:+document.getElementById('sampleevery').value,
   prompts:document.getElementById('prompts').value.split('\\n').filter(x=>x),
   queue:document.getElementById('queue').checked};
+ const adv=document.getElementById('adv').value.trim();
+ if(adv){body.overrides_yaml=adv;}
  const a=archinfo[arch.value]||{};
  if(a.is_video){body.num_frames=+document.getElementById('frames').value;}
  if(document.getElementById('audio').checked){body.do_audio=true;}
  const q=document.getElementById('quant').value;
- if(q){body.model_kwargs={};body.quantize=true;body.qtype=q;}
+ if(q){body.quantize=true;body.qtype=q;}else{body.quantize=false;}
  const r=await fetch('/api/launch',{method:'POST',
   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
  document.getElementById('out').textContent=JSON.stringify(await r.json(),null,2);

@@ -344,7 +344,7 @@ def test_quick_launch_endpoint(tmp_path):
         srv = UIServer(port=0, runs_root=str(tmp_path / "out")).start()
         base = f"http://127.0.0.1:{srv.port}"
         html = urllib.request.urlopen(base + "/new", timeout=5).read().decode()
-        assert "Quick LoRA launch" in html
+        assert "New training job" in html
         body = json.dumps({
             "name": "quick_test", "arch": "sd3", "dataset_folder": str(ds),
             "steps": 2, "rank": 2, "batch_size": 1, "dtype": "float32",
@@ -574,3 +574,70 @@ def test_repo_ui_scripts_run():
     import json
 
     assert json.loads(last) == {"ok": True, "message": "yo", "lines": 2}
+
+
+def test_launch_builder_full_ft_and_overrides(tmp_path):
+    """VERDICT r4 item 5: a NON-LoRA config (full-FT sdxl) and arbitrary
+    advanced knobs (YAML overrides, deep-merged) can be authored entirely
+    through the HTTP API; the result parses through the typed config path."""
+    import json
+    import urllib.request
+
+    import yaml
+
+    from ai_toolkit_tpu.config.modules import ProcessConfig
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    ds = tmp_path / "datasets" / "mypics"
+    ds.mkdir(parents=True)
+    srv = UIServer(db_path=str(tmp_path / "db.db"), port=0,
+                   runs_root=str(tmp_path / "out"),
+                   datasets_root=str(tmp_path / "datasets")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        body = {
+            "name": "sdxlft", "arch": "sdxl", "dataset": "mypics",  # by NAME
+            "steps": 10, "network_type": "full", "noise_scheduler": "ddpm",
+            "timestep_type": "sigmoid", "quantize": False, "queue": True,
+            "overrides_yaml": ("train:\n  gradient_accumulation_steps: 2\n"
+                               "  max_grad_norm: 0.5\nsave:\n  dtype: float32\n"),
+        }
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        out = json.load(urllib.request.urlopen(req, timeout=5))
+        cfg = yaml.safe_load(open(out["config"]))
+        proc = cfg["config"]["process"][0]
+        assert proc["network"] == {"type": "full"}
+        assert proc["datasets"][0]["folder_path"] == str(ds)
+        assert proc["train"]["gradient_accumulation_steps"] == 2
+        assert proc["train"]["max_grad_norm"] == 0.5
+        assert proc["train"]["noise_scheduler"] == "ddpm"
+        assert proc["save"]["dtype"] == "float32"
+        pc = ProcessConfig.from_dict(proc)  # full typed-config round trip
+        assert pc.network.type == "full" and pc.model.arch == "sdxl"
+        # conv-rank lora for completeness
+        body2 = {"name": "convlora", "arch": "sd15", "dataset": "mypics",
+                 "network_type": "lora", "rank": 8, "conv_rank": 4,
+                 "queue": True}
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps(body2).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        out2 = json.load(urllib.request.urlopen(req, timeout=5))
+        proc2 = yaml.safe_load(open(out2["config"]))["config"]["process"][0]
+        assert proc2["network"]["conv"] == 4 and proc2["network"]["linear"] == 8
+        # bad overrides yaml is rejected loudly
+        import pytest as _pt
+        bad = dict(body, name="badyaml", overrides_yaml="a: [unclosed")
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with _pt.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=5)
+        # the /new builder page carries the new authoring controls
+        html = urllib.request.urlopen(base + "/new", timeout=5).read().decode()
+        for needle in ("full fine-tune", "advanced overrides", "dssel",
+                       "conv rank", "noise scheduler"):
+            assert needle in html, needle
+    finally:
+        srv.stop()
