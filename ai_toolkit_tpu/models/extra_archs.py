@@ -41,6 +41,17 @@ from ai_toolkit_tpu.ops.rope import image_position_ids, multi_axis_rope
 from ai_toolkit_tpu.utils.tokenizer import load_tokenizer
 
 # hidden, heads, head_dim, depth_double, depth_single, ctx_dim, vae, te, llm_d
+#
+# Derivation status (r5 audit): NEITHER plugin vendors transformer dims — both
+# load them from checkpoint config.json through external model classes, so
+# only the surrounding contracts are pinned by in-reference source:
+# - anima: diffusers ``CosmosTransformer3DModel`` target (anima.py:235),
+#   Qwen3 text conditioner + T5 ids (anima.py:137-177), bucket divisibility
+#   32 (anima.py:248: 16*2), max_sequence_length 512 (anima.py:241). The
+#   hidden/depth numbers below are the Cosmos-Predict2-2B convention, NOT
+#   verified — which is why checkpoint paths stay REFUSED.
+# - nucleus_image: scheduler_config (nucleus_image_model.py:31-43) and the
+#   load flow only; dims below are conventions, checkpoints REFUSED.
 _SPECS: dict[str, dict] = {
     "anima": dict(hidden=2048, heads=16, head_dim=128, dd=0, ds=24, ctx=2048,
                   vae="flux", te="llm", llm_d=2048),

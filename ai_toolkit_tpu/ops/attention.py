@@ -64,7 +64,10 @@ def _pallas_ok(q, k, mask, is_causal) -> bool:
     except Exception:
         return False
     s, t, d = q.shape[1], k.shape[1], q.shape[-1]
-    if d % 128 != 0:
+    if d % 128 != 0 and d != 64:
+        # d == 64: legal Mosaic block (last dim equals the array dim) at half
+        # lane utilization — still far cheaper than materializing [S,T]
+        # logits (SDXL self-attention is head_dim 64)
         return False
     if t > 8192:  # full K/V per head must fit VMEM in the current kernel
         return False

@@ -49,3 +49,25 @@ def test_flash_backward_matches_reference():
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4)
+
+
+def test_flash_d64_fwd_bwd_and_gate():
+    """head_dim 64 (SDXL self-attention): the kernel path must be numerically
+    exact (r5 — the auto gate's d%128 check used to reject d=64, silently
+    dropping SDXL to the logits-materializing XLA path)."""
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = _rand((b, s, h, d), 3), _rand((b, s, h, d), 4), _rand((b, s, h, d), 5)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = dot_product_attention(q, k, v, implementation="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def f_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, None, 128, 128)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(dot_product_attention(q, k, v, implementation="reference")))
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
