@@ -416,6 +416,11 @@ class Ideogram4Model(BaseTpuModel):
     # ---- conditioning ----
 
     def encode_prompt(self, variables: dict, prompts: list[str]) -> dict:
+        from ai_toolkit_tpu.utils.ideogram_caption import digest_caption_string
+
+        # structured-JSON captions are normalized/migrated to the compact
+        # model-ready string (reference ideogram4.py:522); plain text passes
+        prompts = [digest_caption_string(p) for p in prompts]
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
         is_eos = ids == self.tokenizer.eos_id
         mask = (np.cumsum(is_eos, axis=1) - is_eos <= 0).astype(np.int32)

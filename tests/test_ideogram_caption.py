@@ -1,0 +1,140 @@
+"""Ideogram-4 caption schema helpers (reference toolkit/ideogram_caption.py):
+old-format migration, strict key orders, palette caps, raw-text bbox swap,
+digest pass-through, and the upsample ui_script stdout contract."""
+
+import json
+import subprocess
+import sys
+
+from ai_toolkit_tpu.utils.ideogram_caption import (
+    canon_medium,
+    digest_caption_string,
+    is_ideogram_caption_str,
+    normalize_caption_dict,
+    normalize_hex,
+    swap_bbox_xy_in_text,
+    to_model_string,
+)
+
+
+def test_medium_and_hex_canonicalization():
+    assert canon_medium("Illustration.") == "illustration"
+    assert canon_medium("3D Render") == "3d_render"
+    assert canon_medium("oil pastel") == "oil pastel"  # custom preserved
+    assert normalize_hex("#abc") == "#AABBCC"
+    assert normalize_hex("#A1B2C3") == "#A1B2C3"
+    assert normalize_hex("red") is None
+
+
+def test_old_format_migrates_to_new_branch_order():
+    old = {
+        "aspect_ratio": "1:1",  # input-only, dropped
+        "style_description": {
+            "color_palette": ["#abc", "#abc", "bad", "#112233"],
+            "photo": "flat vector look",
+            "medium": "Illustration.",
+            "lighting": "even",
+            "aesthetics": "minimal",
+        },
+        "compositional_deconstruction": {
+            "elements": [{"color_palette": ["#fff"], "desc": "a cat",
+                          "type": "obj", "bbox": [1, 2, 3, 4]}],
+            "background": "white",
+        },
+    }
+    out = normalize_caption_dict(old)
+    assert "aspect_ratio" not in out
+    style = out["style_description"]
+    # art branch: aesthetics, lighting, medium, art_style, color_palette
+    assert list(style) == ["aesthetics", "lighting", "medium", "art_style",
+                           "color_palette"]
+    assert style["medium"] == "illustration"
+    assert style["art_style"] == "flat vector look"  # migrated from 'photo'
+    assert style["color_palette"] == ["#AABBCC", "#112233"]
+    el = out["compositional_deconstruction"]["elements"][0]
+    assert list(el) == ["type", "bbox", "desc", "color_palette"]
+    assert el["color_palette"] == ["#FFFFFF"]
+
+
+def test_text_element_order_and_palette_cap():
+    el = {"type": "text", "desc": "sign", "text": "OPEN",
+          "color_palette": [f"#{i:06x}" for i in range(9)]}
+    out = normalize_caption_dict({"compositional_deconstruction": {
+        "elements": [el]}})["compositional_deconstruction"]["elements"][0]
+    assert list(out) == ["type", "text", "desc", "color_palette"]
+    assert len(out["color_palette"]) == 5  # per-element cap
+
+
+def test_bbox_swap_on_malformed_text():
+    raw = 'garbage {"bbox":[120, 40, 80, 900]} trailing'  # x1,y1,x2,y2
+    out = swap_bbox_xy_in_text(raw)
+    assert '"bbox":[40,80,900,120]' in out  # -> y1,x1,y2,x2 with axis sort
+    assert out.startswith("garbage ") and out.endswith(" trailing")
+    assert swap_bbox_xy_in_text('"bbox":[0,-5,2000,10]') == '"bbox":[0,0,10,1000]'
+
+
+def test_digest_passthrough_and_compact_serialization():
+    assert digest_caption_string("a plain caption") == "a plain caption"
+    assert digest_caption_string('{"not": "a caption"}') == '{"not": "a caption"}'
+    cap = {"compositional_deconstruction": {"background": "x", "elements": []},
+           "aspect_ratio": "16:9"}
+    s = digest_caption_string(json.dumps(cap))
+    assert s == '{"compositional_deconstruction":{"background":"x","elements":[]}}'
+    assert is_ideogram_caption_str(s) and not is_ideogram_caption_str("plain")
+
+
+def test_upsample_script_stdout_contract():
+    out = subprocess.run(
+        [sys.executable, "ui_scripts/upsample_ideogram4_caption.py",
+         "a red fox in snow", "--aspect-ratio", "3:2", "--creative"],
+        capture_output=True, text=True, timeout=120, check=True,
+    )
+    data = json.loads(out.stdout.strip())  # stdout is ONE JSON object
+    assert "aspect_ratio" not in data
+    assert "compositional_deconstruction" in data
+    style = data["style_description"]
+    assert list(style)[:3] == ["aesthetics", "lighting", "photo"]
+    assert all(c.startswith("#") and c == c.upper()
+               for c in style.get("color_palette", []))
+
+
+def test_convert_lora_format_roundtrip(tmp_path):
+    """scripts/convert_lora_format.py: peft -> comfy -> kohya -> peft (via
+    --arch) round-trips names and tensors (reference convert_cog /
+    convert_lora_to_peft_format / convert_diffusers_to_comfy analogs)."""
+    import numpy as np
+    from safetensors.numpy import load_file, save_file
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 32)).astype(np.float32)
+    b = rng.normal(size=(32, 4)).astype(np.float32)
+    src = {
+        "transformer.double_blocks.0.img_attn.qkv.lora_A.weight": a,
+        "transformer.double_blocks.0.img_attn.qkv.lora_B.weight": b,
+    }
+    p_peft = tmp_path / "in.safetensors"
+    save_file(src, str(p_peft))
+
+    def run(srcp, dstp, to, *extra):
+        subprocess.run(
+            [sys.executable, "scripts/convert_lora_format.py", str(srcp),
+             str(dstp), "--to", to, *extra],
+            capture_output=True, text=True, timeout=300, check=True)
+
+    p_comfy = tmp_path / "c.safetensors"
+    run(p_peft, p_comfy, "comfy")
+    c = load_file(str(p_comfy))
+    assert "diffusion_model.double_blocks.0.img_attn.qkv.lora_A.weight" in c
+
+    p_kohya = tmp_path / "k.safetensors"
+    run(p_comfy, p_kohya, "kohya")
+    k = load_file(str(p_kohya))
+    assert "lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight" in k
+    assert float(k["lora_unet_double_blocks_0_img_attn_qkv.alpha"]) == 4.0
+
+    p_back = tmp_path / "back.safetensors"
+    run(p_kohya, p_back, "peft", "--arch", "flux")
+    back = load_file(str(p_back))
+    assert set(back) == set(src)
+    for key in src:
+        np.testing.assert_allclose(back[key], src[key])
