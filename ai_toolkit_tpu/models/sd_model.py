@@ -392,7 +392,7 @@ class SDXLRefinerModel(SDXLModel):
                 layers_per_block=2,
                 transformer_layers=(0, 4, 4, 0),
                 cross_attention_dim=1280,
-                num_heads=20,
+                head_dim=64,  # 12 heads @768, 24 @1536 (sd2+ lineage)
                 addition_time_embed_dim=256,
                 projection_class_embeddings_dim=2560,
             )

@@ -31,6 +31,12 @@ class UNetConfig:
     # per down-level transformer depth; 0 = plain resnet level
     transformer_layers: tuple[int, ...] = (1, 1, 1, 0)
     num_heads: int = 8
+    # When set, heads are computed PER attention level as dim // head_dim
+    # (diffusers semantics: sd2.1/SDXL fix head_dim=64 so 640-dim levels run
+    # 10x64 and 1280-dim 20x64; a single global num_heads mis-splits the
+    # 640 levels 20x32 — real-checkpoint numerics diverge. SD1.5 keeps the
+    # legacy global 8 heads.)
+    head_dim: int | None = None
     cross_attention_dim: int = 768
     # SDXL extras
     addition_time_embed_dim: int | None = None  # 256 for sdxl
@@ -50,7 +56,7 @@ class UNetConfig:
 
     @classmethod
     def sd21(cls) -> "UNetConfig":
-        return cls(cross_attention_dim=1024, num_heads=10)
+        return cls(cross_attention_dim=1024, head_dim=64)
 
     @classmethod
     def sdxl(cls) -> "UNetConfig":
@@ -58,7 +64,7 @@ class UNetConfig:
             block_out_channels=(320, 640, 1280),
             transformer_layers=(0, 2, 10),
             cross_attention_dim=2048,
-            num_heads=20,
+            head_dim=64,  # 10 heads @640, 20 @1280 (diffusers SDXL config)
             addition_time_embed_dim=256,
             projection_class_embeddings_dim=2816,
         )
@@ -109,7 +115,7 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, context, ip_context=None):
         cfg = self.cfg
         dt, pdt = cfg.dtype, cfg.param_dtype
-        nh = cfg.num_heads
+        nh = self.dim // cfg.head_dim if cfg.head_dim else cfg.num_heads
         hd = self.dim // nh
         b, s, _ = x.shape
 

@@ -11,6 +11,7 @@ where it wins.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,8 @@ def dot_product_attention(
         implementation = (
             "pallas" if _pallas_ok(q, k, mask, is_causal) else "xla"
         )
+        if os.environ.get("AIT_ATTN_DEBUG"):
+            print(f"[attn] q{tuple(q.shape)} k{tuple(k.shape)} -> {implementation}")
     if implementation == "xla":
         return jax.nn.dot_product_attention(
             q, k, v, mask=mask, is_causal=is_causal, scale=scale, implementation="xla"
@@ -64,10 +67,10 @@ def _pallas_ok(q, k, mask, is_causal) -> bool:
     except Exception:
         return False
     s, t, d = q.shape[1], k.shape[1], q.shape[-1]
-    if d % 128 != 0 and d != 64:
-        # d == 64: legal Mosaic block (last dim equals the array dim) at half
-        # lane utilization — still far cheaper than materializing [S,T]
-        # logits (SDXL self-attention is head_dim 64)
+    if d % 128 != 0 and not (d == 64 and q.shape[1] >= 2048):
+        # d == 64 (SDXL self-attention): legal Mosaic block (last dim equals
+        # the array dim) but HALF the MXU lanes idle — only a win where the
+        # [S,T] logits XLA materializes dwarf that waste (long sequences)
         return False
     if t > 8192:  # full K/V per head must fit VMEM in the current kernel
         return False

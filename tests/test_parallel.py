@@ -204,3 +204,34 @@ def test_dryrun_multichip_scaling_assertions():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("arch", ["auraflow", "pixart", "cogview4"])
+def test_new_arch_partition_rules_shard_and_forward(arch, mesh8):
+    """r5 archs: partition rules resolve on a real mesh and a sharded forward
+    runs (the single-chip 'ep'-style crash class from r3 can't regress)."""
+    from jax.sharding import NamedSharding
+
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.models.registry import get_model_class
+    from ai_toolkit_tpu.parallel.sharding import named_sharding_tree
+
+    model = get_model_class(arch)(ModelConfig(arch=arch, model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    specs = apply_rules(variables, mesh8, model.partition_rules())
+    variables = jax.device_put(variables, named_sharding_tree(specs, mesh8))
+    # at least one dit leaf actually sharded over fsdp
+    leaves = jax.tree.leaves(
+        jax.tree.map(lambda s: "fsdp" in str(s), specs["dit"]))
+    assert any(leaves), "no fsdp-sharded dit leaf"
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["a cat"])
+    cond["pe"] = model.rope_table(h, w, cond["txt"].shape[1])
+    rep = NamedSharding(mesh8, P())
+    out = jax.jit(model.predict)(
+        variables,
+        jax.device_put(np.zeros((1, h, w, c), np.float32), rep),
+        jax.device_put(np.full((1,), 0.5, np.float32), rep),
+        jax.device_put(cond, rep),
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -111,6 +111,11 @@ class TSpatial(nn.Module):
         return x + h.transpose(1, 2).reshape(b, c, hh, ww)
 
 
+def _heads(cfg: UNetConfig, dim: int) -> int:
+    # diffusers semantics: fixed head_dim -> per-level head count
+    return dim // cfg.head_dim if cfg.head_dim else cfg.num_heads
+
+
 class TUNet(nn.Module):
     def __init__(self, cfg: UNetConfig):
         super().__init__()
@@ -134,7 +139,7 @@ class TUNet(nn.Module):
                 cur = ch
                 if cfg.transformer_layers[i]:
                     blk.attentions.append(
-                        TSpatial(ch, cfg.cross_attention_dim, cfg.num_heads,
+                        TSpatial(ch, cfg.cross_attention_dim, _heads(cfg, ch),
                                  cfg.transformer_layers[i])
                     )
                 skip_ch.append(cur)
@@ -147,7 +152,7 @@ class TUNet(nn.Module):
         self.mid_block = nn.Module()
         self.mid_block.resnets = nn.ModuleList([TResnet(cur, cur, ted), TResnet(cur, cur, ted)])
         self.mid_block.attentions = nn.ModuleList(
-            [TSpatial(cur, cfg.cross_attention_dim, cfg.num_heads,
+            [TSpatial(cur, cfg.cross_attention_dim, _heads(cfg, cur),
                       max(cfg.transformer_layers[-1], 1))]
         )
 
@@ -161,7 +166,7 @@ class TUNet(nn.Module):
                 cur = ch
                 if cfg.transformer_layers[i]:
                     blk.attentions.append(
-                        TSpatial(ch, cfg.cross_attention_dim, cfg.num_heads,
+                        TSpatial(ch, cfg.cross_attention_dim, _heads(cfg, ch),
                                  cfg.transformer_layers[i])
                     )
             if i > 0:
@@ -342,3 +347,44 @@ def test_free_u_modulates_decoder():
     out = fu.apply(v, lat, jnp.zeros((1,)), ctx)
     assert out.shape == base.shape
     assert float(jnp.max(jnp.abs(out - base))) > 1e-4
+
+
+def test_unet_head_dim_per_level_matches_mirror():
+    """r5 fix: sd2.1/SDXL fix head_dim=64 so head COUNT varies per level
+    (640 -> 10x64, 1280 -> 20x64); a global num_heads mis-split the smaller
+    levels (20x32) and diverged from real checkpoints. Tiny analog:
+    head_dim=16 -> 2 heads at dim 32, 4 at dim 64."""
+    cfg = UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1, transformer_layers=(1, 1),
+        head_dim=16, cross_attention_dim=48, dtype=jnp.float32,
+        param_dtype=jnp.float32, remat=False,
+    )
+    torch.manual_seed(1)
+    tm = TUNet(cfg).eval()
+    flat = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, unmatched = torch_to_tree(flat, unet_rules(len(cfg.block_out_channels)))
+    assert not unmatched
+
+    ours = UNet2DCondition(cfg)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 16, 16, 4)).astype(np.float32)
+    t = np.asarray([311], np.int64)
+    ctx = rng.normal(size=(1, 6, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+                 torch.from_numpy(ctx))
+    out = ours.apply({"params": tree}, jnp.asarray(x), jnp.asarray(t.astype(np.float32)),
+                     jnp.asarray(ctx))
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4)
+
+    # and the head split genuinely matters: a mis-split config diverges
+    cfg_bad = UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1, transformer_layers=(1, 1),
+        num_heads=2, cross_attention_dim=48, dtype=jnp.float32,
+        param_dtype=jnp.float32, remat=False,
+    )
+    out_bad = UNet2DCondition(cfg_bad).apply(
+        {"params": tree}, jnp.asarray(x), jnp.asarray(t.astype(np.float32)),
+        jnp.asarray(ctx))
+    assert float(jnp.abs(out - out_bad).max()) > 1e-5
