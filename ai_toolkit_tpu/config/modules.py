@@ -278,12 +278,12 @@ class NetworkConfig:
             obj.type = "lora"
             if obj.conv is None:
                 obj.conv = obj.linear
-        elif obj.type == "lorm":
-            raise NotImplementedError(
-                "network.type 'lorm' (low-rank module REPLACEMENT, reference "
-                "toolkit/lorm.py) is not supported — it rewrites the base "
-                "weights rather than training an adapter. Use type: lora."
-            )
+        # 'lorm' (low-rank module REPLACEMENT, reference toolkit/lorm.py) is
+        # supported since r5: targeted kernels are SVD-factored into a
+        # trainable 'lorm' collection and the base kernels are dropped
+        # (adapters/lorm.py); extract knobs ride in network_kwargs
+        # (lorm_extract_mode / lorm_extract_mode_param / parameter_threshold,
+        # mirroring BaseSDTrainProcess.py:209-211 + LoRMConfig).
         return obj
 
     @property

@@ -321,7 +321,20 @@ class SDTrainProcess:
                 inv.update({v.replace(".", "_"): p for p, v in fwd.items()})
                 te_inverse[k] = inv
         resumed_lora, resumed_te, resume_step = ckpt.load_latest_split(inverse, te_inverse)
-        if resumed_lora is not None and "lora" in trainable:
+        if resumed_lora is not None and "lorm" in trainable:
+            # lorm resume: the factors file uses internal module paths; shapes
+            # must match the freshly-factored tree (same base + same extract
+            # knobs — SVD is deterministic)
+            cur = jax.tree.map(lambda x: x.shape, trainable["lorm"])
+            new = jax.tree.map(lambda x: x.shape, resumed_lora)
+            if cur == new:
+                state = state.replace(trainable={
+                    **trainable, "lorm": jax.tree.map(jnp.asarray, resumed_lora)})
+                start_step = resume_step
+                print(f"resumed LoRM factors at step {resume_step}")
+            else:
+                print("lorm resume shape mismatch — starting fresh")
+        elif resumed_lora is not None and "lora" in trainable:
             cur = jax.tree.map(lambda x: x.shape, trainable["lora"])
             new = jax.tree.map(lambda x: x.shape, resumed_lora)
             shape_ok = cur == new
@@ -1210,6 +1223,37 @@ class SDTrainProcess:
             spec.ignore_if_contains = list(spec.ignore_if_contains or []) + [
                 "patch_embedding", "cross_k_img", "cross_v_img", "img_emb",
             ]
+        if net.type == "lorm":
+            # low-rank module REPLACEMENT (reference toolkit/lorm.py via
+            # do_lorm, BaseSDTrainProcess.py:209-211, 1930-1933): SVD-factor
+            # the targeted kernels into a trainable 'lorm' collection and
+            # DELETE the base kernels — the compressed model itself trains
+            from ai_toolkit_tpu.adapters.lorm import (
+                LoRMSpec,
+                build_lorm,
+                count_lorm_params,
+                lorm_stats_str,
+            )
+
+            kw = net.network_kwargs or {}
+            lspec = LoRMSpec(
+                extract_mode=str(kw.get("lorm_extract_mode",
+                                        kw.get("extract_mode", "ratio"))),
+                extract_mode_param=float(kw.get("lorm_extract_mode_param",
+                                                kw.get("extract_mode_param", 0.25))),
+                parameter_threshold=int(kw.get("parameter_threshold", 0)),
+                target_patterns=spec.target_patterns,
+                ignore_if_contains=tuple(
+                    list(spec.ignore_if_contains or []) + ["proj_in", "proj_out"]),
+            )
+            lorm, slim, stats = build_lorm(variables[main_key], lspec)
+            if not stats["modules"]:
+                raise ValueError("lorm: no kernels matched the target patterns")
+            variables[main_key] = jax.tree.map(jnp.asarray, slim)
+            print(lorm_stats_str(stats))
+            print(f"LoRM trainable: {count_lorm_params(lorm):,} params")
+            self.is_lorm = True
+            return {"lorm": jax.tree.map(jnp.asarray, lorm)}, None, "peft", "transformer"
         if net.type in ("lokr", "lycoris_lokr"):
             from ai_toolkit_tpu.adapters.lycoris import build_lokr
 
@@ -1921,6 +1965,34 @@ class SDTrainProcess:
                     jax.tree.map(np.asarray, state.trainable["ip_proj"]),
                     path, metadata={"step": step},
                 )
+                print(f"saved: {path}")
+                return
+            if "lorm" in state.trainable:
+                # LoRM factors in PEFT layout with internal module paths +
+                # a network_type marker (the reference saves the whole
+                # converted unet; our compact factor file + merge_lorm
+                # reconstructs full kernels for export)
+                from ai_toolkit_tpu.io.lora_file import save_lora_file
+
+                tree = state.trainable["lorm"]
+                if state.ema is not None and "lorm" in state.ema:
+                    tree = state.ema["lorm"]
+                path = (
+                    self.ckpt.final_path() if final else self.ckpt.path_for_step(step)
+                )
+                save_lora_file(
+                    jax.tree.map(np.asarray, tree), path, key_map=None,
+                    fmt="peft", prefix="transformer",
+                    metadata={"step": step, "network_type": "lorm",
+                              "software": "ai_toolkit_tpu"},
+                )
+                self.ckpt._save_opt_state(
+                    jax.tree.map(np.asarray, state.opt_state),
+                    jax.tree.map(np.asarray, state.ema) if state.ema is not None else None,
+                    step,
+                )
+                if not final:
+                    self.ckpt.clean_up_saves()
                 print(f"saved: {path}")
                 return
             if any(k in state.trainable for k in ("lokr", "dora", "loha")):

@@ -260,7 +260,7 @@ class AudioModel(BaseTpuModel):
         """noisy_latents: [B, T_lat, C] audio latents."""
         b, n, c = noisy_latents.shape
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         if self.exact:

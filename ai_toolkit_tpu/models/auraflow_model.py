@@ -113,7 +113,7 @@ class AuraFlowModel(BaseTpuModel):
         p = self.dit_config.patch_size
         img = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, h // p, w // p)

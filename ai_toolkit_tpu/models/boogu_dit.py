@@ -622,7 +622,7 @@ class BooguModel(BaseTpuModel):
         p = cfg.patch_size
         img = boogu_patchify(noisy_latents, p)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         ref = None

@@ -112,7 +112,7 @@ class CogView4Model(BaseTpuModel):
 
         img = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         ang = cond.get("pe")

@@ -407,7 +407,7 @@ class ErnieImageModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         # reference passes scheduler timesteps on the 0..1000 scale

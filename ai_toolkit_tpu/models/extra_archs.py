@@ -196,7 +196,7 @@ class GenericDiTModel(BaseTpuModel):
         if self.is_edit and cond.get("control_latents") is not None:
             img = jnp.concatenate([img, pack_latents(cond["control_latents"])], axis=1)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, cond["y"], cond["pe"], None)

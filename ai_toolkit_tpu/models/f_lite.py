@@ -343,7 +343,7 @@ class FLiteModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         return self.dit.apply(colls, noisy_latents, cond["txt"], t, cond["pe"])

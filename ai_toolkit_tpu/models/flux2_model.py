@@ -159,7 +159,7 @@ class Flux2Model(BaseTpuModel):
         b, h, w, c = noisy_latents.shape
         img = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(

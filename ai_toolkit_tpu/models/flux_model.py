@@ -181,7 +181,7 @@ class FluxModel(BaseTpuModel):
             ip_tokens = self.ip_proj.apply({"params": variables["ip_proj"]},
                                            cond["ip_embeds"])
         out = self.dit.apply(
-            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant", "ctrl", "ip")}},
+            {"params": variables["dit"], **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl", "ip")}},
             img,
             cond["txt"],
             t,
@@ -536,7 +536,7 @@ class ChromaRadianceModel(FluxModel):
         img = pack_pixels_cmajor(noisy_latents, pp)
         return self.dit.apply(
             {"params": variables["dit"],
-             **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "quant", "ctrl")}},
+             **{k: v for k, v in variables.items() if k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl")}},
             img,
             cond["txt"],
             t,

@@ -448,7 +448,7 @@ class Ideogram4Model(BaseTpuModel):
         b, gh, gw, c = noisy_latents.shape
         img = noisy_latents.reshape(b, gh * gw, c)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         # toolkit t (1 = noise) -> model t (1 = clean); model predicts

@@ -508,7 +508,7 @@ class Krea2Model(BaseTpuModel):
             ref_len = ref.shape[1]
             img = jnp.concatenate([img, ref], axis=1)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         out = self.dit.apply(colls, img, cond["txt"], t, cond["pe"],

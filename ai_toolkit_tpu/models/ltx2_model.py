@@ -247,7 +247,7 @@ class LTX2Model(BaseTpuModel):
         cfg = self.dit_config
         tokens = wan_patchify(noisy_latents, cfg.patch_size)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         if self.joint_audio:

@@ -113,7 +113,7 @@ class Lumina2Model(BaseTpuModel):
         b, h, w, c = noisy_latents.shape
         img = pack_latents(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         txt = cond["txt"]

@@ -140,7 +140,7 @@ class OmniGen2Model(BaseTpuModel):
         cfg = self.dit_config
         img = pack_latents(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         txt = cond["txt"]

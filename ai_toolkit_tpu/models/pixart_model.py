@@ -111,7 +111,7 @@ class PixArtModel(BaseTpuModel):
 
         tokens = pack_latents_cmajor(noisy_latents)
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         res = ar = None

@@ -382,7 +382,7 @@ class PRXPixelModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond):
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         return self.dit.apply(

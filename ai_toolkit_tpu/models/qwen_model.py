@@ -272,7 +272,7 @@ class QwenImageModel(BaseTpuModel):
                     [jnp.ones((b, n_img), bool), ok], axis=1
                 )
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         txt_mask = cond.get("txt_mask")

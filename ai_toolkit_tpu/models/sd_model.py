@@ -112,7 +112,7 @@ class SDModel(BaseTpuModel):
 
     def predict(self, variables, noisy_latents, t, cond, unet=None):
         collections = {"params": variables["unet"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ip", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ip", "ctrl"):
             if k in variables:
                 collections[k] = variables[k]
         return (unet or self.unet).apply(

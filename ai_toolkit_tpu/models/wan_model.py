@@ -187,7 +187,7 @@ class WanModel(BaseTpuModel):
                 [tokens, wan_patchify(cond["control_latents"], cfg.patch_size)],
                 axis=-1,
             )
-        adapters = {k: variables[k] for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl") if k in variables}
+        adapters = {k: variables[k] for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl") if k in variables}
 
         def run(params):
             return self._dit_apply(

@@ -568,7 +568,7 @@ class _ZImageBase(BaseTpuModel):
 
     def _dit_colls(self, variables):
         colls = {"params": variables["dit"]}
-        for k in ("lora", "loha", "lokr", "dora", "quant", "ctrl"):
+        for k in ("lora", "loha", "lokr", "dora", "lorm", "quant", "ctrl"):
             if k in variables:
                 colls[k] = variables[k]
         return colls

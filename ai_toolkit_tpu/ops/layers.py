@@ -81,6 +81,17 @@ class Linear(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
+        if self.has_variable("lorm", "a"):
+            # LoRM: the factor pair REPLACES the base kernel entirely (the
+            # kernel leaf is deleted from params by adapters/lorm.build_lorm)
+            a = self.get_variable("lorm", "a").astype(self.dtype)
+            b = self.get_variable("lorm", "b").astype(self.dtype)
+            y = (x @ a) @ b
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros_init(),
+                                  (self.features,), self.param_dtype)
+                y = y + bias.astype(self.dtype)
+            return y
         x_ctrl = ctrl_w = None
         if self.has_variable("ctrl", "w"):
             # trainable input-channel expansion (see module docstring): the

@@ -173,19 +173,18 @@ def test_extension_plugin_discovery(tmp_path, monkeypatch):
     ext_mod._cache = None
 
 
-def test_locon_maps_to_conv_lora_and_lorm_refuses():
-    """Reference NetworkType 'locon' == LoRA + conv modules; 'lorm' (module
-    replacement) refuses loudly instead of silently training a plain lora."""
-    import pytest
-
+def test_locon_maps_to_conv_lora_and_lorm_parses():
+    """Reference NetworkType 'locon' == LoRA + conv modules; 'lorm' parses
+    since r5 (low-rank module replacement, adapters/lorm.py)."""
     from ai_toolkit_tpu.config.modules import NetworkConfig
 
     n = NetworkConfig.from_dict({"type": "locon", "linear": 8})
     assert n.type == "lora" and n.conv == 8
     n2 = NetworkConfig.from_dict({"type": "locon", "linear": 8, "conv": 4})
     assert n2.conv == 4
-    with pytest.raises(NotImplementedError):
-        NetworkConfig.from_dict({"type": "lorm"})
+    n3 = NetworkConfig.from_dict({"type": "lorm", "network_kwargs": {
+        "lorm_extract_mode": "fixed", "lorm_extract_mode_param": 4}})
+    assert n3.type == "lorm"
 
 
 def test_all_example_configs_strict(monkeypatch):
