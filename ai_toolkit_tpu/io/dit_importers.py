@@ -1912,6 +1912,7 @@ def load_auraflow_checkpoint(path: str, model) -> dict:
                 n_single=c.get("num_single_dit_layers", cfg.n_single),
                 context_dim=c.get("joint_attention_dim", cfg.context_dim),
                 pos_embed_max_size=c.get("pos_embed_max_size", cfg.pos_embed_max_size),
+                n_register=cfg.n_register,  # not a diffusers config key
                 scan_blocks=cfg.scan_blocks, remat=cfg.remat,
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             )

@@ -237,3 +237,52 @@ def test_omnigen2_full_export_roundtrip(tmp_path):
     _assert_trees_close(
         jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
     )
+
+
+@pytest.mark.parametrize("arch,loader", [
+    ("auraflow", "load_auraflow_checkpoint"),
+    ("pixart", "load_pixart_checkpoint"),
+    ("cogview4", "load_cogview4_checkpoint"),
+])
+def test_r5_arch_full_export_roundtrip(tmp_path, arch, loader):
+    """r5 archs: export_full_model writes the diffusers transformer layout;
+    re-importing through the REAL loader reproduces the dit tree exactly
+    (fp16 write tolerance). Locks the export plans against rule drift."""
+    import json
+
+    import ai_toolkit_tpu.io.dit_importers as imps
+
+    model = get_model_class(arch)(ModelConfig(arch=arch, model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    written = export_full_model(model, variables, str(tmp_path), components=["dit"])
+    assert any("transformer" in p for p in written)
+    # config.json so the loader can rebuild dims (tiny differs from defaults)
+    cfg = model.dit_config
+    if arch == "auraflow":
+        c = {"in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+             "patch_size": cfg.patch_size, "num_attention_heads": cfg.num_heads,
+             "attention_head_dim": cfg.head_dim, "num_mmdit_layers": cfg.n_double,
+             "num_single_dit_layers": cfg.n_single,
+             "joint_attention_dim": cfg.context_dim,
+             "pos_embed_max_size": cfg.pos_embed_max_size}
+    elif arch == "pixart":
+        c = {"in_channels": cfg.in_channels, "patch_size": cfg.patch_size,
+             "num_attention_heads": cfg.num_heads, "attention_head_dim": cfg.head_dim,
+             "num_layers": cfg.n_layers, "caption_channels": cfg.caption_dim,
+             "sample_size": cfg.sample_size,
+             "interpolation_scale": cfg.interpolation_scale,
+             "out_channels": cfg.out_channels}
+    else:
+        c = {"in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+             "patch_size": cfg.patch_size, "num_attention_heads": cfg.num_heads,
+             "attention_head_dim": cfg.head_dim, "num_layers": cfg.n_layers,
+             "text_embed_dim": cfg.text_embed_dim,
+             "time_embed_dim": cfg.time_embed_dim,
+             "condition_dim": cfg.condition_dim,
+             "rope_axes_dim": list(cfg.rope_axes_dim)}
+    json.dump(c, open(os.path.join(tmp_path, "transformer", "config.json"), "w"))
+
+    model2 = get_model_class(arch)(ModelConfig(arch=arch, model_kwargs={"size": "tiny"}))
+    back = getattr(imps, loader)(str(tmp_path), model2)
+    _assert_trees_close(jax.tree.map(np.asarray, variables["dit"]),
+                        jax.tree.map(np.asarray, back["dit"]))
