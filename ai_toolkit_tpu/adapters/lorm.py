@@ -98,6 +98,7 @@ def build_lorm(params: dict, spec: LoRMSpec):
                             and kern.size > spec.parameter_threshold):
                         if kern.ndim == 2:
                             a, b, r = _factor_2d(kern, spec)
+                            scale = np.float32(1.0)
                         else:  # scanned [L, in, out]: per-layer, max rank
                             pairs = [_factor_2d(kern[i], spec)
                                      for i in range(kern.shape[0])]
@@ -108,7 +109,9 @@ def build_lorm(params: dict, spec: LoRMSpec):
                                      for i in range(kern.shape[0])]
                             a = np.stack([p[0] for p in pairs])
                             b = np.stack([p[1] for p in pairs])
-                        out[k] = {"a": a, "b": b, "scale": np.float32(1.0)}
+                            # [L] scale: nn.scan slices every lorm leaf
+                            scale = np.ones((kern.shape[0],), np.float32)
+                        out[k] = {"a": a, "b": b, "scale": scale}
                         stats["modules"] += 1
                         stats["params_before"] += int(kern.size)
                         stats["params_after"] += int(a.size + b.size)

@@ -207,7 +207,7 @@ def generate_sd(
 
     sampler = (gen.sampler or "ddim").lower()
     karras = sampler.startswith("k_") or sampler.endswith("_karras")
-    sampler = sampler.removeprefix("k_")
+    sampler = sampler.removeprefix("k_").removesuffix("_karras")
     if sampler in ("dpm_2", "dpm_2_a", "dpmsingle"):
         # second-order steppers needing an extra mid-sigma model call
         # (reference KDPM2 / KDPM2Ancestral / DPMSolverSinglestep)

@@ -2168,6 +2168,9 @@ def load_cogview4_checkpoint(path: str, model) -> dict:
                 model.vae_config.layers_per_block))
             if tree:
                 variables["vae"] = _merge_imported(variables["vae"], tree, "cogview4 vae")
+        elif "vae" in variables:
+            print("cogview4 import WARNING: no vae/ subdir — the VAE stays "
+                  "RANDOM-INIT (decodes will be garbage)")
         tedir = os.path.join(path, "text_encoder")
         if os.path.isdir(tedir) and "te" in variables:
             from ai_toolkit_tpu.io.sd_import import llm_rules
@@ -2177,6 +2180,11 @@ def load_cogview4_checkpoint(path: str, model) -> dict:
             tree, _ = torch_to_tree(flat_t, llm_rules())
             if tree:
                 variables["te"] = _merge_imported(variables["te"], tree, "cogview4 glm te")
+        elif "te" in variables:
+            print("cogview4 import WARNING: no text_encoder/ subdir — the "
+                  "GLM-4 text tower stays RANDOM-INIT (conditioning will be "
+                  "garbage; note export_full_model does not write the TE — "
+                  "copy text_encoder/ from the source checkpoint)")
     return variables
 
 

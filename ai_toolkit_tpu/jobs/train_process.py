@@ -320,11 +320,32 @@ class SDTrainProcess:
                 inv = {v: p for p, v in fwd.items()}
                 inv.update({v.replace(".", "_"): p for p, v in fwd.items()})
                 te_inverse[k] = inv
+        if "lorm" in trainable:
+            # lorm resume needs its own inverse map: scanned stacks were
+            # written per-layer as '<dotted>.<l>' and must restack via the
+            # '#' convention; 2D factors map 1:1
+            inv_lorm: dict[str, str] = {}
+
+            def _walk_lorm(node, pre):
+                for k, v in node.items():
+                    if isinstance(v, dict) and "a" in v:
+                        p = pre + [k]
+                        sp, dp = "/".join(p), ".".join(p)
+                        a = v["a"]
+                        if getattr(a, "ndim", 2) == 3:
+                            for l in range(a.shape[0]):
+                                inv_lorm[f"{dp}.{l}"] = f"{sp}#{l}"
+                        else:
+                            inv_lorm[dp] = sp
+                    elif isinstance(v, dict):
+                        _walk_lorm(v, pre + [k])
+
+            _walk_lorm(trainable["lorm"], [])
+            inverse = inv_lorm
         resumed_lora, resumed_te, resume_step = ckpt.load_latest_split(inverse, te_inverse)
         if resumed_lora is not None and "lorm" in trainable:
-            # lorm resume: the factors file uses internal module paths; shapes
-            # must match the freshly-factored tree (same base + same extract
-            # knobs — SVD is deterministic)
+            # shapes must match the freshly-factored tree (same base + same
+            # extract knobs — SVD is deterministic)
             cur = jax.tree.map(lambda x: x.shape, trainable["lorm"])
             new = jax.tree.map(lambda x: x.shape, resumed_lora)
             if cur == new:
@@ -1252,7 +1273,6 @@ class SDTrainProcess:
             variables[main_key] = jax.tree.map(jnp.asarray, slim)
             print(lorm_stats_str(stats))
             print(f"LoRM trainable: {count_lorm_params(lorm):,} params")
-            self.is_lorm = True
             return {"lorm": jax.tree.map(jnp.asarray, lorm)}, None, "peft", "transformer"
         if net.type in ("lokr", "lycoris_lokr"):
             from ai_toolkit_tpu.adapters.lycoris import build_lokr
@@ -1977,6 +1997,18 @@ class SDTrainProcess:
                 tree = state.trainable["lorm"]
                 if state.ema is not None and "lorm" in state.ema:
                     tree = state.ema["lorm"]
+                if final and self.cfg.train.merge_network_on_save:
+                    # reconstruct full kernels (a @ b) and export the merged
+                    # model in interop layout — without this the compressed
+                    # model is unusable outside this framework
+                    from ai_toolkit_tpu.adapters.lorm import merge_lorm
+
+                    main_key = self._main_component(state.model_variables)
+                    merged = merge_lorm(
+                        jax.tree.map(np.asarray, state.model_variables[main_key]),
+                        jax.tree.map(np.asarray, tree),
+                    )
+                    self._export_interop(state, {main_key: merged})
                 path = (
                     self.ckpt.final_path() if final else self.ckpt.path_for_step(step)
                 )

@@ -261,7 +261,7 @@ class AuraFlowDiT(nn.Module):
 
         scan_kw = dict(
             variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                           "dora": 0, "quant": 0},
+                           "dora": 0, "lorm": 0, "quant": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast,),
             metadata_params={nn.PARTITION_NAME: None},

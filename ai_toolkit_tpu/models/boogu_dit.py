@@ -445,7 +445,7 @@ class BooguDiT(nn.Module):
         if cfg.scan_blocks and cfg.num_double_stream_layers > 0:
             scan_kwargs = dict(
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 7,
                 metadata_params={nn.PARTITION_NAME: None},
@@ -473,7 +473,7 @@ class BooguDiT(nn.Module):
         if cfg.scan_blocks and cfg.num_single_stream_layers > 0:
             scan_kwargs = dict(
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 4,
                 metadata_params={nn.PARTITION_NAME: None},

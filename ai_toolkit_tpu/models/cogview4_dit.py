@@ -226,7 +226,7 @@ class CogView4DiT(nn.Module):
             (x, ctx), _ = nn.scan(
                 Carry, length=cfg.n_layers,
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},
@@ -265,3 +265,63 @@ def cogview4_partition_rules(scan_blocks: bool = True) -> list[PartitionRule]:
 def cogview4_lora_targets() -> list[str]:
     # reference targets CogView4Transformer2DModel (cogview4.py:77)
     return [r"blocks/", r"block_\d+/"]
+
+
+_CV_KEY_PATTERNS: list[tuple[str, str]] = [
+    (r"blocks/block/attn1/to_(q|k|v)$", "transformer_blocks.{L}.attn1.to_{W}"),
+    (r"blocks/block/attn1/to_out$", "transformer_blocks.{L}.attn1.to_out.0"),
+    (r"blocks/block/ff_in$", "transformer_blocks.{L}.ff.net.0.proj"),
+    (r"blocks/block/ff_out$", "transformer_blocks.{L}.ff.net.2"),
+    (r"blocks/block/adaln$", "transformer_blocks.{L}.norm1.linear"),
+    (r"block_(\d+)/attn1/to_(q|k|v)$", "transformer_blocks.{i}.attn1.to_{W}"),
+    (r"block_(\d+)/attn1/to_out$", "transformer_blocks.{i}.attn1.to_out.0"),
+    (r"block_(\d+)/ff_in$", "transformer_blocks.{i}.ff.net.0.proj"),
+    (r"block_(\d+)/ff_out$", "transformer_blocks.{i}.ff.net.2"),
+    (r"block_(\d+)/adaln$", "transformer_blocks.{i}.norm1.linear"),
+]
+
+
+def cogview4_lora_key_map(lora_or_params: dict) -> dict[str, str]:
+    """internal '/'-joined paths -> diffusers CogView4 module names ('{L}'
+    kept for scanned stacks, expanded by the inverse map)."""
+    import re as _re
+
+    from ai_toolkit_tpu.models.flux_dit import _all_module_paths
+
+    try:
+        from ai_toolkit_tpu.adapters.lora import lora_paths as _lp
+
+        paths = ["/".join(p) for p in _lp(lora_or_params)]
+    except Exception:
+        paths = []
+    if not paths:
+        paths = _all_module_paths(lora_or_params)
+    out: dict[str, str] = {}
+    for p in paths:
+        for pat, tmpl in _CV_KEY_PATTERNS:
+            m = _re.match(pat, p)
+            if not m:
+                continue
+            g = list(m.groups())
+            ext = tmpl
+            if "{i}" in ext:
+                ext = ext.replace("{i}", g.pop(0))
+            if "{W}" in ext:
+                ext = ext.replace("{W}", g.pop(0))
+            out[p] = ext
+            break
+    return out
+
+
+def cogview4_inverse_key_map(key_map: dict[str, str], n_layers: int) -> dict[str, str]:
+    inverse: dict[str, str] = {}
+    for internal, ext in key_map.items():
+        if "{L}" in ext:
+            for l in range(n_layers):
+                e = ext.replace("{L}", str(l))
+                inverse[e] = f"{internal}#{l}"
+                inverse[e.replace(".", "_")] = f"{internal}#{l}"
+        else:
+            inverse[ext] = internal
+            inverse[ext.replace(".", "_")] = internal
+    return inverse

@@ -145,5 +145,15 @@ class CogView4Model(BaseTpuModel):
     def lora_targets(self):
         return cogview4_lora_targets()
 
+    def lora_key_map(self, lora) -> dict:
+        from ai_toolkit_tpu.models.cogview4_dit import cogview4_lora_key_map
+
+        return cogview4_lora_key_map(lora)
+
+    def lora_inverse_key_map(self, key_map: dict) -> dict:
+        from ai_toolkit_tpu.models.cogview4_dit import cogview4_inverse_key_map
+
+        return cogview4_inverse_key_map(key_map, self.dit_config.n_layers)
+
     def partition_rules(self):
         return cogview4_partition_rules(self.dit_config.scan_blocks)

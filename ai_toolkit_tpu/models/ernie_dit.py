@@ -243,7 +243,7 @@ class ErnieDiT(nn.Module):
                 Carry,
                 length=cfg.num_layers,
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 4,
                 metadata_params={nn.PARTITION_NAME: None},

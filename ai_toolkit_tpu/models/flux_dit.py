@@ -345,7 +345,7 @@ class MoEFFN(nn.Module):
             ).sum(-2)
             ExpertBank = nn.vmap(
                 SwiGLU,
-                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0, "ctrl": 0},
+                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "lorm": 0, "quant": 0, "ctrl": 0},
                 split_rngs={"params": True},
                 in_axes=None,
                 out_axes=0,
@@ -699,7 +699,7 @@ class FluxDiT(nn.Module):
 
         if cfg.scan_blocks:
             scan_kwargs = dict(
-                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0, "ctrl": 0, "ip": 0},
+                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "lorm": 0, "quant": 0, "ctrl": 0, "ip": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},

@@ -221,7 +221,7 @@ class LTX2AVDiT(nn.Module):
             (xv, xa), _ = nn.scan(
                 Carry,
                 length=v.num_layers,
-                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0},
+                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 8,
                 metadata_params={nn.PARTITION_NAME: None},

@@ -258,7 +258,7 @@ class OmniGen2DiT(nn.Module):
             joint, _ = nn.scan(
                 Carry, length=cfg.n_layers,
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},

@@ -221,7 +221,7 @@ class PixArtDiT(nn.Module):
             x, _ = nn.scan(
                 Carry, length=cfg.n_layers,
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 metadata_params={nn.PARTITION_NAME: None},
@@ -294,17 +294,16 @@ def pixart_lora_key_map(lora_or_params: dict) -> dict[str, str]:
             m = _re.match(pat, p)
             if not m:
                 continue
-            g = m.groups()
-            if pat.startswith("blocks"):
-                ext = tmpl.replace("{A}", g[0])
-                if len(g) > 1:
-                    ext = ext.replace("{W}", g[1])
-            else:
-                ext = tmpl.replace("{i}", g[0])
-                if len(g) > 1:
-                    ext = ext.replace("{A}", g[1])
-                if len(g) > 2:
-                    ext = ext.replace("{W}", g[2])
+            g = list(m.groups())
+            ext = tmpl
+            # group order follows the pattern: unrolled patterns capture the
+            # layer index first ({i}); ff patterns have no {A}/{W} groups
+            if "{i}" in ext:
+                ext = ext.replace("{i}", g.pop(0))
+            if "{A}" in ext:
+                ext = ext.replace("{A}", g.pop(0))
+            if "{W}" in ext:
+                ext = ext.replace("{W}", g.pop(0))
             out[p] = ext
             break
     return out

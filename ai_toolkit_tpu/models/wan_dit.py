@@ -197,7 +197,7 @@ class WanDiT(nn.Module):
             x, _ = nn.scan(
                 Carry,
                 length=cfg.num_layers,
-                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "quant": 0, "ctrl": 0},
+                variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0, "dora": 0, "lorm": 0, "quant": 0, "ctrl": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 4,
                 metadata_params={nn.PARTITION_NAME: None},

@@ -451,7 +451,7 @@ class ZImageDiT(nn.Module):
                 Carry,
                 length=cfg.n_layers,
                 variable_axes={"params": 0, "lora": 0, "loha": 0, "lokr": 0,
-                               "dora": 0, "quant": 0},
+                               "dora": 0, "lorm": 0, "quant": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,) * 3,
                 metadata_params={nn.PARTITION_NAME: None},

@@ -638,10 +638,16 @@ class _Handler(BaseHTTPRequestHandler):
         net_type = str(req.get("network_type", "lora"))
         if net_type not in ("lora", "lokr", "loha", "dora", "full", "embedding"):
             return self._json({"error": f"unknown network type {net_type}"}, 400)
+        embedding = None
         if net_type == "full":
-            network: dict = {"type": "full"}
+            network: dict | None = {"type": "full"}
         elif net_type == "embedding":
-            network = {"type": "embedding"}
+            # textual inversion rides the top-level `embedding` section, not
+            # `network` — a network {type: embedding} would silently fall
+            # through to a plain LoRA build
+            network = None
+            embedding = {"trigger": req.get("trigger_word") or "sks_concept",
+                         "vectors": int(req.get("rank", 4))}
         else:
             network = {"type": net_type, "linear": int(req.get("rank", 16)),
                        "linear_alpha": int(req.get("rank", 16))}
@@ -654,7 +660,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "type": "sd_trainer",
                 "training_folder": root,
                 "trigger_word": req.get("trigger_word") or None,
-                "network": network,
+                **({"network": network} if network is not None else {}),
+                **({"embedding": embedding} if embedding is not None else {}),
                 "save": {"save_every": int(req.get("save_every", 250))},
                 "datasets": [dataset],
                 "train": {"batch_size": int(req.get("batch_size", 1)),

@@ -142,6 +142,10 @@ def main() -> None:
         vocab = _module_vocab(args.arch)
         npre = "transformer." if args.to == "peft" else "diffusion_model."
         unmatched = []
+        # peft/comfy consumers assume alpha == rank; fold kohya's alpha into
+        # the up weight (delta = alpha/rank * up@down) so strength survives
+        alphas = {k[: -len(".alpha")]: float(np.asarray(v).reshape(-1)[0])
+                  for k, v in flat.items() if k.endswith(".alpha")}
         for k, v in flat.items():
             for tag, slot in ((".lora_down.weight", "lora_A"),
                               (".lora_up.weight", "lora_B")):
@@ -158,6 +162,11 @@ def main() -> None:
                 if dotted is None:
                     unmatched.append(k)
                     continue
+                if slot == "lora_B" and base in alphas:
+                    rank = v.shape[1] if v.ndim >= 2 else v.shape[0]
+                    factor = alphas[base] / max(rank, 1)
+                    if factor != 1.0:
+                        v = (np.asarray(v, np.float32) * factor).astype(v.dtype)
                 out[f"{npre}{dotted}.{slot}.weight"] = v
         if unmatched:
             print(f"warning: {len(unmatched)} unmatched keys, e.g. "

@@ -138,3 +138,44 @@ def test_convert_lora_format_roundtrip(tmp_path):
     assert set(back) == set(src)
     for key in src:
         np.testing.assert_allclose(back[key], src[key])
+
+
+def test_convert_kohya_alpha_folded(tmp_path):
+    """Review fix r5: kohya alpha != rank must fold into the up weight on
+    conversion to peft/comfy (those consumers assume alpha == rank)."""
+    import numpy as np
+    from safetensors.numpy import load_file, save_file
+
+    down = np.ones((4, 32), np.float32)
+    up = np.ones((32, 4), np.float32)
+    src = {
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight": down,
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight": up,
+        "lora_unet_double_blocks_0_img_attn_qkv.alpha": np.asarray(16.0, np.float32),
+    }
+    p = tmp_path / "k.safetensors"
+    save_file(src, str(p))
+    out = tmp_path / "p.safetensors"
+    subprocess.run(
+        [sys.executable, "scripts/convert_lora_format.py", str(p), str(out),
+         "--to", "peft", "--arch", "flux"],
+        capture_output=True, text=True, timeout=300, check=True)
+    got = load_file(str(out))
+    b = got["transformer.double_blocks.0.img_attn.qkv.lora_B.weight"]
+    np.testing.assert_allclose(b, up * (16.0 / 4.0))
+
+
+def test_llm_generate_tiny_smoke(tmp_path):
+    """Review fix r5: the upsample script's --model backend must actually
+    run; tiny random-init config dir decodes deterministically."""
+    import json
+
+    from ai_toolkit_tpu.utils.llm_generate import generate_text
+
+    json.dump({"vocab_size": 500, "hidden_size": 32, "num_hidden_layers": 1,
+               "num_attention_heads": 2, "num_key_value_heads": 1,
+               "intermediate_size": 64, "head_dim": 16},
+              open(tmp_path / "config.json", "w"))
+    out1 = generate_text(str(tmp_path), "a fox", max_new_tokens=4)
+    out2 = generate_text(str(tmp_path), "a fox", max_new_tokens=4)
+    assert isinstance(out1, str) and out1 == out2

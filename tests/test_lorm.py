@@ -105,3 +105,68 @@ def test_lorm_trains_end_to_end():
     d0 = jax.tree.leaves(state.trainable["lorm"])[0]
     d1 = jax.tree.leaves(st.trainable["lorm"])[0]
     assert float(jnp.abs(d0 - d1).max()) > 0
+
+
+def test_lorm_on_scanned_flux():
+    """Review fix r5: scanned DiTs need 'lorm' in nn.scan variable_axes and
+    [L]-shaped scale leaves; tiny flux with scan_blocks=True must forward and
+    train through the factored stacks."""
+    from ai_toolkit_tpu.samplers import FlowMatchSchedule
+    from ai_toolkit_tpu.train.optimizers import get_optimizer
+    from ai_toolkit_tpu.train.state import TrainState
+    from ai_toolkit_tpu.train.step import TrainStepConfig, make_train_step
+
+    model = get_model_class("flux")(ModelConfig(arch="flux", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    spec = LoRMSpec(extract_mode="fixed", extract_mode_param=4,
+                    target_patterns=model.lora_targets())
+    lorm, slim, stats = build_lorm(variables["dit"], spec)
+    assert stats["modules"] > 0
+    # scanned stacks carry [L] scales (nn.scan slices every lorm leaf)
+    stacked = [v for v in jax.tree.leaves(
+        jax.tree.map(lambda x: x, lorm)) if np.ndim(v) == 3]
+    if stacked:
+        scales = []
+        def collect(node):
+            for k, v in node.items():
+                if isinstance(v, dict) and "a" in v:
+                    if np.ndim(v["a"]) == 3:
+                        scales.append(np.shape(v["scale"]))
+                elif isinstance(v, dict):
+                    collect(v)
+        collect(lorm)
+        assert all(len(s) == 1 for s in scales), scales
+    variables["dit"] = jax.tree.map(jnp.asarray, slim)
+    h, w, c = model.latent_shape(32, 32)
+    cond = model.encode_prompt(variables, ["x"])
+    cond["pe"] = model.rope_table(h, w, cond["txt"].shape[1])
+    cond["guidance"] = jnp.ones((1,))
+    state = TrainState.create(variables, {"lorm": jax.tree.map(jnp.asarray, lorm)},
+                              get_optimizer("adamw", 1e-3))
+    step = jax.jit(make_train_step(model.predict, FlowMatchSchedule(), TrainStepConfig()))
+    noisy = jax.random.normal(jax.random.key(2), (1, h, w, c))
+    st, m = step(state, {"latents": noisy, "cond": cond}, jax.random.key(3))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_pixart_and_cogview4_lora_key_maps():
+    """Review fix r5: scanned pixart patterns used to IndexError (ff_in has
+    no regex groups); cogview4 gained diffusers-layout maps."""
+    from ai_toolkit_tpu.models.cogview4_dit import (
+        cogview4_inverse_key_map,
+        cogview4_lora_key_map,
+    )
+    from ai_toolkit_tpu.models.pixart_dit import pixart_lora_key_map
+
+    fake = {"blocks": {"block": {"ff_in": {"kernel": np.zeros((2, 2))},
+                                 "attn1": {"to_q": {"kernel": np.zeros((2, 2))}}}}}
+    km = pixart_lora_key_map(fake)
+    assert km["blocks/block/ff_in"] == "transformer_blocks.{L}.ff.net.0.proj"
+    assert km["blocks/block/attn1/to_q"] == "transformer_blocks.{L}.attn1.to_q"
+
+    km2 = cogview4_lora_key_map({"blocks": {"block": {
+        "adaln": {"kernel": np.zeros((2, 2))},
+        "attn1": {"to_out": {"kernel": np.zeros((2, 2))}}}}})
+    assert km2["blocks/block/adaln"] == "transformer_blocks.{L}.norm1.linear"
+    inv = cogview4_inverse_key_map(km2, 2)
+    assert inv["transformer_blocks.1.norm1.linear"] == "blocks/block/adaln#1"

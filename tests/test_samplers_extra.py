@@ -200,7 +200,7 @@ def test_generate_sd_dpm2_family_samplers():
 
     model = get_model_class("sd15")(ModelConfig(arch="sd15", model_kwargs={"size": "tiny"}))
     variables = model.init_variables(jax.random.key(0))
-    for sampler in ("dpm_2", "dpm_2_a", "dpmsingle", "k_dpm_2", "k_lms"):
+    for sampler in ("dpm_2", "dpm_2_a", "dpmsingle", "k_dpm_2", "k_lms", "heun_karras"):
         gen = GenerateImageConfig(prompt="x", width=64, height=64, sample_steps=4,
                                   guidance_scale=1.0, seed=1, sampler=sampler)
         img = generate_sd(model, variables, gen)

@@ -641,3 +641,34 @@ def test_launch_builder_full_ft_and_overrides(tmp_path):
             assert needle in html, needle
     finally:
         srv.stop()
+
+
+def test_launch_builder_textual_inversion(tmp_path):
+    """Review fix r5: network_type 'embedding' must write the TOP-LEVEL
+    embedding section (the TI trigger), not a network {type: embedding} that
+    silently falls through to a LoRA build."""
+    import json
+    import urllib.request
+
+    import yaml
+
+    from ai_toolkit_tpu.ui.server import UIServer
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    srv = UIServer(db_path=str(tmp_path / "db.db"), port=0,
+                   runs_root=str(tmp_path / "out")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        body = {"name": "ti1", "arch": "sd15", "dataset_folder": str(ds),
+                "network_type": "embedding", "trigger_word": "skscat",
+                "rank": 6, "queue": True}
+        req = urllib.request.Request(
+            base + "/api/launch", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        out = json.load(urllib.request.urlopen(req, timeout=5))
+        proc = yaml.safe_load(open(out["config"]))["config"]["process"][0]
+        assert "network" not in proc
+        assert proc["embedding"] == {"trigger": "skscat", "vectors": 6}
+    finally:
+        srv.stop()

@@ -113,14 +113,8 @@ def template_caption(idea: str, creative: bool) -> dict:
 def llm_caption(model_dir: str, prompt: str) -> dict | None:
     """Greedy decode through a local HF-layout causal LM (reference runs
     Qwen3-VL text-only; here any LLMEncoder-importable dir works)."""
-    try:
-        from ai_toolkit_tpu.jobs.vlm_captioner import VLMCaptioner  # noqa: F401
-        from ai_toolkit_tpu.utils.llm_generate import generate_text  # type: ignore
-    except ImportError:
-        generate_text = None
-    if generate_text is None:
-        log("no local text-generation helper; falling back to the template")
-        return None
+    from ai_toolkit_tpu.utils.llm_generate import generate_text
+
     raw = generate_text(model_dir, prompt, max_new_tokens=512)
     raw = swap_bbox_xy_in_text(raw)
     return extract_json(raw)
