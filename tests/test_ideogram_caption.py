@@ -179,3 +179,51 @@ def test_llm_generate_tiny_smoke(tmp_path):
     out1 = generate_text(str(tmp_path), "a fox", max_new_tokens=4)
     out2 = generate_text(str(tmp_path), "a fox", max_new_tokens=4)
     assert isinstance(out1, str) and out1 == out2
+
+
+def test_make_lcm_model_fuses_and_exports(tmp_path):
+    """scripts/make_lcm_model.py (offline make_lcm_sdxl_model analog): base
+    dir + local LoRA -> merged full-model export that differs from the base
+    by exactly the fused delta."""
+    import numpy as np
+    from safetensors.numpy import load_file
+
+    import jax
+
+    from ai_toolkit_tpu.config.modules import ModelConfig
+    from ai_toolkit_tpu.io.full_export import export_full_model
+    from ai_toolkit_tpu.models.registry import get_model_class
+
+    # build a tiny sd15 "checkpoint dir" via full export of a random init
+    model = get_model_class("sd15")(ModelConfig(arch="sd15", model_kwargs={"size": "tiny"}))
+    variables = model.init_variables(jax.random.key(0))
+    base_dir = tmp_path / "base"
+    export_full_model(model, variables, str(base_dir), dtype=np.float32)
+
+    # a one-module kohya LoRA on a known unet linear
+    from ai_toolkit_tpu.adapters.lora import LoRASpec, build_lora
+    from ai_toolkit_tpu.io.lora_file import save_lora_file
+    from ai_toolkit_tpu.models.unet import unet_lora_key_map
+
+    lora = build_lora(variables["unet"],
+                      LoRASpec(rank=2, alpha=2, target_patterns=model.lora_targets()),
+                      jax.random.key(1))
+    km = unet_lora_key_map(lora, num_levels=len(model.unet_config.block_out_channels))
+    lpath = tmp_path / "lcm.safetensors"
+    save_lora_file(lora, str(lpath), key_map=km, fmt="kohya", prefix="lora_unet",
+                   dtype=np.float32)
+
+    out = subprocess.run(
+        [sys.executable, "scripts/make_lcm_model.py", str(base_dir), str(lpath),
+         str(tmp_path / "merged"), "--arch", "sd15",
+         "--model-kwargs", '{"size": "tiny"}'],
+        capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stderr[-800:]
+    merged = load_file(str(tmp_path / "merged" / "unet" /
+                           "diffusion_pytorch_model.safetensors"))
+    basef = load_file(str(base_dir / "unet" / "diffusion_pytorch_model.safetensors"))
+    diffs = [k for k in basef
+             if merged[k].shape == basef[k].shape
+             and not np.allclose(np.asarray(merged[k], np.float32),
+                                 np.asarray(basef[k], np.float32), atol=1e-4)]
+    assert diffs, "merge changed nothing"
