@@ -204,3 +204,23 @@ def test_all_example_configs_strict(monkeypatch):
         for proc in cfg["config"]["process"]:
             if proc.get("type") in ("sd_trainer", "diffusion_trainer"):
                 ProcessConfig.from_dict(proc)  # raises on unconsumed keys
+
+
+def test_shipped_example_extension_runs(tmp_path):
+    """The in-repo extensions/example_extension.py template is live and
+    functional (reference ships extensions_built_in/example the same way)."""
+    import numpy as np
+    from safetensors.numpy import load_file, save_file
+
+    from ai_toolkit_tpu.jobs.extensions import discover_extension_processes
+
+    procs = discover_extension_processes(refresh=True)
+    assert "example_average_loras" in procs
+    a = tmp_path / "a.safetensors"
+    b = tmp_path / "b.safetensors"
+    save_file({"w": np.zeros((2, 2), np.float32)}, str(a))
+    save_file({"w": np.ones((2, 2), np.float32)}, str(b))
+    out = tmp_path / "avg.safetensors"
+    cls = procs["example_average_loras"]
+    cls("t", {"lora_paths": [str(a), str(b)], "output_path": str(out)}).run()
+    np.testing.assert_allclose(load_file(str(out))["w"], 0.5)
