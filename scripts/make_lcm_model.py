@@ -43,7 +43,8 @@ def main() -> None:
     from ai_toolkit_tpu.adapters.lora import merge_lora
     from ai_toolkit_tpu.config.modules import ModelConfig
     from ai_toolkit_tpu.io.full_export import export_full_model
-    from ai_toolkit_tpu.io.lora_file import load_lora_file
+    from ai_toolkit_tpu.io.lora_file import load_lora_file_split
+    from ai_toolkit_tpu.jobs.train_process import SDTrainProcess
     from ai_toolkit_tpu.models.registry import get_model_class
 
     import json
@@ -54,29 +55,29 @@ def main() -> None:
     variables = model.load_variables(jax.random.key(0))
     main_key = "dit" if "dit" in variables else "unet"
 
-    km = None
-    if hasattr(model, "lora_key_map"):
-        km = model.lora_inverse_key_map(model.lora_key_map(variables[main_key]))
-    else:
-        from ai_toolkit_tpu.models.flux_dit import flux_inverse_key_map, flux_lora_key_map
-        from ai_toolkit_tpu.models.unet import unet_lora_key_map
+    # the trainer's own resolution handles every arch (model-provided maps,
+    # flux-family stacks, unet levels, generic dict inversion)
+    km_fwd = SDTrainProcess._key_map(model, variables[main_key])
+    km = SDTrainProcess._inverse_key_map(model, km_fwd)
 
-        if model.is_flow_matching and hasattr(model, "dit_config") \
-                and hasattr(model.dit_config, "depth_double"):
-            fwd = flux_lora_key_map(variables[main_key])
-            km = flux_inverse_key_map(fwd, model.dit_config.depth_double,
-                                      model.dit_config.depth_single)
-        elif hasattr(model, "unet_config"):
-            fwd = unet_lora_key_map(
-                variables[main_key],
-                num_levels=len(model.unet_config.block_out_channels))
-            km = {v: k for k, v in fwd.items()}
-            km.update({v.replace(".", "_"): k for k, v in fwd.items()})
+    tree, _te_trees, meta = load_lora_file_split(args.lora, km)
 
-    tree, meta = load_lora_file(args.lora, km)
-    n = sum(1 for _ in __import__("jax").tree.leaves(tree))
+    def _count_resolved(node, ref):
+        n = 0
+        for k, v in node.items():
+            if not isinstance(ref, dict) or k not in ref:
+                continue
+            if isinstance(v, dict) and "a" in v:
+                n += 1
+            elif isinstance(v, dict):
+                n += _count_resolved(v, ref[k])
+        return n
+
+    n = _count_resolved(tree, variables[main_key])
     if not n:
-        raise SystemExit(f"no LoRA entries matched the {args.arch} layout")
+        raise SystemExit(
+            f"no LoRA entries resolved to real {args.arch} modules — wrong "
+            f"--arch or an unsupported key layout")
     print(f"fusing {n} LoRA leaves at strength {args.strength}", file=sys.stderr)
     variables[main_key] = merge_lora(variables[main_key], tree,
                                      multiplier=args.strength)

@@ -47,11 +47,29 @@ def smoke(name, dit, tokens, txt, extra_apply, targets):
     dt = (time.time()-t0)/5
     print(f"{name} full-size train step: {dt*1000:.0f} ms/step -> {1/dt:.2f} steps/s", flush=True)
 
-which = sys.argv[1]
+which = sys.argv[1] if len(sys.argv) > 1 else ""
+if which not in ("auraflow", "cogview4", "pixart"):
+    raise SystemExit("usage: smoke_new_archs.py auraflow|cogview4|pixart")
+if which == "pixart":
+    from ai_toolkit_tpu.models.pixart_dit import PixArtConfig, PixArtDiT, pixart_lora_targets
+    cfg = PixArtConfig()
+    dit = PixArtDiT(cfg)
+    HP = 64  # 1024px -> 64x64 patches
+    class PxWrap:
+        def __init__(self, d): self.d = d
+        def init(self, r, tok, txt, t, *a):
+            return self.d.init(r, tok, txt, t, HP, HP, jnp.ones((1, 300)))
+        def apply(self, colls, tok, txt, t, *a):
+            out = self.d.apply(colls, tok, txt, t, HP, HP, jnp.ones((1, 300)))
+            return out[..., :4 * cfg.in_channels]  # smoke: drop the sigma half
+    smoke("pixart", PxWrap(dit),
+          jnp.zeros((1, HP * HP, 4 * cfg.in_channels), jnp.bfloat16),
+          jnp.zeros((1, 300, cfg.caption_dim), jnp.bfloat16),
+          (), pixart_lora_targets())
+    raise SystemExit(0)
 if which == "auraflow":
     from ai_toolkit_tpu.models.auraflow_dit import AuraFlowConfig, AuraFlowDiT, auraflow_lora_targets
     cfg = AuraFlowConfig()  # 6.8B
-    # 1024px on the 4ch SDXL vae -> latent 128 -> 64x64 patches = 4096 tokens
     smoke("auraflow", AuraFlowDiT(cfg),
           jnp.zeros((1, 1024, 4*cfg.in_channels), jnp.bfloat16),
           jnp.zeros((1, 256, cfg.context_dim), jnp.bfloat16),

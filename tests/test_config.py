@@ -215,12 +215,12 @@ def test_shipped_example_extension_runs(tmp_path):
     from ai_toolkit_tpu.jobs.extensions import discover_extension_processes
 
     procs = discover_extension_processes(refresh=True)
-    assert "example_average_loras" in procs
+    assert "example_average_weights" in procs
     a = tmp_path / "a.safetensors"
     b = tmp_path / "b.safetensors"
     save_file({"w": np.zeros((2, 2), np.float32)}, str(a))
     save_file({"w": np.ones((2, 2), np.float32)}, str(b))
     out = tmp_path / "avg.safetensors"
-    cls = procs["example_average_loras"]
-    cls("t", {"lora_paths": [str(a), str(b)], "output_path": str(out)}).run()
+    cls = procs["example_average_weights"]
+    cls("t", {"weight_paths": [str(a), str(b)], "output_path": str(out)}).run()
     np.testing.assert_allclose(load_file(str(out))["w"], 0.5)
