@@ -562,6 +562,22 @@ def load_ltx2_checkpoint(path: str, model) -> dict:
             print(f"ltx2 import: {len(unmatched)} unmatched (audio-stream keys "
                   f"land here by design; e.g. {unmatched[:3]})")
         variables["dit"] = _merge_imported(variables["dit"], tree, "ltx2 dit")
+    # Gemma-3 caption encoder (reference ltx2.py:288 loads text_encoder/ via
+    # Gemma3ForConditionalGeneration; the text tower nests under
+    # language_model.model.* in composite saves, plain model.* in text-only)
+    tedir = os.path.join(path, "text_encoder") if os.path.isdir(path) else None
+    if tedir and os.path.isdir(tedir) and "te" in variables:
+        from ai_toolkit_tpu.io.sd_import import llm_rules
+
+        flat = load_safetensors_dir(path, "text_encoder")
+        flat = {k.replace("language_model.model.", "").replace("language_model.", ""): v
+                for k, v in flat.items()}
+        tree, _ = torch_to_tree(flat, llm_rules(gemma=True))
+        if tree:
+            variables["te"] = _merge_imported(variables["te"], tree, "ltx2 gemma te")
+    elif "te" in variables and os.path.isdir(path):
+        print("ltx2 import WARNING: no text_encoder/ subdir — the Gemma-3 "
+              "caption tower stays RANDOM-INIT (conditioning will be garbage)")
     # exact AutoencoderKLLTX2Video import (ltx2.py:486 loads vae/)
     vae_dir = os.path.join(path, "vae") if os.path.isdir(path) else None
     if vae_dir and os.path.isdir(vae_dir):

@@ -27,6 +27,67 @@ def _get(tree, path):
     return node
 
 
+def _llm_flat(tree, gemma: bool = False, glm_fuse: bool = False) -> dict[str, np.ndarray]:
+    """Hand-written inverse of ``sd_import.llm_rules`` — the ``(?:model\\.)?``
+    optional prefix in those regexes defeats the generic rule inverter
+    (``tree_to_torch`` treats every paren group as a substitution slot).
+
+    Emits the base-model state-dict layout (``embed_tokens.weight``,
+    ``layers.N.*``, ``norm.weight``, no ``model.`` prefix) that transformers
+    ``*Model.save_pretrained`` writes and our importers re-read (the import
+    regexes accept both prefixes).
+
+    ``gemma``: norms were imported as (1 + w) -> subtract 1 on the way out,
+    and the Gemma2 sandwich norms get their own HF names. ``glm_fuse``:
+    re-fuse the swiglu gate/up rows into ``mlp.gate_up_proj`` (transformers
+    GlmModel layout; exact inverse of ``dit_importers.glm_split_fused``).
+    """
+    out: dict[str, np.ndarray] = {}
+
+    def norm_out(v):
+        v = np.asarray(v)
+        return np.ascontiguousarray(v - 1.0 if gemma else v)
+
+    if "token_embedding" in tree:
+        out["embed_tokens.weight"] = np.ascontiguousarray(np.asarray(tree["token_embedding"]))
+    if "final_norm" in tree:
+        out["norm.weight"] = norm_out(tree["final_norm"]["scale"])
+
+    lin = {"q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+           "o": "self_attn.o_proj", "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+           "down": "mlp.down_proj"}
+    norms = {"input_norm": "input_layernorm",
+             "q_norm": "self_attn.q_norm", "k_norm": "self_attn.k_norm"}
+    if gemma:
+        norms.update({"post_attn_norm": "post_attention_layernorm",
+                      "pre_mlp_norm": "pre_feedforward_layernorm",
+                      "post_mlp_norm": "post_feedforward_layernorm"})
+    else:
+        norms["pre_mlp_norm"] = "post_attention_layernorm"
+
+    i = 0
+    while f"layer_{i}" in tree:
+        blk, p = tree[f"layer_{i}"], f"layers.{i}."
+        for ours, theirs in lin.items():
+            if ours in blk:
+                out[p + theirs + ".weight"] = np.ascontiguousarray(np.asarray(blk[ours]["kernel"]).T)
+                if "bias" in blk[ours]:
+                    out[p + theirs + ".bias"] = np.ascontiguousarray(np.asarray(blk[ours]["bias"]))
+        for ours, theirs in norms.items():
+            if ours in blk:
+                out[p + theirs + ".weight"] = norm_out(blk[ours]["scale"])
+        i += 1
+
+    if glm_fuse:
+        fused: dict[str, np.ndarray] = {}
+        for k in [k for k in out if ".mlp.gate_proj." in k]:
+            ku = k.replace("gate_proj", "up_proj")
+            fused[k.replace("gate_proj", "gate_up_proj")] = np.ascontiguousarray(
+                np.concatenate([out.pop(k), out.pop(ku)], axis=0))
+        out.update(fused)
+    return out
+
+
 def _wan_specials(tree, cfg) -> dict[str, np.ndarray]:
     """Inverse of wan_dit_tree's custom conversions: linear patch embedding
     back to Conv3d layout, modulation tables back to scale_shift_table."""
@@ -400,13 +461,13 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
     if arch == "lumina2":
         from ai_toolkit_tpu.io.dit_importers import lumina2_rules
 
-        # TE (gemma) stays with its own import path — llm_rules has
-        # alternation groups the rule inverter doesn't enumerate
         plan.append(("dit", "transformer", W,
                      lumina2_rules(model.dit_config.scan_blocks), None))
         plan.append(("vae", "vae", W, vae_rules(
             len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
         ), None))
+        plan.append(("te", "text_encoder", M, None,
+                     lambda t, f: _llm_flat(t, gemma=True)))
         return plan
 
     if arch == "omnigen2":
@@ -439,6 +500,8 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         cfg = model.dit_config
         plan.append(("dit", "transformer", W, ltx2_dit_rules(cfg.scan_blocks),
                      lambda t, f: _ltx2_specials(t, cfg)))
+        plan.append(("te", "text_encoder", M, None,
+                     lambda t, f: _llm_flat(t, gemma=True)))
         return plan
 
     if arch.startswith("pixart"):
@@ -462,6 +525,8 @@ def component_plan(model) -> list[tuple[str, str, str, list, object]]:
         plan.append(("vae", "vae", W, vae_rules(
             len(model.vae_config.channel_multipliers), model.vae_config.layers_per_block
         ), None))
+        plan.append(("te", "text_encoder", M, None,
+                     lambda t, f: _llm_flat(t, glm_fuse=True)))
         return plan
 
     if arch == "auraflow":

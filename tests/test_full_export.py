@@ -196,9 +196,14 @@ def test_ltx2_full_export_roundtrip(tmp_path):
     flat = stnp.load_file(written[0])
     assert "scale_shift_table" in flat
     assert "transformer_blocks.0.scale_shift_table" in flat
+    assert any("text_encoder" in p for p in written)
     re = load_ltx2_checkpoint(str(tmp_path), model)
     _assert_trees_close(
         jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
+    )
+    # Gemma-3 caption tower round-trips through the new TE export + import
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["te"]), jax.tree.map(np.asarray, re["te"])
     )
 
 
@@ -214,9 +219,14 @@ def test_lumina2_full_export_roundtrip(tmp_path):
     flat = stnp.load_file(written[0])
     assert "norm_out.linear_2.weight" in flat
     assert "layers.0.feed_forward.linear_1.weight" in flat
+    assert any("text_encoder" in p for p in written)
     re = load_lumina2_checkpoint(str(tmp_path), model)
     _assert_trees_close(
         jax.tree.map(np.asarray, variables["dit"]), jax.tree.map(np.asarray, re["dit"])
+    )
+    # gemma2 TE round-trips through the new _llm_flat export
+    _assert_trees_close(
+        jax.tree.map(np.asarray, variables["te"]), jax.tree.map(np.asarray, re["te"])
     )
 
 
@@ -286,3 +296,39 @@ def test_r5_arch_full_export_roundtrip(tmp_path, arch, loader):
     back = getattr(imps, loader)(str(tmp_path), model2)
     _assert_trees_close(jax.tree.map(np.asarray, variables["dit"]),
                         jax.tree.map(np.asarray, back["dit"]))
+
+
+@pytest.mark.parametrize("variant", ["plain", "gemma", "glm"])
+def test_llm_te_export_roundtrip(variant):
+    """_llm_flat is the hand-written inverse of sd_import.llm_rules (the
+    (?:model.)? optional prefix defeats the generic rule inverter): tiny
+    LLMEncoder params -> HF base-model state dict -> re-import == identity.
+    glm re-fuses gate/up into gate_up_proj (inverse of glm_split_fused)."""
+    from ai_toolkit_tpu.io.dit_importers import glm_split_fused
+    from ai_toolkit_tpu.io.full_export import _llm_flat
+    from ai_toolkit_tpu.io.sd_import import llm_rules
+    from ai_toolkit_tpu.io.torch_import import torch_to_tree
+    from ai_toolkit_tpu.models.text_encoders import LLMConfig, LLMEncoder
+
+    gemma = variant == "gemma"
+    import dataclasses
+
+    cfg = LLMConfig.tiny()
+    if gemma:
+        cfg = dataclasses.replace(cfg, post_norms=True, gemma_gelu=True)
+    enc = LLMEncoder(cfg)
+    params = enc.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    flat = _llm_flat(params, gemma=gemma, glm_fuse=variant == "glm")
+    assert "embed_tokens.weight" in flat and "layers.0.self_attn.q_proj.weight" in flat
+    if variant == "glm":
+        assert "layers.0.mlp.gate_up_proj.weight" in flat
+        assert not any("gate_proj" in k for k in flat)
+        flat = glm_split_fused(flat)
+    if gemma:
+        assert "layers.0.pre_feedforward_layernorm.weight" in flat
+
+    tree, unmatched = torch_to_tree(flat, llm_rules(gemma=gemma))
+    assert not unmatched, unmatched[:5]
+    _assert_trees_close(params, tree, atol=1e-6)
