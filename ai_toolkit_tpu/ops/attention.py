@@ -39,14 +39,26 @@ def dot_product_attention(
             q, k, v, mask=mask, is_causal=is_causal, scale=scale, implementation="xla"
         )
     if implementation == "pallas":
-        from ai_toolkit_tpu.ops.pallas.flash_attention import flash_attention
+        from ai_toolkit_tpu.ops.pallas.flash_attention import (
+            flash_attention,
+            flash_attention_streamed,
+        )
 
         bq = _best_block(q.shape[1])
         bk = _best_block(k.shape[1])
+        if max(q.shape[1], k.shape[1]) > _RESIDENT_MAX_SEQ:
+            # long sequences (video): the resident kernels hold a full-length
+            # operand in VMEM per B*H row and OOM past ~8k — stream instead
+            return flash_attention_streamed(q, k, v, scale, bq, bk)
         return flash_attention(q, k, v, scale, bq, bk)
     if implementation == "reference":
         return _reference_attention(q, k, v, mask=mask, is_causal=is_causal, scale=scale)
     raise ValueError(f"unknown attention implementation: {implementation}")
+
+
+# above this, the resident flash kernels' full-length VMEM operand (K/V in
+# fwd/dq, Q/dO in dkv) exceeds the 16M scoped budget — streamed variant
+_RESIDENT_MAX_SEQ = 8192
 
 
 def _best_block(s: int) -> int:
@@ -71,8 +83,6 @@ def _pallas_ok(q, k, mask, is_causal) -> bool:
         # d == 64 (SDXL self-attention): legal Mosaic block (last dim equals
         # the array dim) but HALF the MXU lanes idle — only a win where the
         # [S,T] logits XLA materializes dwarf that waste (long sequences)
-        return False
-    if t > 8192:  # full K/V per head must fit VMEM in the current kernel
         return False
     return (s % 128 == 0 or s < 128) and (t % 128 == 0 or t < 128)
 

@@ -257,3 +257,220 @@ def _bwd(scale, block_q, block_k, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# KV-streaming variant for LONG sequences (video: wan21 81f @480p = 32k
+# tokens). The resident kernels above hold full K/V (fwd, dq) or full Q/dO
+# (dkv) in VMEM per B*H row — that caps max(S, T) at ~8k on a 16M-VMEM core
+# (the wan 9216-token step VMEM-OOMs the dkv kernel by 1.8M). Here every
+# operand streams block-by-block via a third grid axis; online-softmax
+# state lives in VMEM scratch that persists across the innermost grid axis
+# (the canonical TPU flash schedule — pallas_guide.md grid/scratch rules).
+# Extra HBM traffic vs resident: K/V re-stream once per q block — at 32k
+# tokens that is ~13 GB/step vs 6.6 TFLOP of attention math, still firmly
+# compute-bound on v5e.
+# ---------------------------------------------------------------------------
+
+_LANES = 128  # scratch last dim: keep lane-aligned (Mosaic tiling)
+
+
+def _fwd_kernel_streamed(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                         acc_ref, m_ref, l_ref, *, scale, num_kv):
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kv_i == num_kv - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
+
+
+def _flash_fwd_streamed(q, k, v, scale, bq, bk):
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    num_kv = t // bk
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_streamed, scale=scale, num_kv=num_kv),
+        grid=(b * h, s // bq, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j, kv: (i, kv, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j, kv: (i, kv, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+        ],
+    )(qt, kt, vt)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3), (lse[..., 0], qt, kt, vt)
+
+
+def _bwd_dq_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                            dq_ref, acc_ref, *, scale, num_kv):
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [bq, 1]
+    delta = delta_ref[0]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[...] = acc_ref[...] + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_i == num_kv - 1)
+    def _emit():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                             dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q):
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [bq, 1]
+    delta = delta_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    p = jnp.exp(s - lse)
+    dv_acc[...] = dv_acc[...] + jnp.dot(p.T, g, preferred_element_type=jnp.float32)
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_acc[...] = dk_acc[...] + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+
+    @pl.when(q_i == num_q - 1)
+    def _emit():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_streamed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention with block-streamed K/V AND Q — no full-sequence
+    operand ever resides in VMEM, so max(S, T) is unbounded (video)."""
+    out, _ = _fwd_streamed(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _fwd_streamed(q, k, v, scale, block_q, block_k):
+    from jax.ad_checkpoint import checkpoint_name
+
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale_, bq, bk = _resolve(scale, d, s, t, block_q, block_k)
+    assert s % bq == 0 and t % bk == 0, f"seq lens ({s},{t}) must divide blocks ({bq},{bk})"
+    out, (lse, _, _, _) = _flash_fwd_streamed(q, k, v, scale_, bq, bk)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, k, v, out, lse)
+
+
+def _bwd_streamed(scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale_, bq, bk = _resolve(scale, d, s, t, block_q, block_k)
+
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    gt = g.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    delta = jnp.sum(
+        gt.astype(jnp.float32)
+        * out.transpose(0, 2, 1, 3).reshape(b * h, s, d).astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )
+    lse3 = lse[..., None]
+    num_q, num_kv = s // bq, t // bk
+
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, d), lambda i, j, kv: (i, kv, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((1, bq, 1), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_streamed, scale=scale_, num_kv=num_kv),
+        grid=(b * h, num_q, num_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, r_spec, r_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(qt, kt, vt, gt, lse3, delta)
+
+    # dkv: kv blocks own the output; q streams on the innermost axis
+    qs_spec = pl.BlockSpec((1, bq, d), lambda i, j, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+    ko_spec = pl.BlockSpec((1, bk, d), lambda i, j, qi: (i, j, 0), memory_space=pltpu.VMEM)
+    rs_spec = pl.BlockSpec((1, bq, 1), lambda i, j, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_streamed, scale=scale_, num_q=num_q),
+        grid=(b * h, num_kv, num_q),
+        in_specs=[qs_spec, ko_spec, ko_spec, qs_spec, rs_spec, rs_spec],
+        out_specs=[ko_spec, ko_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, t, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+    )(qt, kt, vt, gt, lse3, delta)
+
+    dq = dq.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    dk = dk.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    dv = dv.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return dq, dk, dv
+
+
+flash_attention_streamed.defvjp(_fwd_streamed, _bwd_streamed)

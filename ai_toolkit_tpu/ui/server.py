@@ -32,6 +32,7 @@ import os
 import re
 import sqlite3
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -170,6 +171,13 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json({"error": "unauthorized"}, 401)
         if self.path in ("/", "/index.html"):
             body = _DASHBOARD_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            return self.wfile.write(body)
+        if self.path == "/jobs":
+            body = _JOBS_HTML.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
@@ -343,7 +351,27 @@ class _Handler(BaseHTTPRequestHandler):
             parts = [p for p in self.path.strip("/").split("/")[2:] if p]
             return self._datasets_get(parts)
         if self.path.startswith("/api/jobs/"):
-            job_id = self.path.split("/")[3]
+            segs = self.path.split("?")[0].strip("/").split("/")
+            job_id = segs[2] if len(segs) > 2 else ""
+            if len(segs) == 4 and segs[3] == "log":
+                # tail of the spawned run.py log (reference jobs/[jobId] page
+                # streams the job console)
+                rows = self._jobs(job_id)
+                if not (isinstance(rows, list) and rows):
+                    return self._json({"error": "not found"}, 404)
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                n = min(int(q.get("n", ["200"])[0] or 200), 5000)
+                name = rows[0].get("name") or job_id
+                log_path = os.path.join(self._runs_root(), "_quick_ui", f"{name}.log")
+                lines: list[str] = []
+                if os.path.isfile(log_path):
+                    with open(log_path, "rb") as f:
+                        f.seek(0, os.SEEK_END)
+                        f.seek(max(0, f.tell() - 256 * 1024))
+                        lines = f.read().decode("utf-8", "replace").splitlines()[-n:]
+                return self._json({"name": name, "lines": lines})
             rows = self._jobs(job_id)
             if isinstance(rows, list) and rows:
                 return self._json(rows[0])
@@ -429,6 +457,35 @@ class _Handler(BaseHTTPRequestHandler):
                         f"UPDATE Job SET {field} = 1 WHERE id = ?", (parts[2],)
                     ).rowcount
                 return self._json({"updated": n})
+            except sqlite3.Error as e:
+                return self._json({"error": str(e)}, 500)
+        if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] == "requeue":
+            # reference jobs page "restart": back to the queue; refused while
+            # running (stop first — the worker owns running processes)
+            try:
+                with self._db() as conn:
+                    n = conn.execute(
+                        "UPDATE Job SET status = 'queued', stop = 0, step = 0, "
+                        "queued_at = ?, pid = NULL WHERE id = ? AND status != 'running'",
+                        (time.time(), parts[2]),
+                    ).rowcount
+                if not n:
+                    return self._json(
+                        {"error": "not found or still running (stop it first)"}, 409)
+                return self._json({"requeued": n})
+            except sqlite3.Error as e:
+                return self._json({"error": str(e)}, 500)
+        if len(parts) == 4 and parts[:2] == ["api", "jobs"] and parts[3] == "delete":
+            try:
+                with self._db() as conn:
+                    n = conn.execute(
+                        "DELETE FROM Job WHERE id = ? AND status != 'running'",
+                        (parts[2],),
+                    ).rowcount
+                if not n:
+                    return self._json(
+                        {"error": "not found or still running (stop it first)"}, 409)
+                return self._json({"deleted": n})
             except sqlite3.Error as e:
                 return self._json({"error": str(e)}, 500)
         return self._json({"error": "unknown route"}, 404)
@@ -929,6 +986,60 @@ async function refresh(){
 }
 document.getElementById('pick').onchange=refresh;
 refresh();setInterval(refresh,5000);
+</script></body></html>"""
+
+
+_JOBS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>jobs</title>
+<style>
+body{font:14px system-ui;margin:24px;background:#0f1115;color:#d7dae0}
+h1{font-size:18px} table{border-collapse:collapse;margin:12px 0;width:100%}
+td,th{padding:4px 10px;border-bottom:1px solid #2a2e38;text-align:left}
+button{background:#161a22;color:#d7dae0;border:1px solid #2a2e38;border-radius:4px;
+padding:2px 8px;margin-right:4px;cursor:pointer}
+button:hover{border-color:#5b8cff}
+pre{background:#161a22;border:1px solid #2a2e38;border-radius:6px;padding:10px;
+max-height:420px;overflow:auto;font:12px ui-monospace,monospace;white-space:pre-wrap}
+.small{color:#8a90a0;font-size:12px} a{color:#5b8cff}
+</style></head><body>
+<h1>jobs <span class="small"><a href="/">monitor</a> · <a href="/new">new</a></span></h1>
+<table id="tbl"><tr><th>name</th><th>status</th><th>step</th><th>speed</th><th>actions</th></tr></table>
+<h1 id="logname" class="small"></h1>
+<pre id="log"></pre>
+<script>
+async function j(u,opt){const r=await fetch(u,opt);return r.json()}
+async function act(id,a){
+ const r=await j('/api/jobs/'+id+'/'+a,{method:'POST',
+  headers:{'Content-Type':'application/json'},body:'{}'});
+ if(r.error)alert(r.error);refresh();
+}
+let logId=null;
+async function showLog(id){logId=id;pollLog()}
+async function pollLog(){
+ if(!logId)return;
+ const r=await j('/api/jobs/'+logId+'/log?n=300');
+ if(!r.error){document.getElementById('logname').textContent='log: '+r.name;
+  const p=document.getElementById('log');p.textContent=r.lines.join('\\n');
+  p.scrollTop=p.scrollHeight}
+}
+async function refresh(){
+ const jobs=await j('/api/jobs');
+ const tbl=document.getElementById('tbl');
+ tbl.innerHTML='<tr><th>name</th><th>status</th><th>step</th><th>speed</th><th>actions</th></tr>';
+ for(const r of jobs){
+  const running=r.status==='running';
+  tbl.innerHTML+='<tr><td>'+r.name+'</td><td>'+r.status+'</td>'+
+   '<td>'+r.step+'/'+r.total_steps+'</td><td>'+(r.speed_string||'')+'</td><td>'+
+   '<button onclick="showLog(\\''+r.id+'\\')">log</button>'+
+   (running?'<button onclick="act(\\''+r.id+'\\',\\'stop\\')">stop</button>'+
+    '<button onclick="act(\\''+r.id+'\\',\\'save\\')">save</button>'+
+    '<button onclick="act(\\''+r.id+'\\',\\'sample\\')">sample</button>'
+   :'<button onclick="act(\\''+r.id+'\\',\\'requeue\\')">requeue</button>'+
+    '<button onclick="act(\\''+r.id+'\\',\\'delete\\')">delete</button>')+
+   '</td></tr>';
+ }
+}
+refresh();setInterval(refresh,4000);setInterval(pollLog,4000);
 </script></body></html>"""
 
 

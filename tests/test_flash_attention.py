@@ -71,3 +71,43 @@ def test_flash_d64_fwd_bwd_and_gate():
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_flash_streamed_matches_reference():
+    """KV-streaming variant (long-sequence/video path): fwd + grads match the
+    einsum oracle; rectangular K/V too. Small shapes here — the dispatcher
+    routes to it only past _RESIDENT_MAX_SEQ, but numerics are shape-blind."""
+    from ai_toolkit_tpu.ops.pallas.flash_attention import flash_attention_streamed
+
+    b, s, t, h, d = 1, 256, 384, 2, 32
+    q = _rand((b, s, h, d), 6)
+    k, v = _rand((b, t, h, d), 7), _rand((b, t, h, d), 8)
+    out = flash_attention_streamed(q, k, v, None, 128, 128)
+    ref = dot_product_attention(q, k, v, implementation="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def f_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention_streamed(q, k, v, None, 128, 128)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(dot_product_attention(q, k, v, implementation="reference")))
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_flash_streamed_equals_resident():
+    """Same inputs -> streamed and resident kernels agree bit-for-bit-ish
+    (both f32 online softmax, same block math)."""
+    from ai_toolkit_tpu.ops.pallas.flash_attention import (
+        flash_attention,
+        flash_attention_streamed,
+    )
+
+    b, s, h, d = 1, 512, 2, 32
+    q, k, v = _rand((b, s, h, d), 9), _rand((b, s, h, d), 10), _rand((b, s, h, d), 11)
+    a = flash_attention(q, k, v, None, 128, 128)
+    bb = flash_attention_streamed(q, k, v, None, 128, 128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)

@@ -672,3 +672,69 @@ def test_launch_builder_textual_inversion(tmp_path):
         assert proc["embedding"] == {"trigger": "skscat", "vectors": 6}
     finally:
         srv.stop()
+
+
+def test_job_detail_actions_and_log(tmp_path):
+    """/jobs page + job-detail actions (reference ui jobs/[jobId]):
+    GET /api/jobs/<id>/log tails the spawned run log; POST requeue puts a
+    finished job back in the queue (409 while running); POST delete removes
+    a non-running row (409 while running)."""
+    import json
+    import sqlite3
+    import urllib.error
+    import urllib.request
+
+    from ai_toolkit_tpu.ui import UIServer
+    from ai_toolkit_tpu.ui.server import ensure_schema
+
+    db = str(tmp_path / "aitk_db.db")
+    ensure_schema(db)
+    runs = tmp_path / "runs"
+    (runs / "_quick_ui").mkdir(parents=True)
+    (runs / "_quick_ui" / "jobA.log").write_text("line1\nline2\nstep 3/4 loss=0.5\n")
+    with sqlite3.connect(db) as conn:
+        conn.execute("INSERT INTO Job (id, name, status, step, total_steps) "
+                     "VALUES ('ja', 'jobA', 'failed', 3, 4)")
+        conn.execute("INSERT INTO Job (id, name, status) VALUES ('jb', 'jobB', 'running')")
+
+    srv = UIServer(db_path=db, port=0, runs_root=str(runs)).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path) as r:
+                return json.loads(r.read())
+
+        def post(path):
+            req = urllib.request.Request(
+                base + path, data=b"{}", method="POST",
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        with urllib.request.urlopen(base + "/jobs") as r:
+            assert b"requeue" in r.read()
+
+        log = get("/api/jobs/ja/log?n=2")
+        assert log["name"] == "jobA" and log["lines"] == ["line2", "step 3/4 loss=0.5"]
+
+        assert post("/api/jobs/ja/requeue") == {"requeued": 1}
+        with sqlite3.connect(db) as conn:
+            st, step = conn.execute(
+                "SELECT status, step FROM Job WHERE id='ja'").fetchone()
+        assert st == "queued" and step == 0
+
+        # running jobs refuse requeue/delete with 409
+        for act in ("requeue", "delete"):
+            try:
+                post(f"/api/jobs/jb/{act}")
+                raise AssertionError("should 409")
+            except urllib.error.HTTPError as e:
+                assert e.code == 409
+
+        with sqlite3.connect(db) as conn:
+            conn.execute("UPDATE Job SET status='stopped' WHERE id='jb'")
+        assert post("/api/jobs/jb/delete") == {"deleted": 1}
+        with sqlite3.connect(db) as conn:
+            assert conn.execute("SELECT COUNT(*) FROM Job").fetchone()[0] == 1
+    finally:
+        srv.stop()
