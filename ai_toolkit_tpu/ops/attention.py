@@ -41,12 +41,18 @@ def dot_product_attention(
     if implementation == "pallas":
         from ai_toolkit_tpu.ops.pallas.flash_attention import (
             flash_attention,
+            flash_attention_any,
             flash_attention_streamed,
         )
 
-        bq = _best_block(q.shape[1])
-        bk = _best_block(k.shape[1])
-        if max(q.shape[1], k.shape[1]) > _RESIDENT_MAX_SEQ:
+        s, t = q.shape[1], k.shape[1]
+        bq = _best_block(s)
+        bk = _best_block(t)
+        if not _lane_ok(s, t):
+            # non-lane-divisible video buckets (e.g. wan 81f@480x832 = 32760
+            # tokens): pad + in-kernel KV mask
+            return flash_attention_any(q, k, v, scale)
+        if max(s, t) > _RESIDENT_MAX_SEQ:
             # long sequences (video): the resident kernels hold a full-length
             # operand in VMEM per B*H row and OOM past ~8k — stream instead
             return flash_attention_streamed(q, k, v, scale, bq, bk)
@@ -84,6 +90,15 @@ def _pallas_ok(q, k, mask, is_causal) -> bool:
         # the array dim) but HALF the MXU lanes idle — only a win where the
         # [S,T] logits XLA materializes dwarf that waste (long sequences)
         return False
+    if _lane_ok(s, t):
+        return True
+    # odd long shapes (video buckets): pad+mask streamed path — only worth
+    # it where the XLA fallback's [S, T] logits would be enormous
+    return max(s, t) >= 4096
+
+
+def _lane_ok(s: int, t: int) -> bool:
+    """Shapes the resident kernels take directly (no padding)."""
     return (s % 128 == 0 or s < 128) and (t % 128 == 0 or t < 128)
 
 

@@ -275,8 +275,19 @@ flash_attention.defvjp(_fwd, _bwd)
 _LANES = 128  # scratch last dim: keep lane-aligned (Mosaic tiling)
 
 
+def _kv_mask(s, kv_block_idx, kv_valid):
+    """NEG_INF the logit columns past ``kv_valid`` (padded KV entries).
+    kv_valid is STATIC; padding is < one block so no block is ever fully
+    masked (m stays finite)."""
+    if kv_valid is None:
+        return s
+    bk = s.shape[-1]
+    col = kv_block_idx * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < kv_valid, s, NEG_INF)
+
+
 def _fwd_kernel_streamed(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                         acc_ref, m_ref, l_ref, *, scale, num_kv):
+                         acc_ref, m_ref, l_ref, *, scale, num_kv, kv_valid):
     kv_i = pl.program_id(2)
 
     @pl.when(kv_i == 0)
@@ -289,6 +300,7 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, o_ref, lse_ref,
     k = k_ref[0].astype(jnp.float32)  # [bk, d]
     v = v_ref[0].astype(jnp.float32)
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    s = _kv_mask(s, kv_i, kv_valid)
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -305,7 +317,7 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
 
 
-def _flash_fwd_streamed(q, k, v, scale, bq, bk):
+def _flash_fwd_streamed(q, k, v, scale, bq, bk, kv_valid=None):
     b, s, h, d = q.shape
     t = k.shape[1]
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
@@ -313,7 +325,8 @@ def _flash_fwd_streamed(q, k, v, scale, bq, bk):
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     num_kv = t // bk
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_streamed, scale=scale, num_kv=num_kv),
+        functools.partial(_fwd_kernel_streamed, scale=scale, num_kv=num_kv,
+                          kv_valid=kv_valid),
         grid=(b * h, s // bq, num_kv),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM),
@@ -338,7 +351,7 @@ def _flash_fwd_streamed(q, k, v, scale, bq, bk):
 
 
 def _bwd_dq_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                            dq_ref, acc_ref, *, scale, num_kv):
+                            dq_ref, acc_ref, *, scale, num_kv, kv_valid):
     kv_i = pl.program_id(2)
 
     @pl.when(kv_i == 0)
@@ -352,6 +365,7 @@ def _bwd_dq_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = _kv_mask(s, kv_i, kv_valid)
     p = jnp.exp(s - lse)
     dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
@@ -363,7 +377,8 @@ def _bwd_dq_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                             dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q):
+                             dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q,
+                             kv_valid):
     q_i = pl.program_id(2)
 
     @pl.when(q_i == 0)
@@ -378,6 +393,7 @@ def _bwd_dkv_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     lse = lse_ref[0]  # [bq, 1]
     delta = delta_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    s = _kv_mask(s, pl.program_id(1), kv_valid)
     p = jnp.exp(s - lse)
     dv_acc[...] = dv_acc[...] + jnp.dot(p.T, g, preferred_element_type=jnp.float32)
     dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
@@ -390,7 +406,7 @@ def _bwd_dkv_kernel_streamed(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_streamed(
     q: jax.Array,
     k: jax.Array,
@@ -398,27 +414,30 @@ def flash_attention_streamed(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    kv_valid: int | None = None,
 ) -> jax.Array:
     """Flash attention with block-streamed K/V AND Q — no full-sequence
-    operand ever resides in VMEM, so max(S, T) is unbounded (video)."""
-    out, _ = _fwd_streamed(q, k, v, scale, block_q, block_k)
+    operand ever resides in VMEM, so max(S, T) is unbounded (video).
+    ``kv_valid`` (static): number of real KV entries when K/V were padded —
+    padded logit columns are NEG_INF'd inside the kernels."""
+    out, _ = _fwd_streamed(q, k, v, scale, block_q, block_k, kv_valid)
     return out
 
 
-def _fwd_streamed(q, k, v, scale, block_q, block_k):
+def _fwd_streamed(q, k, v, scale, block_q, block_k, kv_valid=None):
     from jax.ad_checkpoint import checkpoint_name
 
     b, s, h, d = q.shape
     t = k.shape[1]
     scale_, bq, bk = _resolve(scale, d, s, t, block_q, block_k)
     assert s % bq == 0 and t % bk == 0, f"seq lens ({s},{t}) must divide blocks ({bq},{bk})"
-    out, (lse, _, _, _) = _flash_fwd_streamed(q, k, v, scale_, bq, bk)
+    out, (lse, _, _, _) = _flash_fwd_streamed(q, k, v, scale_, bq, bk, kv_valid)
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
-def _bwd_streamed(scale, block_q, block_k, res, g):
+def _bwd_streamed(scale, block_q, block_k, kv_valid, res, g):
     q, k, v, out, lse = res
     b, s, h, d = q.shape
     t = k.shape[1]
@@ -440,7 +459,8 @@ def _bwd_streamed(scale, block_q, block_k, res, g):
     kv_spec = pl.BlockSpec((1, bk, d), lambda i, j, kv: (i, kv, 0), memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((1, bq, 1), lambda i, j, kv: (i, j, 0), memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_streamed, scale=scale_, num_kv=num_kv),
+        functools.partial(_bwd_dq_kernel_streamed, scale=scale_, num_kv=num_kv,
+                          kv_valid=kv_valid),
         grid=(b * h, num_q, num_kv),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, r_spec, r_spec],
         out_specs=q_spec,
@@ -453,7 +473,8 @@ def _bwd_streamed(scale, block_q, block_k, res, g):
     ko_spec = pl.BlockSpec((1, bk, d), lambda i, j, qi: (i, j, 0), memory_space=pltpu.VMEM)
     rs_spec = pl.BlockSpec((1, bq, 1), lambda i, j, qi: (i, qi, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel_streamed, scale=scale_, num_q=num_q),
+        functools.partial(_bwd_dkv_kernel_streamed, scale=scale_, num_q=num_q,
+                          kv_valid=kv_valid),
         grid=(b * h, num_kv, num_q),
         in_specs=[qs_spec, ko_spec, ko_spec, qs_spec, rs_spec, rs_spec],
         out_specs=[ko_spec, ko_spec],
@@ -474,3 +495,35 @@ def _bwd_streamed(scale, block_q, block_k, res, g):
 
 
 flash_attention_streamed.defvjp(_fwd_streamed, _bwd_streamed)
+
+
+def flash_attention_any(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """ARBITRARY sequence lengths: pad S/T up to lane multiples, mask the
+    padded KV columns inside the streamed kernels, slice the output.
+
+    Real video buckets land on non-128-divisible token counts (wan21 81f
+    @480x832 = 32760 tokens) where the XLA fallback would materialize
+    multi-GB logits. Padding lives OUTSIDE the custom VJP, so autodiff
+    zero-pads the output cotangent — padded Q rows then contribute exactly
+    zero to dK/dV (g, dp, delta all vanish) and padded KV columns are
+    masked to p == 0 in every kernel."""
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    sp, tp = -s % 128, -t % 128
+    if sp == 0 and tp == 0:
+        return flash_attention_streamed(q, k, v, scale, block_q, block_k)
+    if sp:
+        q = jnp.pad(q, ((0, 0), (0, sp), (0, 0), (0, 0)))
+    if tp:
+        k = jnp.pad(k, ((0, 0), (0, tp), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tp), (0, 0), (0, 0)))
+    out = flash_attention_streamed(q, k, v, scale, block_q, block_k,
+                                   t if tp else None)
+    return out[:, :s] if sp else out

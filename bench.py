@@ -114,6 +114,35 @@ def bench_sdxl(budget_s: float | None = None) -> float | None:
     return float(m.group(1))
 
 
+def bench_wan_video(budget_s: float | None = None) -> float | None:
+    """wan21-1.3B video train step, 33f @512px (9216 tokens) steps/sec —
+    exercises the KV-streaming flash kernels (no reference baseline exists
+    for video; this records ours). Bounded subprocess like sdxl."""
+    import re
+    import subprocess
+
+    budget_s = budget_s or float(os.environ.get("AIT_BENCH_VIDEO_TIMEOUT", 420))
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_video.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "wan21_33f"], timeout=budget_s,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"video bench skipped: exceeded {budget_s:.0f}s", file=sys.stderr)
+        return None
+    m = re.search(r"->\s*([\d.]+)\s*steps/s", out.stdout)
+    if not m:
+        print(f"video bench produced no number: {out.stdout[-300:]} "
+              f"{out.stderr[-300:]}", file=sys.stderr)
+        return None
+    fr = re.search(r"\(([\d.]+)\s*frames/s trained\)", out.stdout)
+    print(f"wan21 video 33f@512: {m.group(1)} steps/s"
+          + (f" ({fr.group(1)} trained frames/s)" if fr else ""), file=sys.stderr)
+    return float(m.group(1))
+
+
 def bench_latent_cache(budget_s: float = 180.0) -> float | None:
     """Flux-VAE encode imgs/sec @1024px bs4 (driver latent-cache metric)."""
     import time as _time
@@ -232,7 +261,8 @@ def main():
     secondary = {}
     if os.environ.get("AIT_BENCH_ONLY") != "flux":
         for name, fn in (("latent_cache_imgs_per_sec", bench_latent_cache),
-                         ("sdxl_lora_1024_steps_per_sec", bench_sdxl)):
+                         ("sdxl_lora_1024_steps_per_sec", bench_sdxl),
+                         ("wan21_video_33f_steps_per_sec", bench_wan_video)):
             try:
                 v = fn()
                 if v is not None:

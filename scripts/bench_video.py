@@ -5,8 +5,14 @@ numbers for the standard video workloads (BaseSDTrainProcess video configs:
 wan21 trains 81f @ 480x832, examples train_lora_wan21_14b.yaml).
 
 Measured (v5e 1 chip, bf16 base + rank-16 LoRA + adamw8bit, warm cache):
-  see CLAUDE.md / BENCH notes — run `python scripts/bench_video.py wan21_33f`
-  etc. to reproduce.
+  wan21_33f : 1382 ms/step -> 0.72 steps/s (23.9 trained frames/s)
+  wan21_81f : 10756 ms/step -> 0.09 steps/s (7.5 trained frames/s)
+              ~compute-bound: at 32k tokens the attention math alone is
+              ~770 TFLOP/step (fwd+bwd+remat), a ~5s floor at v5e peak
+  wan22_5b  : 3361 ms/step -> 0.30 steps/s (9.8 trained frames/s)
+Both require the KV-streaming flash kernels (flash_attention_streamed) —
+the resident kernels VMEM-OOM past ~8k tokens and the XLA fallback would
+materialize multi-GB logits.
 
 Workloads:
   wan21_33f : wan21-1.3B, 33 frames @ 512x512  -> latent [9, 64, 64],  9216 tok

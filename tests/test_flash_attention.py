@@ -111,3 +111,28 @@ def test_flash_streamed_equals_resident():
     a = flash_attention(q, k, v, None, 128, 128)
     bb = flash_attention_streamed(q, k, v, None, 128, 128)
     np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)
+
+
+def test_flash_any_odd_lengths():
+    """Pad+mask path for non-lane-divisible video buckets: odd S and T match
+    the einsum oracle exactly, fwd and grads (padded KV columns masked in
+    kernel; padded Q rows contribute zero via the zero cotangent)."""
+    from ai_toolkit_tpu.ops.pallas.flash_attention import flash_attention_any
+
+    b, s, t, h, d = 1, 250, 190, 2, 32
+    q = _rand((b, s, h, d), 12)
+    k, v = _rand((b, t, h, d), 13), _rand((b, t, h, d), 14)
+    out = flash_attention_any(q, k, v)
+    ref = dot_product_attention(q, k, v, implementation="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def f_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention_any(q, k, v)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(dot_product_attention(q, k, v, implementation="reference")))
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
