@@ -10,6 +10,9 @@ Measured (v5e 1 chip, bf16 base + rank-16 LoRA + adamw8bit, warm cache):
               ~compute-bound: at 32k tokens the attention math alone is
               ~770 TFLOP/step (fwd+bwd+remat), a ~5s floor at v5e peak
   wan22_5b  : 3361 ms/step -> 0.30 steps/s (9.8 trained frames/s)
+  wan21_81f_480p (32760 tok, pad+mask path): 15941 ms/step measured under
+              concurrent bench load — proves the exact reference shape
+              trains; expect ~11s quiet (same work as wan21_81f +3% tokens)
 Both require the KV-streaming flash kernels (flash_attention_streamed) —
 the resident kernels VMEM-OOM past ~8k tokens and the XLA fallback would
 materialize multi-GB logits.
@@ -54,6 +57,9 @@ from ai_toolkit_tpu.train.step import TrainStepConfig, make_jitted_train_step
 WORKLOADS = {
     "wan21_33f": (WanConfig.wan21_1_3b, (9, 64, 64), 33, "512x512"),
     "wan21_81f": (WanConfig.wan21_1_3b, (21, 64, 96), 81, "512x768"),
+    # the reference's EXACT headline shape: 32760 tokens, NOT 128-divisible
+    # -> exercises the flash_attention_any pad+mask path at full scale
+    "wan21_81f_480p": (WanConfig.wan21_1_3b, (21, 60, 104), 81, "480x832"),
     "wan22_5b": (WanConfig.wan22_5b, (9, 64, 64), 33, "512x512"),
 }
 
