@@ -227,3 +227,68 @@ def test_make_lcm_model_fuses_and_exports(tmp_path):
              and not np.allclose(np.asarray(merged[k], np.float32),
                                  np.asarray(basef[k], np.float32), atol=1e-4)]
     assert diffs, "merge changed nothing"
+
+
+def test_convert_cog_lora_and_embedding(tmp_path):
+    """scripts/convert_cog.py: cog SDXL attn-processor LoRA keys map to kohya
+    LDM-module keys (reference scripts/convert_cog.py — whose own keymap file
+    is missing upstream; we derive the LDM names structurally) and the
+    embedding renames text_encoders_0/1 -> clip_l/clip_g."""
+    import numpy as np
+    from safetensors.numpy import load_file, save_file
+
+    rng = np.random.default_rng(0)
+    down = rng.normal(size=(4, 640)).astype(np.float32)
+    up = rng.normal(size=(640, 4)).astype(np.float32)
+    lora = {
+        "down_blocks.1.attentions.0.transformer_blocks.0.attn1.processor."
+        "to_q_lora.down.weight": down,
+        "down_blocks.1.attentions.0.transformer_blocks.0.attn1.processor."
+        "to_q_lora.up.weight": up,
+        "mid_block.attentions.0.transformer_blocks.3.attn2.processor."
+        "to_out_lora.down.weight": down.copy(),
+        "up_blocks.0.attentions.1.transformer_blocks.2.attn1.processor."
+        "to_v_lora.up.weight": up.copy(),
+        # peft-style fork naming must also map
+        "unet.down_blocks.2.attentions.1.transformer_blocks.0.attn2."
+        "to_k.lora_A.weight": down.copy(),
+    }
+    emb = {"text_encoders_0": rng.normal(size=(2, 768)).astype(np.float32),
+           "text_encoders_1": rng.normal(size=(2, 1280)).astype(np.float32)}
+    lp, ep = tmp_path / "l.safetensors", tmp_path / "e.safetensors"
+    save_file(lora, str(lp))
+    save_file(emb, str(ep))
+
+    out = subprocess.run(
+        [sys.executable, "scripts/convert_cog.py", str(lp), str(ep),
+         "--lora_output", str(tmp_path / "lk.safetensors"),
+         "--embedding_output", str(tmp_path / "ek.safetensors")],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+
+    k = load_file(str(tmp_path / "lk.safetensors"))
+    # SDXL: L = layers_per_block+1 = 3 -> down_blocks.1.attentions.0 is
+    # input_blocks.4.1; mid attn is middle_block.1; up_blocks.0.attentions.1
+    # is output_blocks.1.1; down_blocks.2.attentions.1 is input_blocks.8.1
+    assert ("lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_q"
+            ".lora_down.weight") in k
+    assert ("lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_q"
+            ".lora_up.weight") in k
+    assert ("lora_unet_middle_block_1_transformer_blocks_3_attn2_to_out_0"
+            ".lora_down.weight") in k
+    assert ("lora_unet_output_blocks_1_1_transformer_blocks_2_attn1_to_v"
+            ".lora_up.weight") in k
+    assert ("lora_unet_input_blocks_8_1_transformer_blocks_0_attn2_to_k"
+            ".lora_down.weight") in k
+    # alpha == rank for every down weight
+    assert float(k["lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_q"
+                   ".alpha"][0]) == 4.0
+    assert float(k["lora_unet_middle_block_1_transformer_blocks_3_attn2_to_out_0"
+                   ".alpha"][0]) == 4.0
+    np.testing.assert_array_equal(
+        k["lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_q"
+          ".lora_down.weight"], down)
+
+    e = load_file(str(tmp_path / "ek.safetensors"))
+    assert set(e) == {"clip_l", "clip_g"}
+    np.testing.assert_array_equal(e["clip_l"], emb["text_encoders_0"])
