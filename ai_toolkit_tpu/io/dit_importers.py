@@ -2199,8 +2199,7 @@ def load_cogview4_checkpoint(path: str, model) -> dict:
         elif "te" in variables:
             print("cogview4 import WARNING: no text_encoder/ subdir — the "
                   "GLM-4 text tower stays RANDOM-INIT (conditioning will be "
-                  "garbage; note export_full_model does not write the TE — "
-                  "copy text_encoder/ from the source checkpoint)")
+                  "garbage; copy text_encoder/ from the source checkpoint)")
     return variables
 
 

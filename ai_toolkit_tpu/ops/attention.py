@@ -64,6 +64,8 @@ def dot_product_attention(
 
 # above this, the resident flash kernels' full-length VMEM operand (K/V in
 # fwd/dq, Q/dO in dkv) exceeds the 16M scoped budget — streamed variant
+# (kept in sync with pallas.flash_attention.RESIDENT_MAX_SEQ, which
+# flash_attention_any uses for the same routing after padding)
 _RESIDENT_MAX_SEQ = 8192
 
 
@@ -72,6 +74,15 @@ def _best_block(s: int) -> int:
         if s % b == 0:
             return b
     return s  # single block
+
+
+def _d64_min_seq() -> int:
+    """Min sequence length where the half-lane d=64 kernel beats XLA's
+    materialized-logits path. 2048 measured safe (r5); AIT_FLASH_D64_MIN_SEQ
+    overrides for A/B (SDXL@1024's 1280-dim level sits at s=1024)."""
+    import os
+
+    return int(os.environ.get("AIT_FLASH_D64_MIN_SEQ", "2048"))
 
 
 def _pallas_ok(q, k, mask, is_causal) -> bool:
@@ -85,7 +96,7 @@ def _pallas_ok(q, k, mask, is_causal) -> bool:
     except Exception:
         return False
     s, t, d = q.shape[1], k.shape[1], q.shape[-1]
-    if d % 128 != 0 and not (d == 64 and q.shape[1] >= 2048):
+    if d % 128 != 0 and not (d == 64 and q.shape[1] >= _d64_min_seq()):
         # d == 64 (SDXL self-attention): legal Mosaic block (last dim equals
         # the array dim) but HALF the MXU lanes idle — only a win where the
         # [S,T] logits XLA materializes dwarf that waste (long sequences)

@@ -21,6 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
+
+# above this, the resident kernels' full-length VMEM operand (K/V in fwd/dq,
+# Q/dO in dkv) exceeds the 16M scoped budget — use the streamed variant
+RESIDENT_MAX_SEQ = 8192
 NEG_INF = -1e30
 
 
@@ -518,12 +522,21 @@ def flash_attention_any(
     t = k.shape[1]
     sp, tp = -s % 128, -t % 128
     if sp == 0 and tp == 0:
+        if max(s, t) <= RESIDENT_MAX_SEQ:
+            return flash_attention(q, k, v, scale, block_q, block_k)
         return flash_attention_streamed(q, k, v, scale, block_q, block_k)
     if sp:
         q = jnp.pad(q, ((0, 0), (0, sp), (0, 0), (0, 0)))
     if tp:
         k = jnp.pad(k, ((0, 0), (0, tp), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, tp), (0, 0), (0, 0)))
+    if tp == 0 and max(s + sp, t) <= RESIDENT_MAX_SEQ:
+        # only Q was padded: no KV mask needed, and the padded shape fits the
+        # resident kernels (K/V stay VMEM-resident instead of re-streaming
+        # from HBM once per q block). Padded Q rows are sliced off below;
+        # their output cotangent is zero-padded by the pad VJP, so they
+        # contribute exactly zero to dK/dV.
+        return flash_attention(q, k, v, scale, block_q, block_k)[:, :s]
     out = flash_attention_streamed(q, k, v, scale, block_q, block_k,
                                    t if tp else None)
     return out[:, :s] if sp else out

@@ -362,15 +362,28 @@ class _Handler(BaseHTTPRequestHandler):
                 from urllib.parse import parse_qs, urlparse
 
                 q = parse_qs(urlparse(self.path).query)
-                n = min(int(q.get("n", ["200"])[0] or 200), 5000)
+                try:
+                    n = max(1, min(int(q.get("n", ["200"])[0] or 200), 5000))
+                except ValueError:
+                    return self._json({"error": "bad n"}, 400)
                 name = rows[0].get("name") or job_id
-                log_path = os.path.join(self._runs_root(), "_quick_ui", f"{name}.log")
+                # job names come from arbitrary config files via the AITK
+                # contract, not only the sanitized /api/launch — apply the
+                # same traversal guard as _run_dir
+                if "/" in name or "\\" in name or ".." in name:
+                    return self._json({"error": "bad job name"}, 400)
+                # the worker writes under its constructor runs_root; the
+                # Settings TRAINING_FOLDER may differ — check both
+                roots = {self._runs_root(), self.server.runs_root}
                 lines: list[str] = []
-                if os.path.isfile(log_path):
-                    with open(log_path, "rb") as f:
-                        f.seek(0, os.SEEK_END)
-                        f.seek(max(0, f.tell() - 256 * 1024))
-                        lines = f.read().decode("utf-8", "replace").splitlines()[-n:]
+                for root in roots:
+                    log_path = os.path.join(root, "_quick_ui", f"{name}.log")
+                    if os.path.isfile(log_path):
+                        with open(log_path, "rb") as f:
+                            f.seek(0, os.SEEK_END)
+                            f.seek(max(0, f.tell() - 256 * 1024))
+                            lines = f.read().decode("utf-8", "replace").splitlines()[-n:]
+                        break
                 return self._json({"name": name, "lines": lines})
             rows = self._jobs(job_id)
             if isinstance(rows, list) and rows:
@@ -466,6 +479,7 @@ class _Handler(BaseHTTPRequestHandler):
                 with self._db() as conn:
                     n = conn.execute(
                         "UPDATE Job SET status = 'queued', stop = 0, step = 0, "
+                        "save_now = 0, sample_now = 0, "
                         "queued_at = ?, pid = NULL WHERE id = ? AND status != 'running'",
                         (time.time(), parts[2]),
                     ).rowcount
@@ -972,15 +986,20 @@ async function refresh(){
  const runs=await j('/api/runs');
  const pick=document.getElementById('pick');
  const cur=pick.value;
- pick.innerHTML=runs.map(r=>'<option>'+r.name+'</option>').join('');
+ pick.innerHTML='';
+ for(const r of runs){const o=document.createElement('option');
+  o.textContent=r.name;pick.appendChild(o)}
  if(cur&&runs.some(r=>r.name===cur))pick.value=cur;
  const tbl=document.getElementById('runs');
  tbl.innerHTML='<tr><th>run</th><th>last loss</th><th>steps</th><th>s/step</th></tr>';
  for(const r of runs){
-  const s=await j('/api/runs/'+r.name+'/loss');
+  const s=await j('/api/runs/'+encodeURIComponent(r.name)+'/loss');
   const last=s[s.length-1]||{};
-  tbl.innerHTML+='<tr><td>'+r.name+'</td><td>'+(last.loss!==undefined?last.loss.toFixed(4):'—')+
-   '</td><td>'+(last.step??'—')+'</td><td>'+(last.sec_per_step?last.sec_per_step.toFixed(2):'—')+'</td></tr>';
+  const tr=document.createElement('tr');
+  for(const v of [r.name,last.loss!==undefined?last.loss.toFixed(4):'—',
+                  last.step??'—',last.sec_per_step?last.sec_per_step.toFixed(2):'—']){
+   const td=document.createElement('td');td.textContent=String(v);tr.appendChild(td)}
+  tbl.appendChild(tr);
   if(r.name===pick.value)draw(s);
  }
 }
@@ -1022,21 +1041,29 @@ async function pollLog(){
   const p=document.getElementById('log');p.textContent=r.lines.join('\\n');
   p.scrollTop=p.scrollHeight}
 }
+function btn(label,fn){const b=document.createElement('button');
+ b.textContent=label;b.onclick=fn;return b}
 async function refresh(){
+ // rows built via textContent/closures: job names and ids come from
+ // arbitrary config files, never trust them as HTML or inline JS
  const jobs=await j('/api/jobs');
  const tbl=document.getElementById('tbl');
  tbl.innerHTML='<tr><th>name</th><th>status</th><th>step</th><th>speed</th><th>actions</th></tr>';
  for(const r of jobs){
-  const running=r.status==='running';
-  tbl.innerHTML+='<tr><td>'+r.name+'</td><td>'+r.status+'</td>'+
-   '<td>'+r.step+'/'+r.total_steps+'</td><td>'+(r.speed_string||'')+'</td><td>'+
-   '<button onclick="showLog(\\''+r.id+'\\')">log</button>'+
-   (running?'<button onclick="act(\\''+r.id+'\\',\\'stop\\')">stop</button>'+
-    '<button onclick="act(\\''+r.id+'\\',\\'save\\')">save</button>'+
-    '<button onclick="act(\\''+r.id+'\\',\\'sample\\')">sample</button>'
-   :'<button onclick="act(\\''+r.id+'\\',\\'requeue\\')">requeue</button>'+
-    '<button onclick="act(\\''+r.id+'\\',\\'delete\\')">delete</button>')+
-   '</td></tr>';
+  const tr=document.createElement('tr');
+  for(const v of [r.name,r.status,r.step+'/'+r.total_steps,r.speed_string||'']){
+   const td=document.createElement('td');td.textContent=String(v);tr.appendChild(td)}
+  const td=document.createElement('td');
+  td.appendChild(btn('log',()=>showLog(r.id)));
+  if(r.status==='running'){
+   td.appendChild(btn('stop',()=>act(r.id,'stop')));
+   td.appendChild(btn('save',()=>act(r.id,'save')));
+   td.appendChild(btn('sample',()=>act(r.id,'sample')));
+  }else{
+   td.appendChild(btn('requeue',()=>act(r.id,'requeue')));
+   td.appendChild(btn('delete',()=>act(r.id,'delete')));
+  }
+  tr.appendChild(td);tbl.appendChild(tr);
  }
 }
 refresh();setInterval(refresh,4000);setInterval(pollLog,4000);

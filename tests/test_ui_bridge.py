@@ -340,6 +340,7 @@ def test_quick_launch_endpoint(tmp_path):
         )
         (ds / f"im_{i}.txt").write_text("x")
     os.environ["AIT_PLATFORM"] = "cpu"  # child run.py forces CPU
+    resp = None
     try:
         srv = UIServer(port=0, runs_root=str(tmp_path / "out")).start()
         base = f"http://127.0.0.1:{srv.port}"
@@ -372,6 +373,13 @@ def test_quick_launch_endpoint(tmp_path):
     finally:
         os.environ.pop("AIT_PLATFORM", None)
         srv.stop()
+        # never leak the detached trainer past the test (a hung child used
+        # to survive the chunk runner's timeout and eat the 1-core host)
+        if resp and resp.get("pid"):
+            try:
+                os.kill(int(resp["pid"]), 15)
+            except (ProcessLookupError, PermissionError):
+                pass
 
 
 def test_api_archs_lists_registry():
@@ -693,9 +701,11 @@ def test_job_detail_actions_and_log(tmp_path):
     (runs / "_quick_ui").mkdir(parents=True)
     (runs / "_quick_ui" / "jobA.log").write_text("line1\nline2\nstep 3/4 loss=0.5\n")
     with sqlite3.connect(db) as conn:
-        conn.execute("INSERT INTO Job (id, name, status, step, total_steps) "
-                     "VALUES ('ja', 'jobA', 'failed', 3, 4)")
+        conn.execute("INSERT INTO Job (id, name, status, step, total_steps, "
+                     "save_now, sample_now) VALUES ('ja', 'jobA', 'failed', 3, 4, 1, 1)")
         conn.execute("INSERT INTO Job (id, name, status) VALUES ('jb', 'jobB', 'running')")
+        conn.execute("INSERT INTO Job (id, name, status) "
+                     "VALUES ('jc', '../../evil', 'failed')")
 
     srv = UIServer(db_path=db, port=0, runs_root=str(runs)).start()
     base = f"http://127.0.0.1:{srv.port}"
@@ -717,11 +727,23 @@ def test_job_detail_actions_and_log(tmp_path):
         log = get("/api/jobs/ja/log?n=2")
         assert log["name"] == "jobA" and log["lines"] == ["line2", "step 3/4 loss=0.5"]
 
+        # traversal-shaped job names and non-numeric n are rejected
+        for bad in ("/api/jobs/jc/log", "/api/jobs/ja/log?n=abc"):
+            try:
+                get(bad)
+                raise AssertionError("should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # negative n clamps to the last line instead of mis-slicing the head
+        assert get("/api/jobs/ja/log?n=-5")["lines"] == ["step 3/4 loss=0.5"]
+
         assert post("/api/jobs/ja/requeue") == {"requeued": 1}
         with sqlite3.connect(db) as conn:
-            st, step = conn.execute(
-                "SELECT status, step FROM Job WHERE id='ja'").fetchone()
-        assert st == "queued" and step == 0
+            st, step, sv, sm = conn.execute(
+                "SELECT status, step, save_now, sample_now FROM Job "
+                "WHERE id='ja'").fetchone()
+        # stale one-shot flags must not survive into the fresh run
+        assert st == "queued" and step == 0 and sv == 0 and sm == 0
 
         # running jobs refuse requeue/delete with 409
         for act in ("requeue", "delete"):
@@ -735,6 +757,6 @@ def test_job_detail_actions_and_log(tmp_path):
             conn.execute("UPDATE Job SET status='stopped' WHERE id='jb'")
         assert post("/api/jobs/jb/delete") == {"deleted": 1}
         with sqlite3.connect(db) as conn:
-            assert conn.execute("SELECT COUNT(*) FROM Job").fetchone()[0] == 1
+            assert conn.execute("SELECT COUNT(*) FROM Job").fetchone()[0] == 2
     finally:
         srv.stop()
